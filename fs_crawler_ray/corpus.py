@@ -1,0 +1,344 @@
+"""Deterministic synthetic family-forest corpus generator.
+
+Produces the engine's primary input: an interleaved text + media
+document table ``(doc_id, spans: list<struct<kind,text,media_ref,offset>>)``
+— one document per crawlable person, the flattened analog of a
+FamilySearch ``/platform/tree/persons`` response entry
+(``/root/reference/tests/controller/data/persons.json``), per
+FIXTURES.md §F1 — plus a ``relationships`` table that stands in for the
+relationship-resolution API (reference ``fscrawler/controller/fsapi.py:99-123``).
+
+Shape notes (FIXTURES.md §F8):
+- each person has ≤2 parents in the primary relationship; a configurable
+  fraction get extra-parent relationships (invalid, >2 parents) or
+  single/zero-parent records to exercise the validator
+  (``fscrawler/controller/graph_validator.py:125-154``);
+- children-per-couple follows a power law → hot lineages for skew tests;
+- all IDs are ``[A-Z0-9]{4}-[A-Z0-9]{3}`` and sorted-id order == creation
+  order (see :mod:`fs_crawler_ray.ids`).
+
+Storage is Parquet; at deployment scale this table lives in Lance
+(``lance`` is not installed in this sandbox) — all access goes through
+:mod:`fs_crawler_ray.sources.doc_table`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fs_crawler_ray.ids import index_to_pid, indices_to_pids
+from fs_crawler_ray.model import (
+    DOCUMENT_SCHEMA,
+    FACT_TYPES,
+    RELATIONSHIP_SCHEMA,
+    RelationshipType,
+    SpanKind,
+)
+
+GIVEN_NAMES = [
+    "John Wallace", "Mary Ann", "Henry", "Isabella", "Daniel", "Barbara",
+    "George", "Sarah Jane", "Thomas", "Eliza", "William", "Margaret",
+    "Robert", "Agnes", "James", "Catherine", "Samuel", "Hannah",
+    "Edward", "Charlotte",
+]
+SURNAMES = [
+    "Stewart", "Campbell", "Murray", "Robertson", "Fraser", "Graham",
+    "Douglas", "Hamilton", "Gordon", "Sinclair", "Wallace", "Bruce",
+    "Kerr", "Armstrong", "Maxwell", "Johnston",
+]
+
+# Fact-type distribution for the relationship store (mostly biological,
+# matching the reference's assumption that untyped ≈ biological,
+# relationship_types.py:16-21).
+_FACT_PROBS = [0.82, 0.06, 0.04, 0.02, 0.02, 0.02, 0.02]
+_UNSPECIFIED_PROB = 0.06  # API returns no facts → UnspecifiedParentType
+
+
+@dataclass
+class CorpusSpec:
+    n_persons: int = 1000
+    seed: int = 42
+    gen0_frac: float = 0.06          # fraction of persons in generation 0
+    zipf_a: float = 1.9              # children-per-couple power law (hot lineages)
+    max_children: int = 16
+    pair_prob: float = 0.85          # probability a person couples up within their generation
+    extra_parent_frac: float = 0.02  # children with a 3rd parent via a 2nd relationship (invalid)
+    single_parent_frac: float = 0.04 # primary relationship has only parent1
+    unknown_gender_frac: float = 0.02
+    media_frac: float = 0.3
+    missing_doc_frac: float = 0.0    # ids mentioned but with no document (unfetchable)
+    n_seeds: int = 2
+
+
+@dataclass
+class CorpusInfo:
+    spec: CorpusSpec
+    out_dir: str
+    documents_path: str
+    relationships_path: str
+    seeds: list[str] = field(default_factory=list)
+    n_docs: int = 0
+
+    def save(self) -> None:
+        meta = {
+            "spec": asdict(self.spec),
+            "seeds": self.seeds,
+            "n_docs": self.n_docs,
+            "documents_path": self.documents_path,
+            "relationships_path": self.relationships_path,
+        }
+        with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+
+    @staticmethod
+    def load(out_dir: str) -> "CorpusInfo":
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            meta = json.load(f)
+        return CorpusInfo(
+            spec=CorpusSpec(**meta["spec"]),
+            out_dir=out_dir,
+            documents_path=meta["documents_path"],
+            relationships_path=meta["relationships_path"],
+            seeds=meta["seeds"],
+            n_docs=meta["n_docs"],
+        )
+
+
+def _build_forest(spec: CorpusSpec, rng: np.random.RandomState):
+    """Returns (genders, generation, couples, rels).
+
+    couples: list of (a_idx, b_idx) person-index pairs.
+    rels: list of (rel_idx, child, parent1, parent2_or_-1) — one
+    childAndParents relationship each; parent order is (male, female)
+    within a couple, matching the persons.json parent1/parent2 layout.
+    """
+    n = spec.n_persons
+    genders = np.full(n, 0, dtype=np.int8)
+    generation = np.zeros(n, dtype=np.int32)
+    couples: list[tuple[int, int]] = []
+    rels: list[tuple[int, int, int, int]] = []
+
+    n0 = max(2, int(n * spec.gen0_frac)) & ~1  # even
+    next_idx = n0
+    # generation 0: paired couples (even=male, odd=female)
+    genders[0:n0:2] = -1
+    genders[1:n0:2] = 1
+    current_gen: list[int] = list(range(n0))
+    gen = 0
+    cur_couples = [(i, i + 1) for i in range(0, n0, 2)]
+    couples.extend(cur_couples)
+
+    while next_idx < n:
+        gen += 1
+        children_of: list[list[int]] = [[] for _ in cur_couples]
+        if not cur_couples:
+            break
+        # power-law children counts; clip; round-robin couples until pool empty
+        counts = np.minimum(rng.zipf(spec.zipf_a, size=len(cur_couples)), spec.max_children)
+        new_gen: list[int] = []
+        for ci, cnt in enumerate(counts):
+            for _ in range(int(cnt)):
+                if next_idx >= n:
+                    break
+                children_of[ci].append(next_idx)
+                new_gen.append(next_idx)
+                next_idx += 1
+        if not new_gen and next_idx < n:  # guarantee progress
+            children_of[0].append(next_idx)
+            new_gen.append(next_idx)
+            next_idx += 1
+        # genders of children: random male/female
+        for c in new_gen:
+            genders[c] = -1 if rng.rand() < 0.5 else 1
+            generation[c] = gen
+        # relationships: child → couple parents
+        for ci, (a, b) in enumerate(cur_couples):
+            # parent1 = male partner, parent2 = female partner
+            p1, p2 = (a, b) if genders[a] == -1 else (b, a)
+            for c in children_of[ci]:
+                r = rng.rand()
+                if r < spec.single_parent_frac:
+                    rels.append((len(rels), c, p1, -1))
+                else:
+                    rels.append((len(rels), c, p1, p2))
+                if rng.rand() < spec.extra_parent_frac:
+                    # second relationship with a random parent from an
+                    # earlier generation → child has 3 parents (invalid)
+                    extra = int(rng.randint(0, max(1, c)))
+                    rels.append((len(rels), c, extra, -1))
+        # pair the new generation into couples
+        order = np.array(new_gen)
+        rng.shuffle(order)
+        nxt_couples: list[tuple[int, int]] = []
+        i = 0
+        while i + 1 < len(order):
+            if rng.rand() < spec.pair_prob:
+                a, b = int(order[i]), int(order[i + 1])
+                nxt_couples.append((a, b))
+                i += 2
+            else:
+                i += 1
+        couples.extend(nxt_couples)
+        cur_couples = nxt_couples
+        current_gen = new_gen
+
+    # unknown-gender overrides
+    unk = rng.rand(n) < spec.unknown_gender_frac
+    genders[unk] = 0
+    return genders, generation, couples, rels
+
+
+def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(spec.seed)
+    n = spec.n_persons
+    genders, generation, couples, rels = _build_forest(spec, rng)
+    pids = indices_to_pids(np.arange(n))
+    rel_ids = np.array([f"R{index_to_pid(i).replace('-', '')[1:]}" for i in range(len(rels))])
+
+    # --- lifespans ---------------------------------------------------
+    birth = 1750 + generation * 28 + rng.randint(-5, 6, size=n)
+    death = birth + rng.randint(40, 91, size=n)
+    living = birth > 1940
+    lifespans = np.where(living, "Living", np.char.add(np.char.add(birth.astype(str), "-"), death.astype(str)))
+    # a few "-YYYY" (unknown birth) and "" (no data) records
+    no_birth = (~living) & (rng.rand(n) < 0.02)
+    lifespans = np.where(no_birth, np.char.add("-", death.astype(str)), lifespans)
+    no_data = (~living) & (~no_birth) & (rng.rand(n) < 0.01)
+    lifespans = np.where(no_data, "", lifespans)
+
+    given = np.array(GIVEN_NAMES)[rng.randint(0, len(GIVEN_NAMES), size=n)]
+    surname = np.array(SURNAMES)[rng.randint(0, len(SURNAMES), size=n)]
+    # children inherit parent1's surname (by primary relationship)
+    for _, c, p1, _p2 in rels:
+        surname[c] = surname[p1]
+
+    # --- relationship fact types ------------------------------------
+    fact_pool = np.array([t.value for t in FACT_TYPES])
+    def draw_type() -> str | None:
+        if rng.rand() < _UNSPECIFIED_PROB:
+            return None  # no facts → UnspecifiedParentType at resolve time
+        return str(rng.choice(fact_pool, p=_FACT_PROBS))
+
+    rel_rows = {k: [] for k in ("rel_id", "child", "parent1", "parent2", "parent1_type", "parent2_type")}
+    for (ri, c, p1, p2) in rels:
+        rel_rows["rel_id"].append(rel_ids[ri])
+        rel_rows["child"].append(pids[c])
+        rel_rows["parent1"].append(pids[p1])
+        rel_rows["parent2"].append(pids[p2] if p2 >= 0 else None)
+        rel_rows["parent1_type"].append(draw_type())
+        rel_rows["parent2_type"].append(draw_type() if p2 >= 0 else None)
+    rel_table = pa.table(rel_rows, schema=RELATIONSHIP_SCHEMA)
+
+    # --- per-person span assembly ------------------------------------
+    partner_of: list[list[int]] = [[] for _ in range(n)]
+    for a, b in couples:
+        partner_of[a].append(b)
+        partner_of[b].append(a)
+    rels_of: list[list[int]] = [[] for _ in range(n)]  # rel indices touching person
+    for (ri, c, p1, p2) in rels:
+        rels_of[c].append(ri)
+        rels_of[p1].append(ri)
+        if p2 >= 0:
+            rels_of[p2].append(ri)
+
+    missing = rng.rand(n) < spec.missing_doc_frac
+    has_media = rng.rand(n) < spec.media_frac
+    rel_by_idx = {ri: (c, p1, p2) for (ri, c, p1, p2) in rels}
+
+    doc_ids: list[str] = []
+    kinds: list[str] = []
+    texts: list[str] = []
+    media_refs: list[str] = []
+    offsets: list[int] = []
+    span_lengths: list[int] = []
+
+    for p in range(n):
+        if missing[p]:
+            continue
+        start = len(kinds)
+        def add(kind: str, text: str = "", media_ref: str = "") -> None:
+            kinds.append(kind)
+            texts.append(text)
+            media_refs.append(media_ref)
+            offsets.append(len(kinds) - 1 - start)
+        g = Genders_TEXT[int(genders[p]) + 1]
+        add(SpanKind.NAME_GIVEN, given[p])
+        add(SpanKind.NAME_SURNAME, surname[p])
+        add(SpanKind.GENDER, g)
+        add(SpanKind.LIVING, "true" if living[p] else "false")
+        add(SpanKind.LIFESPAN, str(lifespans[p]))
+        for q in partner_of[p]:
+            add(SpanKind.COUPLE, pids[q])
+        for ri in sorted(set(rels_of[p])):
+            c, p1, p2 = rel_by_idx[ri]
+            add(SpanKind.CHILD_PARENT, f"{pids[c]}|{pids[p1]}|{rel_ids[ri]}")
+            if p2 >= 0:
+                add(SpanKind.CHILD_PARENT, f"{pids[c]}|{pids[p2]}|{rel_ids[ri]}")
+        if has_media[p]:
+            mem = 100000000 + p * 7
+            add(SpanKind.MEDIA, "", f"memories/{mem}/personas/{mem}-{p * 13 + 5}")
+        doc_ids.append(pids[p])
+        span_lengths.append(len(kinds) - start)
+
+    flat = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(media_refs, pa.string()),
+            pa.array(offsets, pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    offsets_arr = pa.array(np.concatenate([[0], np.cumsum(span_lengths)]), pa.int32())
+    spans = pa.ListArray.from_arrays(offsets_arr, flat)
+    doc_table = pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": spans}, schema=DOCUMENT_SCHEMA)
+
+    documents_path = os.path.join(out_dir, "documents.parquet")
+    relationships_path = os.path.join(out_dir, "relationships.parquet")
+    pq.write_table(doc_table, documents_path, row_group_size=64 * 1024)
+    pq.write_table(rel_table, relationships_path)
+
+    # seeds: late-generation persons (BFS walks up ancestors + across
+    # couples), deterministic: last n_seeds persons that have documents.
+    present = [p for p in range(n) if not missing[p]]
+    seeds = [pids[p] for p in present[-spec.n_seeds:]]
+    info = CorpusInfo(
+        spec=spec,
+        out_dir=out_dir,
+        documents_path=documents_path,
+        relationships_path=relationships_path,
+        seeds=seeds,
+        n_docs=len(doc_ids),
+    )
+    info.save()
+    return info
+
+
+Genders_TEXT = ["Male", "Unknown", "Female"]  # index by gender+1
+
+
+_CACHE_ROOT = "/tmp/fsray_corpus"
+
+
+def corpus_for_sf(sf_dir: str, cache_root: str = _CACHE_ROOT, seed: int = 42) -> CorpusInfo:
+    """Deterministic corpus sized from a testdata sf dir (row count of its
+    ``documents.parquet``), cached under /tmp. Same sf_dir + seed →
+    byte-identical corpus."""
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_persons = max(500, int(n_rows))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, f"{tag}_n{n_persons}_s{seed}")
+    meta = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta):
+        try:
+            return CorpusInfo.load(out_dir)
+        except Exception:
+            pass
+    return generate_corpus(CorpusSpec(n_persons=n_persons, seed=seed), out_dir)

@@ -1,0 +1,37 @@
+import os
+import sys
+
+import pytest
+import ray
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fs_crawler_ray.corpus import CorpusSpec, generate_corpus  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus_small")
+    return generate_corpus(CorpusSpec(n_persons=300, seed=42), str(out))
+
+
+@pytest.fixture(scope="session")
+def missing_doc_corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus_missing")
+    return generate_corpus(CorpusSpec(n_persons=250, seed=7, missing_doc_frac=0.1), str(out))
