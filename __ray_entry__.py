@@ -1,44 +1,267 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native fs-crawler re-creation.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship BFS frontier crawl over the deterministic
+synthetic interleaved-document corpus derived from sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 — crawl/BFS, span extraction, resolution, adjacency
+export, validation (over the synthetic corpus, whose path and seeds are
+deterministic functions of the sf dir), plus the generic relational
+operators, dedup suites, text analysis and ANN search over the testdata
+tables. ``oracle_sql()`` gives the matching DuckDB SQL — the crawl
+itself is cross-checked via a recursive-CTE BFS over the same corpus
+parquet.
+
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+ANN_K = 5
+ANN_NQ = 5
+HOP_FILTER = 3
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic corpus from sf0.001 → BFS crawl
+    (fetch actors + membership shards + span parse) → vertices table."""
+    from fs_crawler_ray.pipelines.crawl_queries import crawl_vertices
+
+    return crawl_vertices(SF001)
+
+
+def _docs_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = exact_dedup(ds, num_buckets=32).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "content_hash"]]
+
+
+def _docs_token_counts(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import token_count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = token_count(ds).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+
+
+def _docs_minhash_candidates(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import minhash_lsh_candidates
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = minhash_lsh_candidates(ds, num_perm=64, bands=16).to_pandas()
+    return out.astype({"doc_a": np.int64, "doc_b": np.int64})
+
+
+def _docs_simhash(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import simhash_fingerprints
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_fingerprints(ds).to_pandas().astype({"doc_id": np.int64, "simhash": np.int64})
+
+
+def _docs_analysis(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import analyze_text
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = analyze_text(ds).to_pandas()
+    return out[["doc_id", "lang_guess", "n_tokens", "quality", "fingerprint"]].astype(
+        {"doc_id": np.int64}
+    )
+
+
+def _ann_topk(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.ann import brute_force_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = ds.sort("vec_id").limit(ANN_NQ).to_pandas()
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    out = brute_force_topk(ds, q, query_ids=head["vec_id"].tolist(), k=ANN_K)
+    return out[["query_id", "vec_id"]].astype({"query_id": np.int64, "vec_id": np.int64})
+
+
+def _media_features(sf_dir: str):
+    from fs_crawler_ray.multimodal import media_feature_pipeline
+
+    return media_feature_pipeline(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fs_crawler_ray.pipelines import crawl_queries as cq
+    from fs_crawler_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl engine over the synthetic corpus (SURVEY §2/§3.1) --
+        "crawl_vertices": cq.crawl_vertices,
+        "crawl_edges": cq.crawl_edges,
+        "crawl_frontier": cq.crawl_frontier,
+        "crawl_log": cq.crawl_log,                      # rows-only
+        "resolution_classification": cq.resolution_classification,
+        "resolved_edge_types": cq.resolved_edge_types,
+        "adjacency_triples": cq.adjacency_triples,
+        "vertex_key": cq.vertex_key_table,
+        "hop_filtered_vertices": lambda sf: cq.hop_filtered_vertices(sf, HOP_FILTER),
+        "edge_classification_counts": cq.edge_classification_counts,
+        "lifespan_birth_years": cq.lifespan_birth_years,
+        "validator_children": cq.validator_children,
+        "span_vertices": cq.span_vertices,
+        "span_edges": cq.span_edges,
+        "span_media": cq.span_media,
+        # --- generic relational operators over testdata ---------------
+        "q_pricing_summary": rel.q_pricing_summary,
+        "q_orders_by_segment": rel.q_orders_by_segment,
+        "q_customers_without_orders": rel.q_customers_without_orders,
+        "q_top_customers": rel.q_top_customers,
+        "q_nation_region": rel.q_nation_region,
+        "q_events_dedup_first": rel.q_events_dedup_first,
+        "q_events_hourly": rel.q_events_hourly,
+        "q_part_brand_stats": rel.q_part_brand_stats,
+        "q_distinct_pairs": rel.q_distinct_pairs,
+        "q_union_orders": rel.q_union_orders,
+        "q_orders_lineitem_join": rel.q_orders_lineitem_join,
+        # --- training-data ops: dedup / text / ANN / multimodal -------
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_token_counts": _docs_token_counts,
+        "docs_minhash_candidates": _docs_minhash_candidates,   # rows-only
+        "docs_simhash": _docs_simhash,                         # rows-only
+        "docs_analysis": _docs_analysis,                       # rows-only
+        "ann_topk": _ann_topk,
+        "media_features": _media_features,                     # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fs_crawler_ray.corpus import corpus_for_sf
+    from fs_crawler_ray.pipelines import oracle_sqls as osql
+    from fs_crawler_ray.pipelines.crawl_queries import CRAWL_HOPS
+
+    # The driver compares at sf0.01; make sure the deterministic corpus
+    # exists so the SQL's read_parquet paths resolve regardless of
+    # whether the Ray query or the oracle runs first.
+    info = corpus_for_sf(SF01)
+    d, r, s, h = info.documents_path, info.relationships_path, info.seeds, CRAWL_HOPS
+
+    return {
+        "crawl_vertices": osql.crawl_vertices(d, s, h),
+        "crawl_edges": osql.crawl_edges(d, s, h),
+        "crawl_frontier": osql.crawl_frontier(d, s, h),
+        "resolution_classification": osql.resolution_classification(d, s, h),
+        "resolved_edge_types": osql.resolved_edge_types(d, r, s, h),
+        "adjacency_triples": osql.adjacency_triples(d, r, s, h),
+        "vertex_key": osql.vertex_key_table(d, s, h),
+        "hop_filtered_vertices": osql.hop_filtered_vertices(d, s, h, HOP_FILTER),
+        "edge_classification_counts": osql.edge_classification_counts(d, s, h),
+        "lifespan_birth_years": osql.lifespan_birth_years(d, s, h),
+        "validator_children": osql.validator_children(d, r, s, h),
+        "span_vertices": osql.span_vertices(d),
+        "span_edges": osql.span_edges(d),
+        "span_media": osql.span_media(d),
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_orders_by_segment": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_value
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+            ORDER BY c_custkey
+        """,
+        "q_top_customers": """
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
+        """,
+        "q_nation_region": """
+            SELECT r.r_name, COUNT(*) AS n_nations
+            FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+        """,
+        "q_events_dedup_first": """
+            SELECT user_id, event_type, event_id, ROUND(value, 2) AS value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        "q_events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "q_part_brand_stats": """
+            SELECT p_brand, COUNT(*) AS n_parts, MAX(p_size) AS max_size,
+                   ROUND(SUM(p_retailprice), 2) AS sum_price
+            FROM part WHERE p_size > 10 GROUP BY p_brand
+        """,
+        "q_distinct_pairs": """
+            SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+            ORDER BY c_mktsegment, c_nationkey
+        """,
+        "q_union_orders": """
+            SELECT o_orderkey, o_orderpriority FROM (
+                SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 200000.0
+                UNION
+                SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+            ) ORDER BY o_orderkey
+        """,
+        "q_orders_lineitem_join": """
+            SELECT o.o_orderstatus,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "docs_exact_dedup": """
+            SELECT doc_id, md5(text) AS content_hash FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "docs_token_counts": """
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT {ANN_NQ})
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rn <= {ANN_K}
+        """,
+    }

@@ -1,0 +1,182 @@
+"""Benchmark driver: headline crawl + operator pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ..., "crawl_stats": {...}}
+
+--scaling: runs the bench twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus the
+N→4N scaling efficiency (the sandbox evidence for the two-cluster-size
+criterion; see BASELINE.md).
+
+Run from the repo root (Ray workers resolve fs_crawler_ray via cwd).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+    import ray.data
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    hops = int(os.environ.get("GRAFT_BENCH_HOPS", "8"))
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from fs_crawler_ray.ann import brute_force_topk
+    from fs_crawler_ray.corpus import corpus_for_sf
+    from fs_crawler_ray.crawl import CrawlConfig, crawl
+    from fs_crawler_ray.stages.export import write_adjacency_shards
+    from fs_crawler_ray.stages.resolve import resolve_relationships
+    from fs_crawler_ray.text import analyze_text, exact_dedup, minhash_lsh_candidates
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # -- corpus (cached, untimed: stands in for the remote web) --------
+    info = corpus_for_sf(sf_dir)
+    # warm the page cache so we measure compute+shuffle, not first read
+    with open(info.documents_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    # -- headline: BFS frontier crawl (fetch+dedupe+edge-extract) ------
+    out_dir = f"/tmp/fsray_bench/crawl_{os.path.basename(info.out_dir)}_c{num_cpus}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    cfg = CrawlConfig(
+        hops=hops,
+        num_shards=max(8, num_cpus // 2),
+        membership_mode="probabilistic",
+        shard_capacity=1 << 20,
+        fetch_concurrency=max(4, num_cpus // 4),
+        fetch_batch_size=200,
+        num_buckets=max(32, num_cpus * 2),
+    )
+    t0 = time.time()
+    result = crawl(info, info.seeds, out_dir, cfg)
+    t_crawl = time.time() - t0
+    queries["crawl"] = round(t_crawl, 3)
+    attempted = sum(
+        json.load(open(os.path.join(result.hop_dir(h), "lineage.json")))["fetch"].get("ids_attempted", 0)
+        for h in result.hops_run
+    )
+    n_vertices = result.log[-1]["vertices"] if result.log else 0
+    extras["crawl_stats"] = {
+        "hops": len(result.hops_run),
+        "urls_attempted": int(attempted),
+        "vertices": int(n_vertices),
+        "edges_within": int(result.log[-1]["edges"]) if result.log else 0,
+        "final_frontier": int(result.log[-1]["frontier"]) if result.log else 0,
+    }
+    extras["urls_per_sec"] = round(attempted / t_crawl, 2) if t_crawl else 0.0
+
+    # -- resolution ----------------------------------------------------
+    t0 = time.time()
+    final = resolve_relationships(
+        result.edges(), result.vertices(), info.relationships_path,
+        num_partitions=max(8, num_cpus // 2), num_buckets=max(32, num_cpus * 2),
+        fetch_concurrency=max(2, num_cpus // 8),
+    ).materialize()
+    queries["resolve"] = round(time.time() - t0, 3)
+
+    # -- adjacency export ----------------------------------------------
+    t0 = time.time()
+    adj_dir = os.path.join(out_dir, "adjacency")
+    write_adjacency_shards(result.vertices(), final, adj_dir, shard_size=1 << 16,
+                           num_partitions=max(8, num_cpus // 2))
+    queries["adjacency_export"] = round(time.time() - t0, 3)
+
+    # -- text suite over the sf documents table ------------------------
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    n_unique = exact_dedup(docs, num_buckets=max(32, num_cpus * 2)).count()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+    extras["docs_unique"] = int(n_unique)
+
+    t0 = time.time()
+    n_cand = minhash_lsh_candidates(docs, num_perm=64, bands=16,
+                                    concurrency=max(4, num_cpus // 2)).count()
+    queries["minhash_lsh"] = round(time.time() - t0, 3)
+    extras["near_dup_candidates"] = int(n_cand)
+
+    t0 = time.time()
+    analyze_text(docs, concurrency=max(4, num_cpus // 2)).count()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    # -- ANN over embeddings -------------------------------------------
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = emb.sort("vec_id").limit(16).to_pandas()
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float32)
+    t0 = time.time()
+    brute_force_topk(emb, q, query_ids=head["vec_id"].tolist(), k=10,
+                     concurrency=max(4, num_cpus // 2))
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline suite seconds (crawl fetch+dedupe+edge-extract, resolve, adjacency, dedup, minhash, text, ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    thr_lo = results[lo]["urls_per_sec"]
+    thr_hi = results[hi]["urls_per_sec"]
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff_time = (t_lo / t_hi) / (hi / lo) if t_hi else 0.0
+    eff_thr = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
+    return {
+        "metric": f"scaling {lo}→{hi} cpus",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "urls_per_sec_lo": thr_lo,
+        "urls_per_sec_hi": thr_hi,
+        "scaling_efficiency_time": round(eff_time, 3),
+        "scaling_efficiency_crawl_throughput": round(eff_thr, 3),
+        "queries_lo": results[lo]["queries"],
+        "queries_hi": results[hi]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``embeddings(vec_id,
+embedding: list<float>, label)``).
+
+- brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put``) and each batch does one numpy matmul against it —
+  the exact baseline, O(N·Q) but fully vectorized and embarrassingly
+  parallel;
+- LSH-bucketed variant (random hyperplane signatures): candidates only
+  from matching buckets (multi-probe over B tables), then exact rerank
+  — the scale path: each batch only scores vectors that share a bucket
+  with some query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _topk_reduce(parts: pd.DataFrame, k: int) -> pd.DataFrame:
+    parts = parts.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True], kind="stable")
+    return parts.groupby("query_id", as_index=False).head(k)
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch matmul → per-batch partial top-k →
+    driver-side final reduce (k×Q rows per batch, tiny)."""
+    qref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
+    ids_ref = ray.put(list(query_ids))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)          # (Q, d) — read once per actor
+            self.qids = ray.get(ids_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+            scores = m @ self.q.T            # (n, Q)
+            n, q = scores.shape
+            kk = min(k, n)
+            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (k, Q)
+            out_q, out_v, out_s = [], [], []
+            vec_ids = batch["vec_id"].to_numpy()
+            for qi in range(q):
+                out_q.extend([self.qids[qi]] * kk)
+                out_v.extend(vec_ids[idx[:, qi]].tolist())
+                out_s.extend(scores[idx[:, qi], qi].tolist())
+            return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                                 "score": np.round(np.array(out_s, dtype=np.float64), 6)})
+
+    parts = ds.map_batches(Score, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, concurrency)).to_pandas()
+    return _topk_reduce(parts, k).reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: sign bits of x·H packed into an int."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 9):
+        rng = np.random.RandomState(seed)
+        self.h = rng.normal(size=(dim, n_bits)).astype(np.float32)
+        self.n_bits = n_bits
+
+    def signatures(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.h) > 0
+        return (bits.astype(np.uint64) << np.arange(self.n_bits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 10,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket matches a
+    query bucket (plus 1-bit-flip probes). Recall < 1.0 by design —
+    report alongside the exact baseline."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = dim or q.shape[1]
+    lsh = HyperplaneLSH(dim, n_bits)
+    q_sigs = lsh.signatures(q)
+    probe = set()
+    for s in q_sigs.tolist():
+        probe.add(s)
+        for b in range(n_bits):
+            probe.add(s ^ (1 << b))
+    qref = ray.put(q)
+    ids_ref = ray.put(list(query_ids))
+    probe_ref = ray.put(probe)
+    lsh_ref = ray.put(lsh)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.qids = ray.get(ids_ref)
+            self.probe = ray.get(probe_ref)
+            self.lsh = ray.get(lsh_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+            sigs = self.lsh.signatures(m)
+            keep = np.fromiter((s in self.probe for s in sigs.tolist()), dtype=bool, count=len(sigs))
+            if not keep.any():
+                return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+            m = m[keep]
+            vec_ids = batch["vec_id"].to_numpy()[keep]
+            scores = m @ self.q.T
+            out = []
+            kk = min(k, len(m))
+            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            for qi in range(scores.shape[1]):
+                for j in idx[:, qi]:
+                    out.append((self.qids[qi], vec_ids[j], round(float(scores[j, qi]), 6)))
+            return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+
+    parts = ds.map_batches(Score, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, concurrency)).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+    return _topk_reduce(parts, k).reset_index(drop=True)

@@ -1,0 +1,479 @@
+"""The BFS frontier crawl: one Ray Data pipeline per hop.
+
+Re-creates the reference's superstep loop (``fscrawler/crawler.py:44-46``
+→ ``fsapi.py:194-222`` → graph-store mutations) as, per hop:
+
+1. frontier → visited-filter (membership shards, ``map_batches``) →
+   ``processing.parquet`` checkpoint; processing ids registered into the
+   shards (idempotent adds — all in-hop membership READS are pure
+   ``contains`` so task retries and resume can never corrupt state);
+2. processing → Fetcher actor pool (politeness + robots) → span parser
+   → materialized per-hop record set;
+3. vertices written; edges dedup'd (keep-first by ``(hop, src_doc,
+   offset)`` under the canonical visit order = sorted id per hop) and
+   filtered against the cross-hop edge-seen shards; frontier candidates
+   filtered against ``visited ∪ processing`` (the
+   ``add_to_frontier`` guard, ``graph_memory_impl.py:60-63``) and
+   dedup'd → next frontier;
+4. new vertex ids and edge keys added to the shards (hop-boundary-only
+   mutation), cumulative edge classification (within/spanning/frontier,
+   ``graph_memory_impl.py:106-120``) and the LOG row written —
+   ``log.json`` is written LAST and is the hop-complete marker, making
+   a killed crawl resumable byte-identically from the last complete hop.
+
+Checkpoint layout (one directory per hop — partitioned, resumable output):
+
+    out_dir/settings.json
+    out_dir/hop=N/{processing,vertices,edges,frontier}.parquet/  + log.json + lineage.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from fs_crawler_ray.corpus import CorpusInfo
+from fs_crawler_ray.ids import is_valid_pid
+from fs_crawler_ray.metrics import MetricsActor
+from fs_crawler_ray.model import EDGE_SCHEMA, FRONTIER_SCHEMA, VERTEX_SCHEMA, RelationshipType
+from fs_crawler_ray.relops import dedup_keep_first, distinct
+from fs_crawler_ray.stages.fetch import Fetcher, PolitenessBudget
+from fs_crawler_ray.stages.parse import parse_documents
+from fs_crawler_ray.state.membership import ShardedMembership
+from fs_crawler_ray.state.robots import RobotsPolicy
+
+VISITED = "visited"
+PROCESSING = "processing"
+EDGES = "edges"
+
+
+@dataclass
+class CrawlConfig:
+    hops: int = 3
+    num_shards: int = 8
+    membership_mode: str = "exact"          # "probabilistic" at scale
+    shard_capacity: int = 1 << 18
+    fetch_concurrency: int = 4              # actor pool size (politeness budget, fsapi.py:25)
+    fetch_batch_size: int = 200             # ids per "request" (MAX_PERSONS, fsapi.py:23)
+    num_buckets: int = 64                   # dedup shuffle buckets; scale with cluster
+    politeness: PolitenessBudget | None = None
+    robots: RobotsPolicy | None = None
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        d["politeness"] = asdict(self.politeness) if self.politeness else None
+        d["robots"] = asdict(self.robots) if self.robots else None
+        return d
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    hops_run: list[int] = field(default_factory=list)
+    log: list[dict] = field(default_factory=list)
+
+    def hop_dir(self, hop: int) -> str:
+        return os.path.join(self.out_dir, f"hop={hop}")
+
+    @staticmethod
+    def load(out_dir: str) -> "CrawlResult":
+        """Reattach to a completed crawl checkpoint on disk."""
+        hops, log = [], []
+        h = 0
+        while os.path.exists(os.path.join(out_dir, f"hop={h}", "log.json")):
+            with open(os.path.join(out_dir, f"hop={h}", "log.json")) as f:
+                log.append(json.load(f))
+            hops.append(h)
+            h += 1
+        if not hops:
+            raise FileNotFoundError(f"no complete hops under {out_dir}")
+        return CrawlResult(out_dir=out_dir, hops_run=hops, log=log)
+
+    def _cat(self, name: str) -> ray.data.Dataset:
+        paths = [os.path.join(self.hop_dir(h), name) for h in self.hops_run]
+        paths = _expand_parquet([p for p in paths if os.path.exists(p)])
+        return ray.data.read_parquet(paths)
+
+    def vertices(self) -> ray.data.Dataset:
+        return self._cat("vertices.parquet")
+
+    def edges(self) -> ray.data.Dataset:
+        return self._cat("edges.parquet")
+
+    def frontier(self) -> ray.data.Dataset:
+        return ray.data.read_parquet(os.path.join(self.hop_dir(self.hops_run[-1]), "frontier.parquet"))
+
+    def processing(self, hop: int) -> ray.data.Dataset:
+        return ray.data.read_parquet(os.path.join(self.hop_dir(hop), "processing.parquet"))
+
+
+# ----------------------------------------------------------------------
+# membership-consulting map_batches stages
+# ----------------------------------------------------------------------
+class MembershipFilter:
+    """Keep rows whose key is (not) in any of the named shard sets.
+    Pure ``contains`` — safe under task retries."""
+
+    def __init__(self, sm: ShardedMembership, names: list[str], column: str, keep_present: bool = False):
+        self.sm = sm
+        self.names = names
+        self.column = column
+        self.keep_present = keep_present
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        present = self.sm.contains_any(self.names, keys)
+        return batch.filter(pa.array(present if self.keep_present else ~present))
+
+
+class MembershipAdd:
+    """Idempotent add of a key column into one named shard set."""
+
+    def __init__(self, sm: ShardedMembership, name: str, column: str):
+        self.sm = sm
+        self.name = name
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        self.sm.add(self.name, keys)
+        return pa.table({"n": pa.array([len(keys)], pa.int64())})
+
+
+def _expand_parquet(paths: list[str]) -> list[str]:
+    """ray.data.read_parquet does not expand directories when given a
+    LIST of paths — glob the part files explicitly."""
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")))
+        else:
+            files.append(p)
+    return files
+
+
+def _parquet_rows(dir_path: str) -> int:
+    total = 0
+    if not os.path.isdir(dir_path):
+        return 0
+    for f in os.listdir(dir_path):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(dir_path, f)).num_rows
+    return total
+
+
+def _safe_write(ds: ray.data.Dataset, path: str, schema: pa.Schema) -> None:
+    """write_parquet that always leaves a readable (possibly empty)
+    parquet directory — Ray writes nothing for an empty dataset."""
+    ds.write_parquet(path)
+    if _parquet_rows(path) == 0:
+        os.makedirs(path, exist_ok=True)
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
+        pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
+def _rec_filter(kind: str):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["rec_kind"], kind))
+
+    return f
+
+
+def _edge_key(batch: pa.Table) -> pa.Table:
+    key = pc.binary_join_element_wise(batch["source"], batch["destination"], "|")
+    return batch.append_column("edge_key", key)
+
+
+# ----------------------------------------------------------------------
+# the crawl
+# ----------------------------------------------------------------------
+class Crawler:
+    def __init__(self, corpus: CorpusInfo, out_dir: str, config: CrawlConfig | None = None):
+        self.corpus = corpus
+        self.out_dir = out_dir
+        self.config = config or CrawlConfig()
+        os.makedirs(out_dir, exist_ok=True)
+        self.sm = ShardedMembership.create(
+            num_shards=self.config.num_shards,
+            capacity_per_shard=self.config.shard_capacity,
+            mode=self.config.membership_mode,
+        )
+        self.metrics = MetricsActor.remote()
+
+    def shutdown(self) -> None:
+        """Kill the state actors. Results remain fully readable — all
+        state is reconstructable from the checkpoint (resume does so)."""
+        for a in self.sm.actors:
+            ray.kill(a)
+        ray.kill(self.metrics)
+
+    # -- checkpoint helpers -------------------------------------------
+    def _hop_dir(self, hop: int) -> str:
+        return os.path.join(self.out_dir, f"hop={hop}")
+
+    def _complete_hops(self) -> list[int]:
+        hops = []
+        h = 0
+        while os.path.exists(os.path.join(self._hop_dir(h), "log.json")):
+            hops.append(h)
+            h += 1
+        return hops
+
+    def _write_settings(self, seeds: list[str]) -> None:
+        # run-config dump (reference crawler.py:107-122 settings writer)
+        with open(os.path.join(self.out_dir, "settings.json"), "w") as f:
+            json.dump({"seeds": seeds, "config": self.config.to_json(),
+                       "corpus": self.corpus.documents_path}, f, indent=1)
+
+    def _register_from_parquet(self, path: str, set_name: str, column: str) -> None:
+        ds = ray.data.read_parquet(path, columns=[column])
+        ds.map_batches(
+            MembershipAdd(self.sm, set_name, column), batch_format="pyarrow", batch_size=8192
+        ).sum("n")
+
+    # -- resume --------------------------------------------------------
+    def _resume_state(self) -> tuple[int, ray.data.Dataset | None, list[dict]]:
+        """Rebuild shard state from checkpointed tables (SURVEY §7.5:
+        filter state must be reconstructable, never snapshotted ad hoc)."""
+        done = self._complete_hops()
+        if not done:
+            return 0, None, []
+        log = []
+        for h in done:
+            with open(os.path.join(self._hop_dir(h), "log.json")) as f:
+                log.append(json.load(f))
+            self._register_from_parquet(os.path.join(self._hop_dir(h), "vertices.parquet"), VISITED, "id")
+            edges_p = os.path.join(self._hop_dir(h), "edges.parquet")
+            ds = ray.data.read_parquet(edges_p, columns=["source", "destination"])
+            ds.map_batches(_edge_key, batch_format="pyarrow").map_batches(
+                MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
+            ).sum("n")
+        last = done[-1]
+        frontier = ray.data.read_parquet(os.path.join(self._hop_dir(last), "frontier.parquet"))
+        return last + 1, frontier, log
+
+    # -- main loop -----------------------------------------------------
+    def crawl(self, seeds: list[str], resume: bool = False) -> CrawlResult:
+        cfg = self.config
+        bad = [s for s in seeds if not is_valid_pid(s)]
+        if bad:  # seed regex gate (reference crawler.py:92-94)
+            raise ValueError(f"invalid seed ids: {bad}")
+        self._write_settings(seeds)
+
+        start_hop, frontier, log = 0, None, []
+        if resume:
+            start_hop, frontier, log = self._resume_state()
+        else:
+            # fresh run: clear any stale hop dirs so _complete_hops /
+            # resume never sees leftovers from a longer previous run
+            for d in os.listdir(self.out_dir):
+                if d.startswith("hop="):
+                    shutil.rmtree(os.path.join(self.out_dir, d))
+        if frontier is None:
+            frontier = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id": pa.array(sorted(set(seeds)), pa.string()),
+                        "priority": pa.array([0] * len(set(seeds)), pa.int64()),
+                        "hop": pa.array([0] * len(set(seeds)), pa.int32()),
+                    },
+                    schema=FRONTIER_SCHEMA,
+                )
+            )
+        result = CrawlResult(out_dir=self.out_dir, hops_run=list(range(start_hop)), log=log)
+
+        for hop in range(start_hop, cfg.hops):
+            t0 = time.time()
+            hop_dir = self._hop_dir(hop)
+            if os.path.exists(hop_dir):
+                shutil.rmtree(hop_dir)  # incomplete hop from a killed run
+            os.makedirs(hop_dir)
+            self.sm.clear(PROCESSING)
+
+            # 1. visited-filter → processing checkpoint → register
+            proc_path = os.path.join(hop_dir, "processing.parquet")
+            _safe_write(
+                frontier.map_batches(MembershipFilter(self.sm, [VISITED], "id"), batch_format="pyarrow"),
+                proc_path,
+                FRONTIER_SCHEMA,
+            )
+            if _parquet_rows(proc_path) > 0:
+                self._register_from_parquet(proc_path, PROCESSING, "id")
+
+            # 2. fetch (politeness + robots) → parse → per-hop records
+            records = (
+                ray.data.read_parquet(proc_path, columns=["id"])
+                .map_batches(
+                    Fetcher,
+                    fn_constructor_kwargs=dict(
+                        documents_path=self.corpus.documents_path,
+                        hop=hop,
+                        politeness=cfg.politeness,
+                        robots=cfg.robots,
+                        metrics=self.metrics,
+                    ),
+                    batch_size=cfg.fetch_batch_size,
+                    # autoscaling pool: starts with 1 actor even when the
+                    # cluster is briefly CPU-tight (prevents pool-start
+                    # deadlock), grows to the politeness budget
+                    concurrency=(1, cfg.fetch_concurrency),
+                    batch_format="pyarrow",
+                )
+                .map_batches(parse_documents, batch_format="pyarrow")
+                .materialize()
+            )
+
+            # 3a. vertices
+            verts = records.map_batches(_rec_filter("vertex"), batch_format="pyarrow").select_columns(
+                ["id", "color", "surname", "given_name", "iteration", "lifespan", "living"]
+            )
+            _safe_write(verts, os.path.join(hop_dir, "vertices.parquet"), VERTEX_SCHEMA)
+
+            # 3b. edges: in-hop keep-first dedup, then cross-hop seen filter
+            edges = records.map_batches(_rec_filter("edge"), batch_format="pyarrow").select_columns(
+                ["source", "destination", "rel_id", "src_doc", "offset", "hop"]
+            )
+            edges = dedup_keep_first(
+                edges, ["source", "destination"], ["hop", "src_doc", "offset"], cfg.num_buckets
+            )
+            edges = edges.map_batches(_edge_key, batch_format="pyarrow").map_batches(
+                MembershipFilter(self.sm, [EDGES], "edge_key"), batch_format="pyarrow"
+            )
+
+            def _finish_edge(batch: pa.Table) -> pa.Table:
+                n = len(batch)
+                return pa.table(
+                    {
+                        "source": batch["source"],
+                        "destination": batch["destination"],
+                        "type": pa.array([RelationshipType.UNTYPED_PARENT.value] * n, pa.string()),
+                        "id": batch["rel_id"],
+                        "hop": batch["hop"],
+                    }
+                )
+
+            _safe_write(
+                edges.map_batches(_finish_edge, batch_format="pyarrow"),
+                os.path.join(hop_dir, "edges.parquet"),
+                EDGE_SCHEMA,
+            )
+
+            # 3c. frontier candidates → not (visited ∪ processing) → distinct
+            cands = records.map_batches(_rec_filter("cand"), batch_format="pyarrow").select_columns(
+                ["cand_id", "hop"]
+            )
+            cands = cands.map_batches(
+                MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
+            )
+            cands = distinct(cands, ["cand_id"], cfg.num_buckets)
+
+            def _finish_frontier(batch: pa.Table) -> pa.Table:
+                n = len(batch)
+                return pa.table(
+                    {
+                        "id": batch["cand_id"],
+                        "priority": pa.array(np.full(n, hop + 1, dtype=np.int64)),
+                        "hop": pa.array(np.full(n, hop + 1, dtype=np.int32)),
+                    },
+                    schema=FRONTIER_SCHEMA,
+                )
+
+            _safe_write(
+                cands.map_batches(_finish_frontier, batch_format="pyarrow"),
+                os.path.join(hop_dir, "frontier.parquet"),
+                FRONTIER_SCHEMA,
+            )
+
+            # 4. hop-boundary membership mutation + metrics + LOG
+            self._register_from_parquet(os.path.join(hop_dir, "vertices.parquet"), VISITED, "id")
+            eds = ray.data.read_parquet(
+                os.path.join(hop_dir, "edges.parquet"), columns=["source", "destination"]
+            )
+            eds.map_batches(_edge_key, batch_format="pyarrow").map_batches(
+                MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
+            ).sum("n")
+
+            counts = self._classify_edges(result.hops_run + [hop])
+            n_vertices = sum(s[VISITED]["exact_size"] or s[VISITED]["cuckoo_count"] for s in self.sm.stats() if VISITED in s)
+            n_frontier = ray.data.read_parquet(os.path.join(hop_dir, "frontier.parquet")).count()
+            lineage = {
+                "hop": hop,
+                "fetch": ray.get(self.metrics.reset_counters.remote()),
+                "shards": self.sm.stats(),
+            }
+            with open(os.path.join(hop_dir, "lineage.json"), "w") as f:
+                json.dump(lineage, f, indent=1, default=str)
+            row = {
+                "iteration": hop,
+                "duration": time.time() - t0,
+                "vertices": int(n_vertices),
+                "frontier": int(n_frontier),
+                "edges": counts["within"],
+                "spanning_edges": counts["spanning"],
+                "frontier_edges": counts["frontier"],
+            }
+            log.append(row)
+            # log.json written LAST == hop-complete marker (atomic-ish)
+            tmp = os.path.join(hop_dir, ".log.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(row, f)
+            os.replace(tmp, os.path.join(hop_dir, "log.json"))
+
+            result.hops_run.append(hop)
+            frontier = ray.data.read_parquet(os.path.join(hop_dir, "frontier.parquet"))
+
+        result.log = log
+        return result
+
+    # -- edge classification (J1/A2: graph_memory_impl.py:106-120) ----
+    def _classify_edges(self, hops: list[int]) -> dict:
+        paths = [os.path.join(self._hop_dir(h), "edges.parquet") for h in hops]
+        paths = _expand_parquet([p for p in paths if os.path.exists(p)])
+        if not paths:
+            return {"within": 0, "spanning": 0, "frontier": 0}
+        ds = ray.data.read_parquet(paths, columns=["source", "destination"])
+        sm = self.sm
+
+        def classify(batch: pa.Table) -> pa.Table:
+            src_in = sm.contains(VISITED, batch["source"].to_numpy(zero_copy_only=False))
+            dst_in = sm.contains(VISITED, batch["destination"].to_numpy(zero_copy_only=False))
+            within = int((src_in & dst_in).sum())
+            frontier = int((~src_in & ~dst_in).sum())
+            return pa.table(
+                {
+                    "within": pa.array([within], pa.int64()),
+                    "spanning": pa.array([len(batch) - within - frontier], pa.int64()),
+                    "frontier": pa.array([frontier], pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(classify, batch_format="pyarrow").sum(["within", "spanning", "frontier"])
+        if not agg:  # empty edge set → Dataset.sum returns None
+            return {"within": 0, "spanning": 0, "frontier": 0}
+        return {
+            "within": int(agg.get("sum(within)") or 0),
+            "spanning": int(agg.get("sum(spanning)") or 0),
+            "frontier": int(agg.get("sum(frontier)") or 0),
+        }
+
+
+def crawl(corpus: CorpusInfo, seeds: list[str], out_dir: str, config: CrawlConfig | None = None,
+          resume: bool = False) -> CrawlResult:
+    crawler = Crawler(corpus, out_dir, config)
+    try:
+        return crawler.crawl(seeds, resume=resume)
+    finally:
+        crawler.shutdown()

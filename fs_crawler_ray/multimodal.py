@@ -1,0 +1,137 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata,
+decode / feature-extract as actor-pool stages.
+
+The crawl's media spans (evidence persona URIs, persons.json
+``evidence[]``) reference binary payloads. At deployment scale those
+are image/audio bytes in a Lance ``binary`` column; in this container
+the decode libraries (PIL/torchaudio/ffmpeg) are NOT installed, so the
+decode step is a clearly-marked deterministic fake behind an
+import-try — the Ray-side plumbing (schema, small batch sizes for wide
+binary rows, actor-pool signature, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),   # image | audio | video
+        ("payload", pa.binary()),      # opaque bytes
+        ("payload_len", pa.int64()),
+    ]
+)
+
+
+def synthesize_media_payloads(media_refs: pd.DataFrame) -> pa.Table:
+    """Deterministic fake payloads for the media table (the sandbox's
+    stand-in for fetched binary blobs): bytes are a seeded function of
+    the media_ref, type cycles image/audio/video."""
+    types = ["image", "audio", "video"]
+    payloads, mtypes = [], []
+    for ref in media_refs["media_ref"]:
+        seed = int(hashlib.md5(ref.encode()).hexdigest()[:8], 16)
+        rng = np.random.RandomState(seed)
+        payloads.append(rng.bytes(64 + seed % 192))
+        mtypes.append(types[seed % 3])
+    return pa.table(
+        {
+            "doc_id": pa.array(media_refs["doc_id"].astype(str)),
+            "media_ref": pa.array(media_refs["media_ref"].astype(str)),
+            "media_type": pa.array(mtypes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature stage. Real libraries are gated behind
+    import-try; without them the features are a deterministic fake
+    (byte-level stats) so the pipeline shape is exercised end-to-end.
+
+    Use small batch sizes for wide binary rows (batch × concurrency
+    must fit worker heaps) — callers pass ``batch_size<=256``.
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (64, 64)):
+        self.target_size = target_size
+        try:  # pragma: no cover - not installed in this container
+            import PIL.Image  # noqa: F401
+
+            self.pil = True
+        except ImportError:
+            self.pil = False
+
+    def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        raise NotImplementedError(
+            "real decode requires PIL/torchaudio/ffmpeg — not available in this container"
+        )
+
+    def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, widths = [], []
+        for payload, mtype in zip(batch["payload"].to_pylist(), batch["media_type"].to_pylist()):
+            if self.pil:
+                arr = self._decode_real(payload, mtype)
+            else:
+                arr = self._decode_fake(payload, mtype)
+            feats.append(
+                [
+                    round(float(arr.mean()), 4),
+                    round(float(arr.std()), 4),
+                    float(len(arr)),
+                    round(float(arr.min()), 4),
+                    round(float(arr.max()), 4),
+                ]
+            )
+            widths.append(len(arr))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "media_type": batch["media_type"],
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+                "decoded_len": pa.array(widths, pa.int64()),
+            }
+        )
+
+
+def decode_media(
+    media: ray.data.Dataset, concurrency: int = 4, batch_size: int = 128
+) -> ray.data.Dataset:
+    return media.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: binary rows are wide
+        concurrency=(1, concurrency),
+    )
+
+
+def media_feature_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end: corpus media spans → synthetic payload table →
+    actor-pool decode → features. (rows-only check; decode is the
+    deterministic fake in this container)."""
+    from fs_crawler_ray.pipelines.crawl_queries import span_media
+
+    refs = span_media(sf_dir)
+    if len(refs) == 0:
+        return pd.DataFrame({"doc_id": [], "media_ref": [], "media_type": [], "decoded_len": []})
+    payloads = synthesize_media_payloads(refs)
+    ds = ray.data.from_arrow(payloads)
+    out = decode_media(ds).to_pandas()
+    return out[["doc_id", "media_ref", "media_type", "decoded_len"]].sort_values(
+        ["doc_id", "media_ref"]
+    ).reset_index(drop=True)

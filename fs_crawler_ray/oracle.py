@@ -167,6 +167,68 @@ def oracle_resolution(result: OracleResult) -> dict[str, str]:
     return out
 
 
+def oracle_validate(
+    vertices: list[dict],
+    edges: list[dict],
+    frontier_ids: set[str],
+) -> dict:
+    """Single-pass validator oracle (graph_validator.py:40-164 semantics):
+    returns the counter set the Ray validator must reproduce."""
+    gender_map = {v["id"]: v["color"] for v in vertices}
+    val_counts: dict[str, list[int]] = {}
+    res_counts: dict[str, list[int]] = {}
+    unknown = set()
+    for e in edges:
+        parent = e["destination"]
+        if parent in gender_map:
+            g = gender_map[parent]  # -1/0/1 → list index -1/0/1 like the reference
+            if e["type"] in ("BiologicalParent", "UnspecifiedParentType"):
+                val_counts.setdefault(e["source"], [0, 0, 0])[g] += 1
+            if e["type"] == "UntypedParent":
+                res_counts.setdefault(e["source"], [0, 0, 0])[g] += 1
+        elif parent not in frontier_ids:
+            unknown.add(parent)
+    invalid = {}
+    no_rel = 0
+    max_father = max_mother = 0
+    for child, v in val_counts.items():
+        male, female, unk = v[-1], v[1], v[0]
+        total = male + female + unk
+        if total > 2:
+            if male > 1:
+                max_father = max(max_father, male)
+            if female > 1:
+                max_mother = max(max_mother, female)
+            if male > 1 and female > 1 and unk > 1:
+                cat = "male_female_unknown"
+            elif female > 1 and unk > 1:
+                cat = "female_unknown"
+            elif male > 1 and unk > 1:
+                cat = "male_unknown"
+            elif male > 1 and female > 1:
+                cat = "male_female"
+            elif male > 1:
+                cat = "father"
+            elif female > 1:
+                cat = "mother"
+            else:
+                cat = "unknown"
+            invalid[child] = cat
+        if total == 0:
+            no_rel += 1
+            invalid[child] = "no_rel"
+    resolution = {c for c, v in res_counts.items() if v[0] > 1 or v[1] > 1 or v[-1] > 1}
+    return {
+        "child_count": len(val_counts) + len(res_counts),
+        "unknown_vertex_count": len(unknown),
+        "invalid": invalid,
+        "no_rel_count": no_rel,
+        "max_father": max_father,
+        "max_mother": max_mother,
+        "resolution_src": resolution,
+    }
+
+
 def oracle_resolve_fetch(
     result: OracleResult,
     classification: dict[str, str],

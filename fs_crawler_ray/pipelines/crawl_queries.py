@@ -1,0 +1,197 @@
+"""Crawl-engine queries over the deterministic synthetic corpus, shaped
+for the driver's DuckDB cross-check.
+
+The corpus for a given ``sf_dir`` is derived deterministically
+(:func:`fs_crawler_ray.corpus.corpus_for_sf`, seeded, sized from the
+sf's documents row count) and the crawl itself is cached on disk under
+the corpus dir, so repeated query invocations reattach instead of
+re-crawling. The matching oracle SQL (see ``__ray_entry__``) recomputes
+the same BFS with a recursive CTE over the same parquet files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from fs_crawler_ray.corpus import CorpusInfo, corpus_for_sf
+from fs_crawler_ray.crawl import CrawlConfig, CrawlResult, crawl
+from fs_crawler_ray.stages.export import build_csr, vertex_key
+from fs_crawler_ray.stages.resolve import (
+    candidate_relationships,
+    classify_resolution,
+    resolve_relationships,
+)
+from fs_crawler_ray.stages.validate import birth_year_from_lifespan, validate
+
+CRAWL_HOPS = 5
+
+
+def corpus_and_crawl(sf_dir: str) -> tuple[CorpusInfo, CrawlResult]:
+    info = corpus_for_sf(sf_dir)
+    out_dir = os.path.join(info.out_dir, f"crawl_h{CRAWL_HOPS}")
+    try:
+        result = CrawlResult.load(out_dir)
+        if len(result.hops_run) >= CRAWL_HOPS:
+            return info, result
+    except FileNotFoundError:
+        pass
+    cfg = CrawlConfig(hops=CRAWL_HOPS, num_shards=8, num_buckets=32, fetch_concurrency=4)
+    return info, crawl(info, info.seeds, out_dir, cfg)
+
+
+def _resolved_edges(sf_dir: str) -> tuple[CorpusInfo, CrawlResult, ray.data.Dataset]:
+    info, result = corpus_and_crawl(sf_dir)
+    final = resolve_relationships(
+        result.edges(), result.vertices(), info.relationships_path,
+        num_partitions=8, num_buckets=32,
+    )
+    return info, result, final
+
+
+def crawl_vertices(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    return result.vertices().to_pandas()[
+        ["id", "color", "surname", "given_name", "iteration", "lifespan", "living"]
+    ]
+
+
+def crawl_edges(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    df = result.edges().to_pandas().rename(columns={"id": "rel_id"})
+    return df[["source", "destination", "rel_id", "hop"]]
+
+
+def crawl_frontier(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    return result.frontier().to_pandas()[["id"]]
+
+
+def crawl_log(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    return pd.DataFrame(result.log)[
+        ["iteration", "vertices", "frontier", "edges", "spanning_edges", "frontier_edges"]
+    ]
+
+
+def resolution_classification(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    cands = candidate_relationships(result.edges(), result.vertices(), 8)
+    return classify_resolution(cands, 32).to_pandas()[["rel_id", "rtype"]]
+
+
+def resolved_edge_types(sf_dir: str) -> pd.DataFrame:
+    _, _, final = _resolved_edges(sf_dir)
+    df = final.to_pandas().rename(columns={"type": "final_type"})
+    return df[["source", "destination", "final_type"]]
+
+
+def adjacency_triples(sf_dir: str) -> pd.DataFrame:
+    info, result, final = _resolved_edges(sf_dir)
+    rows, cols, vals = build_csr(result.vertices(), final.materialize(), hops=None,
+                                 num_partitions=8)
+    return pd.DataFrame({
+        "idx": np.arange(len(rows), dtype=np.int64),
+        "row": np.array(rows, dtype=np.int64),
+        "col": np.array(cols, dtype=np.int64),
+        "val": np.array(vals, dtype=np.int64),
+    })
+
+
+def vertex_key_table(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    return vertex_key(result.vertices()).to_pandas()[["position", "external_id", "designation"]]
+
+
+def hop_filtered_vertices(sf_dir: str, hops: int = 3) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    out = result.vertices().map_batches(
+        lambda t: t.filter(pc.less(t["iteration"], hops)), batch_format="pyarrow"
+    )
+    return out.to_pandas()[["id", "color", "iteration"]]
+
+
+def edge_classification_counts(sf_dir: str) -> pd.DataFrame:
+    """J1/A2 over the final graph: every edge × endpoint membership."""
+    _, result = corpus_and_crawl(sf_dir)
+    vert_ids = frozenset(r["id"] for r in result.vertices().select_columns(["id"]).take_all())
+    import ray as _ray
+
+    ref = _ray.put(vert_ids)
+
+    def classify(t: pa.Table) -> pa.Table:
+        ids = _ray.get(ref)
+        src_in = np.fromiter((s in ids for s in t["source"].to_pylist()), dtype=bool, count=len(t))
+        dst_in = np.fromiter((s in ids for s in t["destination"].to_pylist()), dtype=bool, count=len(t))
+        cat = np.select([src_in & dst_in, ~src_in & ~dst_in], ["within", "frontier"], "spanning")
+        return pa.table({"category": pa.array(cat.tolist(), pa.string())})
+
+    out = (
+        result.edges().map_batches(classify, batch_format="pyarrow")
+        .groupby("category").count().to_pandas()
+    )
+    return out.rename(columns={"count()": "n"})
+
+
+def lifespan_birth_years(sf_dir: str) -> pd.DataFrame:
+    _, result = corpus_and_crawl(sf_dir)
+    df = result.vertices().select_columns(["id", "lifespan"]).to_pandas()
+    df["birth_year"] = birth_year_from_lifespan(df["lifespan"].to_numpy())
+    return df[["id", "birth_year"]]
+
+
+def validator_children(sf_dir: str) -> pd.DataFrame:
+    """Per-child validation counts + invalid flag + category over the
+    resolved graph (A6)."""
+    _, result, final = _resolved_edges(sf_dir)
+    _, classified = validate(result.vertices(), final.materialize(), result.frontier(), 8)
+    df = classified.to_pandas()
+    out = df[["source", "vm", "vf", "vu", "rm", "rf", "ru"]].copy()
+    out["invalid"] = df["invalid"].astype(bool)
+    out["category"] = df["category"]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def span_vertices(sf_dir: str) -> pd.DataFrame:
+    """Pure span parse (no BFS): every document → vertex record."""
+    from fs_crawler_ray.stages.parse import parse_documents
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    rec = ds.map_batches(parse_documents, batch_format="pyarrow")
+    verts = rec.map_batches(
+        lambda t: t.filter(pc.equal(t["rec_kind"], "vertex")), batch_format="pyarrow"
+    )
+    return verts.to_pandas()[["id", "color", "surname", "given_name", "lifespan", "living"]]
+
+
+def span_edges(sf_dir: str) -> pd.DataFrame:
+    from fs_crawler_ray.stages.parse import parse_documents
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    rec = ds.map_batches(parse_documents, batch_format="pyarrow")
+    edges = rec.map_batches(
+        lambda t: t.filter(pc.equal(t["rec_kind"], "edge")), batch_format="pyarrow"
+    )
+    df = edges.to_pandas()
+    return df[["src_doc", "source", "destination", "rel_id", "offset"]].rename(
+        columns={"src_doc": "doc_id"}
+    )
+
+
+def span_media(sf_dir: str) -> pd.DataFrame:
+    from fs_crawler_ray.stages.parse import parse_documents
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    rec = ds.map_batches(parse_documents, batch_format="pyarrow")
+    media = rec.map_batches(
+        lambda t: t.filter(pc.equal(t["rec_kind"], "media")), batch_format="pyarrow"
+    )
+    return media.to_pandas()[["id", "media_ref", "offset"]].rename(columns={"id": "doc_id"})

@@ -1,0 +1,265 @@
+"""DuckDB oracle SQL builders for the crawl-engine queries.
+
+Each builder returns ANSI-ish DuckDB SQL that recomputes a Ray pipeline
+result directly from the corpus parquet files: the BFS is a recursive
+CTE over the span-derived mention graph, resolution/validation are
+window/group expressions, and the adjacency build is a ROW_NUMBER
+ordering — giving the driver an independent cross-check of the whole
+engine (not just per-operator parity).
+"""
+
+from __future__ import annotations
+
+
+def _base(docs: str, seeds: list[str], hops: int) -> str:
+    seed_vals = ", ".join(f"('{s}', 0)" for s in seeds)
+    return f"""
+WITH RECURSIVE spans AS (
+  SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS off
+  FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+),
+mentions AS (
+  SELECT doc_id AS src, split_part(text,'|',1) AS dst FROM spans WHERE kind='child_parent'
+  UNION ALL
+  SELECT doc_id, split_part(text,'|',2) FROM spans WHERE kind='child_parent'
+  UNION ALL
+  SELECT doc_id, text FROM spans WHERE kind='couple'
+),
+reach(id, hop) AS (
+  SELECT * FROM (VALUES {seed_vals}) v(id, hop)
+  UNION
+  SELECT m.dst, r.hop+1 FROM reach r JOIN mentions m ON m.src = r.id WHERE r.hop < {hops}
+),
+dist AS (SELECT id, MIN(hop) AS iteration FROM reach GROUP BY id),
+verts AS (SELECT id, iteration FROM dist WHERE iteration < {hops}),
+vfields AS (
+  SELECT s.doc_id AS id,
+         CAST(CASE arg_max(CASE WHEN kind='gender' THEN text END, CASE WHEN kind='gender' THEN off END)
+              WHEN 'Male' THEN -1 WHEN 'Female' THEN 1 ELSE 0 END AS BIGINT) AS color,
+         COALESCE(arg_max(CASE WHEN kind='name.surname' THEN text END, CASE WHEN kind='name.surname' THEN off END), '') AS surname,
+         COALESCE(arg_max(CASE WHEN kind='name.given' THEN text END, CASE WHEN kind='name.given' THEN off END), '') AS given_name,
+         COALESCE(arg_max(CASE WHEN kind='lifespan' THEN text END, CASE WHEN kind='lifespan' THEN off END), '') AS lifespan,
+         COALESCE(arg_max(CASE WHEN kind='living' THEN text END, CASE WHEN kind='living' THEN off END), '') = 'true' AS living
+  FROM spans s GROUP BY s.doc_id
+),
+edges_all AS (
+  SELECT v.iteration AS hop, s.doc_id,
+         split_part(s.text,'|',1) AS source, split_part(s.text,'|',2) AS destination,
+         split_part(s.text,'|',3) AS rel_id, s.off
+  FROM spans s JOIN verts v ON v.id = s.doc_id
+  WHERE s.kind = 'child_parent'
+),
+edges_dedup AS (
+  SELECT source, destination, rel_id, CAST(hop AS BIGINT) AS hop
+  FROM edges_all
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY source, destination ORDER BY hop, doc_id, off) = 1
+)
+"""
+
+
+def crawl_vertices(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT v.id, f.color, f.surname, f.given_name, CAST(v.iteration AS BIGINT) AS iteration,
+       f.lifespan, f.living
+FROM verts v JOIN vfields f ON f.id = v.id
+"""
+
+
+def crawl_edges(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT source, destination, rel_id, hop FROM edges_dedup
+"""
+
+
+def crawl_frontier(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + f"""
+SELECT id FROM dist WHERE iteration = {hops}
+"""
+
+
+def _classification_ctes() -> str:
+    return """
+, cand AS (
+  SELECT DISTINCT e.source, e.rel_id, f.color AS dest_color
+  FROM edges_dedup e
+  JOIN verts v1 ON v1.id = e.source
+  JOIN verts v2 ON v2.id = e.destination
+  JOIN vfields f ON f.id = e.destination
+),
+setsz AS (SELECT source, dest_color, COUNT(*) AS n FROM cand GROUP BY source, dest_color),
+tot AS (SELECT source, SUM(n) AS t FROM setsz GROUP BY source),
+classification AS (
+  SELECT DISTINCT c.rel_id,
+         CASE WHEN s.n = 1 AND t.t < 3 THEN 'AssumedBiological' ELSE 'Resolve' END AS rtype
+  FROM cand c
+  JOIN setsz s ON s.source = c.source AND s.dest_color = c.dest_color
+  JOIN tot t ON t.source = c.source
+)
+"""
+
+
+def resolution_classification(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + _classification_ctes() + """
+SELECT rel_id, rtype FROM classification
+"""
+
+
+def _resolved_ctes(rels: str) -> str:
+    return f"""
+, updates AS (
+  SELECT source, destination, new_type FROM (
+    SELECT r.child AS source, p.parent AS destination,
+           COALESCE(p.ptype, 'UnspecifiedParentType') AS new_type, r.rel_id
+    FROM read_parquet('{rels}') r
+    JOIN classification c ON c.rel_id = r.rel_id AND c.rtype = 'Resolve'
+    CROSS JOIN LATERAL (VALUES (r.parent1, r.parent1_type), (r.parent2, r.parent2_type)) p(parent, ptype)
+    WHERE p.parent IS NOT NULL AND r.child IS NOT NULL
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY source, destination ORDER BY rel_id DESC) = 1
+),
+resolved AS (
+  SELECT e.source, e.destination,
+         COALESCE(u.new_type, c.rtype, 'UntypedParent') AS final_type
+  FROM edges_dedup e
+  LEFT JOIN classification c ON c.rel_id = e.rel_id
+  LEFT JOIN updates u ON u.source = e.source AND u.destination = e.destination
+)
+"""
+
+
+def resolved_edge_types(docs: str, rels: str, seeds: list[str], hops: int) -> str:
+    return (_base(docs, seeds, hops) + _classification_ctes() + _resolved_ctes(rels) + """
+SELECT source, destination, final_type FROM resolved
+""")
+
+
+def adjacency_triples(docs: str, rels: str, seeds: list[str], hops: int) -> str:
+    return (_base(docs, seeds, hops) + _classification_ctes() + _resolved_ctes(rels) + """
+, pos AS (
+  SELECT v.id, f.color, ROW_NUMBER() OVER (ORDER BY v.iteration, v.id) AS p
+  FROM verts v JOIN vfields f ON f.id = v.id
+),
+entries AS (
+  SELECT p - 1 AS row, p - 1 AS col, color AS val, 0 AS diag FROM pos
+  UNION ALL
+  SELECT ps.p - 1, pd.p - 1, CASE WHEN pd.color = 1 THEN 3 ELSE 2 END, 1
+  FROM resolved r
+  JOIN pos ps ON ps.id = r.source
+  JOIN pos pd ON pd.id = r.destination
+  WHERE r.final_type IN ('AssumedBiological', 'UnspecifiedParentType', 'BiologicalParent')
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY row, diag, col) - 1 AS BIGINT) AS idx,
+       CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, CAST(val AS BIGINT) AS val
+FROM entries
+""")
+
+
+def vertex_key_table(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY v.iteration, v.id) - 1 AS BIGINT) AS position,
+       v.id AS external_id,
+       chr(39) || f.surname || chr(39) || ', ' || chr(39) || f.given_name || chr(39) AS designation
+FROM verts v JOIN vfields f ON f.id = v.id
+"""
+
+
+def hop_filtered_vertices(docs: str, seeds: list[str], hops: int, filter_hops: int) -> str:
+    return _base(docs, seeds, hops) + f"""
+SELECT v.id, f.color, CAST(v.iteration AS BIGINT) AS iteration
+FROM verts v JOIN vfields f ON f.id = v.id
+WHERE v.iteration < {filter_hops}
+"""
+
+
+def edge_classification_counts(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT CASE
+         WHEN vs.id IS NOT NULL AND vd.id IS NOT NULL THEN 'within'
+         WHEN vs.id IS NULL AND vd.id IS NULL THEN 'frontier'
+         ELSE 'spanning'
+       END AS category,
+       COUNT(*) AS n
+FROM edges_dedup e
+LEFT JOIN verts vs ON vs.id = e.source
+LEFT JOIN verts vd ON vd.id = e.destination
+GROUP BY 1
+"""
+
+
+def lifespan_birth_years(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT v.id,
+       CAST(CASE
+         WHEN strpos(f.lifespan, '-1') = 0 THEN (CASE WHEN f.lifespan = 'Living' THEN 3000 ELSE 0 END)
+         WHEN strpos(f.lifespan, '-1') = 1 THEN CAST(substr(f.lifespan, 2) AS BIGINT)
+         ELSE CAST(substr(f.lifespan, 1, strpos(f.lifespan, '-1') - 1) AS BIGINT)
+       END AS BIGINT) AS birth_year
+FROM verts v JOIN vfields f ON f.id = v.id
+"""
+
+
+def validator_children(docs: str, rels: str, seeds: list[str], hops: int) -> str:
+    return (_base(docs, seeds, hops) + _classification_ctes() + _resolved_ctes(rels) + """
+, per_child AS (
+  SELECT r.source,
+    CAST(COUNT(*) FILTER (WHERE r.final_type IN ('BiologicalParent','UnspecifiedParentType') AND f.color = -1) AS BIGINT) AS vm,
+    CAST(COUNT(*) FILTER (WHERE r.final_type IN ('BiologicalParent','UnspecifiedParentType') AND f.color = 1) AS BIGINT) AS vf,
+    CAST(COUNT(*) FILTER (WHERE r.final_type IN ('BiologicalParent','UnspecifiedParentType') AND f.color = 0) AS BIGINT) AS vu,
+    CAST(COUNT(*) FILTER (WHERE r.final_type = 'UntypedParent' AND f.color = -1) AS BIGINT) AS rm,
+    CAST(COUNT(*) FILTER (WHERE r.final_type = 'UntypedParent' AND f.color = 1) AS BIGINT) AS rf,
+    CAST(COUNT(*) FILTER (WHERE r.final_type = 'UntypedParent' AND f.color = 0) AS BIGINT) AS ru,
+    CAST(COUNT(*) FILTER (WHERE r.final_type IN ('BiologicalParent','UnspecifiedParentType') AND f.color IS NOT NULL) AS BIGINT) AS v_any
+  FROM resolved r
+  LEFT JOIN verts v ON v.id = r.destination
+  LEFT JOIN vfields f ON f.id = v.id
+  GROUP BY r.source
+)
+SELECT source, vm, vf, vu, rm, rf, ru,
+  (v_any > 0 AND (vm + vf + vu > 2 OR vm + vf + vu = 0)) AS invalid,
+  CASE WHEN NOT (v_any > 0 AND vm + vf + vu > 2) THEN ''
+       WHEN vm > 1 AND vf > 1 AND vu > 1 THEN 'male_female_unknown'
+       WHEN vf > 1 AND vu > 1 THEN 'female_unknown'
+       WHEN vm > 1 AND vu > 1 THEN 'male_unknown'
+       WHEN vm > 1 AND vf > 1 THEN 'male_female'
+       WHEN vm > 1 THEN 'father'
+       WHEN vf > 1 THEN 'mother'
+       ELSE 'unknown'
+  END AS category
+FROM per_child
+""")
+
+
+def span_vertices(docs: str) -> str:
+    return f"""
+WITH spans AS (
+  SELECT doc_id, u.kind AS kind, u.text AS text, u."offset" AS off
+  FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+)
+SELECT doc_id AS id,
+       CAST(CASE arg_max(CASE WHEN kind='gender' THEN text END, CASE WHEN kind='gender' THEN off END)
+            WHEN 'Male' THEN -1 WHEN 'Female' THEN 1 ELSE 0 END AS BIGINT) AS color,
+       COALESCE(arg_max(CASE WHEN kind='name.surname' THEN text END, CASE WHEN kind='name.surname' THEN off END), '') AS surname,
+       COALESCE(arg_max(CASE WHEN kind='name.given' THEN text END, CASE WHEN kind='name.given' THEN off END), '') AS given_name,
+       COALESCE(arg_max(CASE WHEN kind='lifespan' THEN text END, CASE WHEN kind='lifespan' THEN off END), '') AS lifespan,
+       COALESCE(arg_max(CASE WHEN kind='living' THEN text END, CASE WHEN kind='living' THEN off END), '') = 'true' AS living
+FROM spans GROUP BY doc_id
+"""
+
+
+def span_edges(docs: str) -> str:
+    return f"""
+SELECT doc_id,
+       split_part(u.text,'|',1) AS source,
+       split_part(u.text,'|',2) AS destination,
+       split_part(u.text,'|',3) AS rel_id,
+       CAST(u."offset" AS BIGINT) AS "offset"
+FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+WHERE u.kind = 'child_parent'
+"""
+
+
+def span_media(docs: str) -> str:
+    return f"""
+SELECT doc_id, u.media_ref AS media_ref, CAST(u."offset" AS BIGINT) AS "offset"
+FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+WHERE u.kind = 'media'
+"""

@@ -1,0 +1,207 @@
+"""Relational operator pipelines over the testdata star schema.
+
+These exercise the engine's generic operator library (filters,
+broadcast + shuffle joins, semi/anti joins, pre-aggregated groupbys,
+keep-first dedup, distinct, top-k, union, windowed-by-time buckets) and
+are each paired with a DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Conventions: every computed column is explicitly named to match the
+oracle SQL; money sums are rounded to 2dp on both sides so the
+order-insensitive value hash is stable under floating-point
+reassociation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from fs_crawler_ray.relops import (
+    broadcast_lookup_join,
+    dedup_keep_first,
+    distinct,
+)
+
+
+def _t(sf_dir: str, name: str, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), **kw)
+
+
+def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(2)
+    return df
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with per-batch pre-aggregation
+    (partial sums per key inside map_batches, then a tiny groupby)."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_shipdate"])
+
+    cutoff = pd.Timestamp("1998-09-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] < cutoff]
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return _round2(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast dimension join (customer → orders) + grouped aggregate."""
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_lookup_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_value"))
+        .to_pandas()
+    )
+    return _round2(out, ["total_value"])
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join: customers with no high-value order (J6 frontier-hygiene
+    analog — anti joins against a filtered, deduped key set)."""
+    import pyarrow.compute as _pc
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    okeys = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(_pc.greater(t["o_totalprice"], 250000.0)), batch_format="pyarrow"
+    ).select_columns(["o_custkey"])
+    from fs_crawler_ray.relops import semi_anti_join
+
+    out = semi_anti_join(cust, distinct(okeys, ["o_custkey"], 16),
+                         on="c_custkey", right_on="o_custkey", anti=True)
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64), "c_name": pd.Series(dtype=str)})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_top_customers(sf_dir: str, k: int = 10):
+    """Grouped sum + global top-k (sort/limit)."""
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    totals = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    )
+    top = totals.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k).to_pandas()
+    return _round2(top, ["total_spent"])
+
+
+def q_nation_region(sf_dir: str):
+    """Small-dim chain join + count (nation ⨝ region)."""
+    nation = _t(sf_dir, "nation")
+    region = _t(sf_dir, "region").to_pandas()
+    j = broadcast_lookup_join(nation, region, on="n_regionkey", right_on="r_regionkey")
+    return (
+        j.groupby("r_name").aggregate(Count(alias_name="n_nations")).to_pandas()
+    )
+
+
+def q_events_dedup_first(sf_dir: str):
+    """Keep-first dedup: earliest event per (user_id, event_type)
+    (the crawl's D1/D3 dedup semantics on a generic table)."""
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"], 32).to_pandas()
+    out = out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    out["value"] = out["value"].round(2)
+    return out[["user_id", "event_type", "event_id", "value"]]
+
+
+def q_events_hourly(sf_dir: str):
+    """Time-bucketed (tumbling window) aggregate per user."""
+    ev = _t(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        return df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    out = (
+        ev.map_batches(bucket, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _round2(out, ["sum_value"])
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Filtered grouped aggregate with max (M + A operators)."""
+    part = _t(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+    big = part.map_batches(lambda t: t.filter(pc.greater(t["p_size"], 10)), batch_format="pyarrow")
+    out = big.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Max("p_size", alias_name="max_size"),
+        Sum("p_retailprice", alias_name="sum_price"),
+    ).to_pandas()
+    return _round2(out, ["sum_price"])
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Distinct over a join result (D-family)."""
+    cust = _t(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
+    return distinct(cust, ["c_mktsegment", "c_nationkey"], 16).to_pandas().sort_values(
+        ["c_mktsegment", "c_nationkey"]
+    ).reset_index(drop=True)
+
+
+def q_union_orders(sf_dir: str):
+    """Union of two filtered subsets + distinct (D5 union semantics)."""
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    a = orders.map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)),
+                           batch_format="pyarrow")
+    b = orders.map_batches(lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+                           batch_format="pyarrow")
+    u = distinct(a.union(b), ["o_orderkey"], 16)
+    out = u.select_columns(["o_orderkey", "o_orderpriority"]).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Large-large shuffle hash join (Dataset.join) + aggregate:
+    revenue per order status."""
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", r).select(["l_orderkey", "revenue"])
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    out = j.groupby("o_orderstatus").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
+    ).to_pandas()
+    return _round2(out, ["revenue"])

@@ -1,0 +1,175 @@
+"""Generic, scale-aware relational operators over ``ray.data.Dataset``.
+
+These are the reusable building blocks the crawl engine and the
+``queries()`` surface share. Design rules (SURVEY §4):
+
+- dedup/distinct shuffle by a HASH BUCKET of the key, not the raw key:
+  ``groupby(bucket).map_groups`` gives one map_groups call per bucket
+  (``num_buckets`` ≈ a few × cores, scales with cluster size), and the
+  per-bucket body is vectorized pandas — avoiding one Python call per
+  distinct key;
+- small-side joins broadcast via ``ray.put`` and merge inside
+  ``map_batches`` (no shuffle);
+- pre-aggregation happens inside ``map_batches`` before any groupby.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from fs_crawler_ray.ids import stable_hash64
+
+_BUCKET_COL = "__bucket"
+
+
+def _add_bucket(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int) -> ray.data.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, c in enumerate(key_cols):
+                h = h * np.uint64(0x9E3779B97F4A7C15) + stable_hash64(batch[c], seed=31 + i)
+        return batch.append_column(_BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def dedup_keep_first(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact dedup keeping, per key, the row with the smallest
+    ``order_cols`` tuple (deterministic keep-first — the distributed
+    analog of the reference's first-insert-wins dedup,
+    ``graph_memory_impl.py:69-73`` / ``graph_db_impl.py:140-149``)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
+
+    return _add_bucket(ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64) -> ray.data.Dataset:
+    """Distinct rows by key (any representative, deterministic by full
+    row sort within bucket)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(g.columns), kind="stable")
+        return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
+
+    return _add_bucket(ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def broadcast_semi_join(
+    ds: ray.data.Dataset,
+    keys: Iterable[str] | np.ndarray,
+    column: str,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi/anti join against a small key set: ``ray.put`` the set once,
+    filter inside map_batches (no shuffle). For key sets too big to
+    broadcast use the membership shard actors instead
+    (:class:`fs_crawler_ray.crawl.MembershipFilter`)."""
+    ref = ray.put(frozenset(keys))
+
+    class Filt:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[column].to_numpy(zero_copy_only=False)
+            mask = np.fromiter((v in self.keys for v in vals), dtype=bool, count=len(vals))
+            return batch.filter(pa.array(~mask if anti else mask))
+
+    return ds.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def broadcast_lookup_join(
+    ds: ray.data.Dataset,
+    lookup_df: pd.DataFrame,
+    on: str,
+    right_on: str | None = None,
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Broadcast hash join with a small dimension table: the table is put
+    in the object store once and merged per batch (SURVEY §2.4 J2/J3/J5
+    small-side pattern)."""
+    ref = ray.put(lookup_df)
+    r_on = right_on or on
+
+    class Join:
+        def __init__(self):
+            self.small: pd.DataFrame = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, how=how, left_on=on, right_on=r_on)
+
+    return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
+
+
+#: Right sides at or below this row count are broadcast instead of
+#: shuffle-joined — faster, and it sidesteps a Ray 2.49 Dataset.join
+#: failure when a hash partition of the right side is empty (pyarrow
+#: acero receives a schema-less empty table).
+BROADCAST_LIMIT = 2_000_000
+
+
+def semi_anti_join(
+    ds: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    anti: bool = False,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Semi/anti join, broadcasting the right key set when it is small
+    (the common case for filter sets like invalid children, frontier
+    ids), shuffle-joining otherwise."""
+    n = right.count()
+    if n <= BROADCAST_LIMIT:
+        keys = [r[right_on] for r in right.select_columns([right_on]).take_all()]
+        if not keys:
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow") if not anti else ds
+        return broadcast_semi_join(ds, keys, on, anti=anti)
+    return ds.join(
+        right.select_columns([right_on]),
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
+def lookup_join(
+    ds: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hash join that broadcasts a small right side (pandas merge per
+    batch) and falls back to Dataset.join for large ones."""
+    n = right.count()
+    if n <= BROADCAST_LIMIT:
+        rdf = right.to_pandas()
+        out = broadcast_lookup_join(ds, rdf, on=on, right_on=right_on, how="left" if how != "inner" else "inner")
+        return out
+    return ds.join(right, join_type="inner" if how == "inner" else "left_outer",
+                   num_partitions=num_partitions, on=(on,), right_on=(right_on,))
+
+
+def count_rows(ds: ray.data.Dataset) -> int:
+    return ds.count()

@@ -1,0 +1,212 @@
+"""Graph export: hop filtering, canonical numbering, CSR adjacency build
+(SURVEY §2 S9, J3, M11, M12, O2–O4, ST4).
+
+Re-creates ``fscrawler/util/db_reader.py`` semantics Ray-Data-first:
+
+- hop filter (M11, ``db_reader.py:70-155``): ``iteration < hops`` on
+  vertices; edges keep only rows whose BOTH endpoints survive;
+- edge-type filter (M12, ``db_reader.py:15,25,41``): only
+  {AssumedBiological, UnspecifiedParentType, BiologicalParent};
+- numbering (J3, ``db_reader.py:8-50``): string ids → dense 1-based
+  positions. The reference uses SQLite ROWID (insertion order) composed
+  with an optional ORDERING permutation; here the canonical insertion
+  order is ``(iteration, id)`` (the crawl's deterministic visit order)
+  and a custom ordering can be supplied. Implemented as a distributed
+  zip-with-index: global sort → per-block offsets → index column
+  (raw block refs — the one place the Dataset API can't express the
+  semantics);
+- CSR triple assembly (O4/ST4, ``db_reader.py:341-380`` merge-interleave
+  + the golden builder ``tests/util/test_db_reader.py:6-53``): the
+  streaming vertex/edge interleave is equivalent to emitting
+  ``(row=pos-1, col=pos-1, val=color)`` diagonal entries and
+  ``(row=src-1, col=dst-1, val= 3 if dest_color==1 else 2)`` edge
+  entries, globally ordered by ``(row, diag-first, col)`` — which is how
+  we build it: a union + one distributed sort, sharded for scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from fs_crawler_ray.model import ADJACENCY_EDGE_TYPES
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return len(t)
+
+
+@ray.remote
+def _add_index(t: pa.Table, offset: int, col: str) -> pa.Table:
+    return t.append_column(col, pa.array(np.arange(offset, offset + len(t), dtype=np.int64)))
+
+
+def zip_with_index(
+    ds: ray.data.Dataset, sort_keys: list[str], index_col: str = "position", start: int = 1
+) -> ray.data.Dataset:
+    """Global sort + dense sequential index. Distributed: per-block row
+    counts → cumulative offsets → per-block index columns."""
+    sorted_ds = ds.sort(sort_keys)
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = start + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    out_refs = [_add_index.remote(r, int(off), index_col) for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def hop_filter_vertices(vertices: ray.data.Dataset, hops: int | None) -> ray.data.Dataset:
+    if hops is None:
+        return vertices
+    return vertices.map_batches(
+        lambda t: t.filter(pc.less(t["iteration"], hops)), batch_format="pyarrow"
+    )
+
+
+def compute_positions(
+    vertices: ray.data.Dataset,
+    hops: int | None = None,
+    order_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Vertex numbering table (id, color, position). Default order is the
+    canonical insertion order (iteration, id); pass ``order_cols=["id"]``
+    to number purely by id (the golden fixture's layout)."""
+    v = hop_filter_vertices(vertices, hops).select_columns(
+        list(dict.fromkeys(["id", "color"] + (order_cols or ["iteration", "id"])))
+    )
+    pos = zip_with_index(v, order_cols or ["iteration", "id"], "position")
+    return pos.select_columns(["id", "color", "position"])
+
+
+def adjacency_entries(
+    vertices: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    hops: int | None = None,
+    order_cols: list[str] | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """→ Dataset[row:int64, col:int64, val:int8, diag:int8] of CSR
+    triples (0-based), unsorted; sort/shard downstream."""
+    pos = compute_positions(vertices, hops, order_cols).materialize()
+
+    def vert_entries(t: pa.Table) -> pa.Table:
+        p = pc.subtract(t["position"], 1)
+        return pa.table(
+            {
+                "row": pc.cast(p, pa.int64()),
+                "col": pc.cast(p, pa.int64()),
+                "val": pc.cast(t["color"], pa.int8()),
+                "diag": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    diag = pos.map_batches(vert_entries, batch_format="pyarrow")
+
+    e = edges.map_batches(
+        lambda t: t.filter(pc.is_in(t["type"], value_set=pa.array(list(ADJACENCY_EDGE_TYPES)))),
+        batch_format="pyarrow",
+    ).select_columns(["source", "destination"])
+    # endpoint joins: inner joins drop edges outside the (hop-filtered)
+    # vertex set — the reference's double-join does the same (db_reader.py:20-27)
+    j1 = e.join(
+        pos.select_columns(["id", "position"]).rename_columns({"id": "__s", "position": "src_pos"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("source",),
+        right_on=("__s",),
+    )
+    j2 = j1.join(
+        pos.rename_columns({"id": "__d", "position": "dst_pos", "color": "dst_color"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("destination",),
+        right_on=("__d",),
+    )
+
+    def edge_entries(t: pa.Table) -> pa.Table:
+        val = np.where(t["dst_color"].to_numpy(zero_copy_only=False) == 1, 3, 2).astype(np.int8)
+        return pa.table(
+            {
+                "row": pc.cast(pc.subtract(t["src_pos"], 1), pa.int64()),
+                "col": pc.cast(pc.subtract(t["dst_pos"], 1), pa.int64()),
+                "val": pa.array(val),
+                "diag": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    return diag.union(j2.map_batches(edge_entries, batch_format="pyarrow"))
+
+
+def build_csr(
+    vertices: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    hops: int | None = None,
+    order_cols: list[str] | None = None,
+    num_partitions: int = 16,
+) -> tuple[list[int], list[int], list[int]]:
+    """Small-scale collector: full (rows, cols, vals) arrays in canonical
+    order — the exact layout of the reference's golden CSR test
+    (``tests/util/test_db_reader.py:62-70``). Use
+    :func:`write_adjacency_shards` at scale."""
+    ent = adjacency_entries(vertices, edges, hops, order_cols, num_partitions)
+    out = ent.sort(["row", "diag", "col"]).take_all()
+    return [r["row"] for r in out], [r["col"] for r in out], [r["val"] for r in out]
+
+
+def write_adjacency_shards(
+    vertices: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    out_path: str,
+    shard_size: int = 1 << 20,
+    hops: int | None = None,
+    order_cols: list[str] | None = None,
+    num_partitions: int = 16,
+) -> str:
+    """Scale path: canonical global sort, then hive-partitioned parquet
+    shards ``shard = row // shard_size`` — contiguous row ranges per
+    shard so a RedBlackGraph builder can consume shards independently
+    and a failed export run can skip completed shards."""
+    ent = adjacency_entries(vertices, edges, hops, order_cols, num_partitions)
+    ent = ent.sort(["row", "diag", "col"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.divide(t["row"], shard_size)
+        return t.append_column("shard", pc.cast(shard, pa.int32()))
+
+    ent.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        out_path, partition_cols=["shard"]
+    )
+    return out_path
+
+
+def vertex_key(
+    vertices: ray.data.Dataset,
+    hops: int | None = None,
+    order_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """position → (external id, "'surname', 'given'") designation
+    (``db_reader.py:318-339``)."""
+    v = hop_filter_vertices(vertices, hops).select_columns(
+        list(dict.fromkeys(["id", "surname", "given_name", "color"] + (order_cols or ["iteration", "id"])))
+    )
+    pos = zip_with_index(v, order_cols or ["iteration", "id"], "position")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        name = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(pa.scalar("'"), t["surname"], "', '", ""),
+            t["given_name"],
+            "'",
+            "",
+        )
+        return pa.table(
+            {
+                "position": pc.cast(pc.subtract(t["position"], 1), pa.int64()),
+                "external_id": t["id"],
+                "designation": name,
+            }
+        )
+
+    return pos.map_batches(fmt, batch_format="pyarrow")

@@ -1,0 +1,246 @@
+"""Lazy relationship resolution (SURVEY §2 J2 + A1 + M5 + J5 + M13).
+
+The reference's post-crawl pass (``fsapi.py:224-235``):
+
+1. candidates (J2): untyped edges whose BOTH endpoints are resolved
+   vertices, with the destination's gender
+   (``graph_db_impl.py:217-231`` double join, ORDER BY source);
+2. classification (A1, ``graph.py:188-224``): per (source, gender) the
+   set of DISTINCT rel ids; a rel is AssumedBiological iff its gender
+   set has size 1 and the source's total (sum of per-gender distinct
+   counts — a rel with two resolved parents counts once per gender) is
+   < 3; otherwise Resolve. Updates apply per rel_id
+   (``graph_db_impl.py:251-257``);
+3. resolve fetch (M5): distinct Resolve rel ids → relationship store →
+   per-(child,parent) fact types, default UnspecifiedParentType
+   (``fsapi.py:87-123``); errors/missing rels tolerated;
+4. rewrite split (M13, ``relationship_rewriter.py:8-12,44-58``):
+   final types in {UntypedParent, UnspecifiedParentType,
+   BiologicalParent} stay in the primary edges output, the rest move to
+   aux edges.
+
+Ray mapping: the per-source grouping shuffles by a HASH BUCKET of
+source (all rows of a source land in one bucket; vectorized pandas
+inside — no per-group Python call), classification/update application
+are distributed hash joins (``Dataset.join``), and the resolve fetch is
+an actor pool (``RelFetcher``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from fs_crawler_ray.model import PRIMARY_EDGE_TYPES, RelationshipType
+from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, distinct
+from fs_crawler_ray.stages.fetch import RelFetcher
+
+ASSUMED = RelationshipType.ASSUMED_BIOLOGICAL.value
+RESOLVE = RelationshipType.RESOLVE.value
+UNTYPED = RelationshipType.UNTYPED_PARENT.value
+UNSPECIFIED = RelationshipType.UNSPECIFIED_PARENT.value
+
+
+def candidate_relationships(
+    edges: ray.data.Dataset, vertices: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """J2: untyped edges ⨝ vertices(source) ⨝ vertices(destination→color)
+    → (source, rel_id, dest_color). Both joins are hash-partitioned
+    shuffle joins (both sides are graph-sized)."""
+    unt = edges.map_batches(
+        lambda t: t.filter(pc.equal(t["type"], UNTYPED)), batch_format="pyarrow"
+    ).select_columns(["source", "destination", "id"])
+    v_ids = vertices.select_columns(["id", "color"])
+    j1 = unt.join(
+        v_ids.rename_columns({"id": "__vs", "color": "__cs"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("source",),
+        right_on=("__vs",),
+    )
+    j2 = j1.join(
+        v_ids.rename_columns({"id": "__vd", "color": "dest_color"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("destination",),
+        right_on=("__vd",),
+    )
+    return j2.select_columns(["source", "id", "dest_color"]).rename_columns({"id": "rel_id"})
+
+
+def classify_resolution(candidates: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """A1 → Dataset[rel_id, rtype]. Vectorized within source-hash buckets."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["source", "rel_id", "dest_color"])
+        set_size = df.groupby(["source", "dest_color"])["rel_id"].transform("size")
+        total = df.groupby("source")["rel_id"].transform("size")
+        rtype = np.where((set_size == 1) & (total < 3), ASSUMED, RESOLVE)
+        out = pd.DataFrame({"rel_id": df["rel_id"], "rtype": rtype})
+        return out.drop_duplicates("rel_id")
+
+    return _add_bucket(candidates, ["source"], num_buckets).groupby(_BUCKET_COL).map_groups(
+        lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+    )
+
+
+#: Right sides at or below this row count are broadcast (ray.put + merge
+#: per batch) instead of shuffle-joined. Besides being faster for small
+#: sides, this sidesteps a Ray 2.49 Dataset.join failure when a hash
+#: partition of the right side is empty (pyarrow acero gets a
+#: schema-less empty table → "No match ... for key field reference").
+BROADCAST_LIMIT = 2_000_000
+
+
+def _left_join_type_override(
+    edges: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...],
+    value_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """edges ⟕ right; type := coalesce(right.value_col, type)."""
+    import ray as _ray
+
+    n = right.count()
+    if n == 0:
+        return edges
+    if n <= BROADCAST_LIMIT:
+        rdf = right.to_pandas()
+        ref = _ray.put(rdf)
+
+        class Merge:
+            def __init__(self):
+                self.small = _ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                m = df.merge(self.small, how="left", left_on=list(on), right_on=list(right_on))
+                m["type"] = m[value_col].where(m[value_col].notna(), m["type"])
+                return m.drop(columns=[c for c in set(right_on) | {value_col} if c in m.columns and c not in df.columns])
+
+        return edges.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+
+    j = edges.join(
+        right, join_type="left_outer", num_partitions=num_partitions, on=on, right_on=right_on
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        new_type = pc.coalesce(t[value_col], t["type"])
+        t = t.drop_columns([c for c in set(right_on) | {value_col} if c in t.column_names])
+        return t.set_column(t.column_names.index("type"), "type", new_type)
+
+    return j.map_batches(coalesce, batch_format="pyarrow")
+
+
+def apply_classification(
+    edges: ray.data.Dataset, classification: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Left join edges ⟕ classification on rel id; coalesce type."""
+    return _left_join_type_override(
+        edges, classification, ("id",), ("rel_id",), "rtype", num_partitions
+    )
+
+
+def fetch_resolve_updates(
+    classification: ray.data.Dataset,
+    relationships_path: str,
+    fetch_concurrency: int = 2,
+    metrics=None,
+) -> ray.data.Dataset:
+    """Distinct Resolve rel ids → relationship store → update rows
+    (source, destination, new_type)."""
+    to_resolve = classification.map_batches(
+        lambda t: t.filter(pc.equal(t["rtype"], RESOLVE)), batch_format="pyarrow"
+    ).select_columns(["rel_id"]).rename_columns({"rel_id": "id"})
+    rel_docs = to_resolve.map_batches(
+        RelFetcher,
+        fn_constructor_kwargs=dict(relationships_path=relationships_path, metrics=metrics),
+        batch_size=200,  # ≤200 concurrent relationship requests (fsapi.py:26)
+        concurrency=(1, fetch_concurrency),
+        batch_format="pyarrow",
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        srcs, dsts, types, rids = [], [], [], []
+        child = t["child"].to_pylist()
+        rel = t["rel_id"].to_pylist()
+        for pk, tk in (("parent1", "parent1_type"), ("parent2", "parent2_type")):
+            par = t[pk].to_pylist()
+            ptype = t[tk].to_pylist()
+            for c, p, ty, r in zip(child, par, ptype, rel):
+                if c is None or p is None:
+                    continue  # fsapi.py:108-110 warns and skips
+                srcs.append(c)
+                dsts.append(p)
+                types.append(ty if ty is not None else UNSPECIFIED)
+                rids.append(r)
+        return pa.table(
+            {
+                "__us": pa.array(srcs, pa.string()),
+                "__ud": pa.array(dsts, pa.string()),
+                "new_type": pa.array(types, pa.string()),
+                "__ur": pa.array(rids, pa.string()),
+            }
+        )
+
+    updates = rel_docs.map_batches(expand, batch_format="pyarrow")
+
+    # Two Resolve rels can cover the same (child, parent); the reference
+    # applies updates sequentially over rel ids in iteration order, so
+    # the LAST (max) rel_id wins (fsapi.py:224-235 loop order). Dedup
+    # here so the left join below cannot multiply edge rows.
+    def keep_max_rel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__ur", ascending=False, kind="stable")
+        return g.drop_duplicates(subset=["__us", "__ud"], keep="first")
+
+    from fs_crawler_ray.relops import _BUCKET_COL as _B, _add_bucket as _ab
+
+    return _ab(updates, ["__us", "__ud"], 32).groupby(_B).map_groups(
+        lambda g: keep_max_rel(g.drop(columns=[_B])), batch_format="pandas"
+    ).drop_columns(["__ur"])
+
+
+def apply_updates(
+    edges: ray.data.Dataset, updates: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Left join on (source, destination); coalesce type
+    (``update_relationship`` keyed by endpoints, ``fsapi.py:104-110``)."""
+    return _left_join_type_override(
+        edges, updates, ("source", "destination"), ("__us", "__ud"), "new_type", num_partitions
+    )
+
+
+def split_primary_aux(edges: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """M13: primary vs aux edge outputs (relationship_rewriter.py:8-12)."""
+    keep = list(PRIMARY_EDGE_TYPES)
+    primary = edges.map_batches(
+        lambda t: t.filter(pc.is_in(t["type"], value_set=pa.array(keep))), batch_format="pyarrow"
+    )
+    aux = edges.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["type"], value_set=pa.array(keep)))),
+        batch_format="pyarrow",
+    )
+    return primary, aux
+
+
+def resolve_relationships(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    relationships_path: str,
+    num_partitions: int = 16,
+    num_buckets: int = 64,
+    fetch_concurrency: int = 2,
+    metrics=None,
+) -> ray.data.Dataset:
+    """Full lazy-resolution pass → edges with final types."""
+    cands = candidate_relationships(edges, vertices, num_partitions)
+    classification = classify_resolution(cands, num_buckets).materialize()
+    typed = apply_classification(edges, classification, num_partitions)
+    updates = fetch_resolve_updates(
+        classification, relationships_path, fetch_concurrency, metrics
+    )
+    return apply_updates(typed, updates, num_partitions)

@@ -283,8 +283,13 @@ class ShardedMembership:
 
     @staticmethod
     def create(num_shards: int, capacity_per_shard: int = 1 << 16, mode: str = "exact") -> "ShardedMembership":
+        # num_cpus=0: the shards are lightweight, mostly-idle lookup
+        # servers; reserving CPU slots makes them invisible contenders
+        # against Ray Data's own resource accounting and can deadlock an
+        # actor-pool stage on a small cluster (observed: fetch pool +
+        # shard actors > num_cpus → pool never starts).
         actors = [
-            MembershipShard.options(num_cpus=0.25, max_concurrency=1).remote(capacity_per_shard, mode)
+            MembershipShard.options(num_cpus=0, max_concurrency=1).remote(capacity_per_shard, mode)
             for _ in range(num_shards)
         ]
         return ShardedMembership(actors=actors, num_shards=num_shards, mode=mode)

@@ -1,0 +1,57 @@
+import numpy as np
+import pytest
+import ray.data
+
+from fs_crawler_ray.ann import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    return ds, df
+
+
+def _np_topk(df, q, k):
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    s = m @ q.T
+    out = {}
+    for qi in range(q.shape[0]):
+        order = np.lexsort((df["vec_id"].to_numpy(), -s[:, qi]))
+        out[qi] = [int(df["vec_id"].to_numpy()[j]) for j in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy_oracle(emb):
+    ds, df = emb
+    q = np.stack(df["embedding"].head(3).to_numpy()).astype(np.float32)
+    got = brute_force_topk(ds, q, query_ids=[0, 1, 2], k=5, concurrency=2)
+    exp = _np_topk(df, q, 5)
+    for qi in range(3):
+        rows = got[got["query_id"] == qi].sort_values(["score", "vec_id"], ascending=[False, True])
+        assert rows["vec_id"].tolist() == exp[qi]
+        # self-similarity first
+        assert rows.iloc[0]["vec_id"] == df.iloc[qi]["vec_id"]
+        assert rows.iloc[0]["score"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_lsh_topk_recall(emb):
+    ds, df = emb
+    q = np.stack(df["embedding"].head(5).to_numpy()).astype(np.float32)
+    exact = brute_force_topk(ds, q, query_ids=list(range(5)), k=5, concurrency=2)
+    approx = lsh_topk(ds, q, query_ids=list(range(5)), k=5, n_bits=8, concurrency=2)
+    # recall of the approximate result vs exact top-5
+    hits = tot = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot > 0.3  # probe-1 LSH is approximate; self-match must survive
+    for qi in range(5):
+        a = approx[approx["query_id"] == qi]
+        assert int(df.iloc[qi]["vec_id"]) in set(a["vec_id"])

@@ -1,0 +1,165 @@
+"""Conformance: the Ray Data crawl must match the single-process oracle
+(reference-faithful semantics) on vertices, edges (incl. keep-first
+rel_id choice), frontier, visit order, seen set and LOG counts."""
+
+import json
+import os
+
+import pytest
+
+from fs_crawler_ray.crawl import CrawlConfig, Crawler, crawl
+from fs_crawler_ray.oracle import oracle_crawl
+from fs_crawler_ray.stages.fetch import PolitenessBudget
+from fs_crawler_ray.state.robots import RobotsPolicy
+
+HOPS = 4
+
+
+def _ray_tables(result):
+    verts = {r["id"]: r for r in result.vertices().take_all()}
+    edges = {(r["source"], r["destination"]): r for r in result.edges().take_all()}
+    frontier = {r["id"] for r in result.frontier().take_all()}
+    return verts, edges, frontier
+
+
+def _assert_match(result, oracle):
+    verts, edges, frontier = _ray_tables(result)
+    assert set(verts) == set(oracle.vertices)
+    for vid, ov in oracle.vertices.items():
+        rv = verts[vid]
+        for k in ("color", "surname", "given_name", "iteration", "lifespan", "living"):
+            assert rv[k] == ov[k], (vid, k, rv[k], ov[k])
+    assert set(edges) == set(oracle.edges)
+    for key, oe in oracle.edges.items():
+        re_ = edges[key]
+        assert re_["id"] == oe["id"], (key, re_["id"], oe["id"])  # keep-first rel_id
+        assert re_["hop"] == oe["hop"]
+        assert re_["type"] == oe["type"]
+    assert frontier == oracle.frontier
+    # LOG counts per hop
+    for row, orow in zip(result.log, oracle.log):
+        for k in ("iteration", "vertices", "frontier", "edges", "spanning_edges", "frontier_edges"):
+            assert row[k] == orow[k], (k, row[k], orow[k])
+
+
+@pytest.fixture(scope="module")
+def crawled(small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_out"))
+    cfg = CrawlConfig(hops=HOPS, num_shards=4, fetch_concurrency=2, num_buckets=8)
+    result = crawl(small_corpus, small_corpus.seeds, out, cfg)
+    oracle = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, HOPS)
+    return result, oracle
+
+
+def test_crawl_matches_oracle(crawled):
+    result, oracle = crawled
+    _assert_match(result, oracle)
+    assert len(oracle.vertices) > 20  # the crawl actually expanded
+
+
+def test_visit_order_matches_oracle(crawled):
+    """Canonical visit order = sorted processing ids per hop."""
+    result, oracle = crawled
+    oracle_by_hop = {}
+    for vid in oracle.visit_order:
+        oracle_by_hop.setdefault(oracle.vertices[vid]["iteration"], []).append(vid)
+    for hop in result.hops_run:
+        attempted = sorted(r["id"] for r in result.processing(hop).take_all())
+        fetched = [i for i in attempted if i in oracle.vertices and oracle.vertices[i]["iteration"] == hop]
+        assert fetched == oracle_by_hop.get(hop, [])
+
+
+def test_crawl_deterministic(small_corpus, tmp_path_factory, crawled):
+    result, _ = crawled
+    out2 = str(tmp_path_factory.mktemp("crawl_out2"))
+    cfg = CrawlConfig(hops=HOPS, num_shards=2, fetch_concurrency=3, num_buckets=4)
+    result2 = crawl(small_corpus, small_corpus.seeds, out2, cfg)
+    v1, e1, f1 = _ray_tables(result)
+    v2, e2, f2 = _ray_tables(result2)
+    assert v1 == v2
+    assert e1 == e2
+    assert f1 == f2
+
+
+def test_resume_is_identical(small_corpus, tmp_path_factory, crawled):
+    """Kill after hop 2, resume → byte-identical final tables."""
+    full, _ = crawled
+    out = str(tmp_path_factory.mktemp("crawl_resume"))
+    cfg2 = CrawlConfig(hops=2, num_shards=4, num_buckets=8)
+    crawl(small_corpus, small_corpus.seeds, out, cfg2)
+    # simulate a crash mid-hop-2: leave a partial hop dir without log.json
+    partial = os.path.join(out, "hop=2")
+    os.makedirs(os.path.join(partial, "vertices.parquet"), exist_ok=True)
+    cfg4 = CrawlConfig(hops=HOPS, num_shards=4, num_buckets=8)
+    resumed = Crawler(small_corpus, out, cfg4).crawl(small_corpus.seeds, resume=True)
+    assert resumed.hops_run == list(range(HOPS))
+    vf, ef, ff = _ray_tables(full)
+    vr, er, fr = _ray_tables(resumed)
+    assert vf == vr
+    assert ef == er
+    assert ff == fr
+    assert [r["vertices"] for r in resumed.log] == [r["vertices"] for r in full.log]
+
+
+def test_missing_docs_crawl(missing_doc_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_missing"))
+    cfg = CrawlConfig(hops=3, num_shards=2, num_buckets=4)
+    result = crawl(missing_doc_corpus, missing_doc_corpus.seeds, out, cfg)
+    oracle = oracle_crawl(missing_doc_corpus.documents_path, missing_doc_corpus.seeds, 3)
+    _assert_match(result, oracle)
+
+
+def test_robots_gating(small_corpus, tmp_path_factory):
+    robots = RobotsPolicy(n_hosts=64, disallow_every=5)
+    out = str(tmp_path_factory.mktemp("crawl_robots"))
+    cfg = CrawlConfig(hops=3, num_shards=2, num_buckets=4, robots=robots)
+    result = crawl(small_corpus, small_corpus.seeds, out, cfg)
+    oracle = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 3, robots=robots)
+    _assert_match(result, oracle)
+    # gating actually blocked something
+    lineage = json.load(open(os.path.join(out, "hop=1", "lineage.json")))
+    plain = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 3)
+    assert len(oracle.vertices) < len(plain.vertices)
+    assert lineage["fetch"].get("robots_blocked", 0) >= 0
+
+
+def test_invalid_seed_rejected(small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_bad"))
+    with pytest.raises(ValueError):
+        crawl(small_corpus, ["not-an-id"], out, CrawlConfig(hops=1))
+
+
+def test_crawl_past_exhaustion(small_corpus, tmp_path_factory):
+    """More hops than the forest depth → later hops are empty, no crash."""
+    out = str(tmp_path_factory.mktemp("crawl_deep"))
+    cfg = CrawlConfig(hops=25, num_shards=2, num_buckets=4)
+    result = crawl(small_corpus, small_corpus.seeds, out, cfg)
+    oracle = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 25)
+    verts, _, frontier = _ray_tables(result)
+    assert set(verts) == set(oracle.vertices)
+    assert frontier == oracle.frontier
+
+
+def test_politeness_token_bucket_waits():
+    """Unit: same host hit beyond the burst must wait ≈1/rate."""
+    import time
+
+    from fs_crawler_ray.stages.fetch import TokenBuckets
+
+    b = TokenBuckets(PolitenessBudget(rate_per_host=50.0, burst=1.0, n_hosts=4))
+    assert b.acquire(0, 1) == 0.0  # burst token
+    t0 = time.monotonic()
+    waited = b.acquire(0, 1)
+    assert waited > 0
+    assert time.monotonic() - t0 >= 0.015  # ≥ 1/50 s
+
+
+def test_politeness_budget_preserves_results(small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_polite"))
+    budget = PolitenessBudget(rate_per_host=200.0, burst=1.0, n_hosts=4)
+    cfg = CrawlConfig(hops=2, num_shards=2, num_buckets=4, fetch_concurrency=1,
+                      fetch_batch_size=20, politeness=budget)
+    result = crawl(small_corpus, small_corpus.seeds, out, cfg)
+    oracle = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 2)
+    verts, _, _ = _ray_tables(result)
+    assert set(verts) == set(oracle.vertices)  # politeness changes timing, not results

@@ -1,0 +1,113 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fs_crawler_ray.text import (
+    MinHasher,
+    analyze_text,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_verify,
+    simhash_fingerprints,
+    simhash_near_dups,
+    token_count,
+    _shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def _dup_docs():
+    base = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact dup of 1
+        {"doc_id": 3, "text": base + " with a tiny change"},   # near dup
+        {"doc_id": 4, "text": "completely different content about ray data pipelines and arrow tables"},
+        {"doc_id": 5, "text": base},                      # exact dup of 1
+    ]
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup_keeps_first():
+    out = exact_dedup(_dup_docs(), num_buckets=4).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4]
+
+
+def test_minhash_identical_signatures():
+    mh = MinHasher(num_perm=32)
+    s1 = mh.signature("hello world foo bar baz qux")
+    s2 = mh.signature("hello world foo bar baz qux")
+    s3 = mh.signature("totally different words entirely here now")
+    assert (s1 == s2).all()
+    assert (s1 != s3).any()
+
+
+def test_minhash_lsh_finds_near_dups():
+    cands = minhash_lsh_candidates(_dup_docs(), num_perm=32, bands=16, concurrency=2).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands}
+    assert (1, 2) in pairs and (1, 5) in pairs
+    verified = ngram_jaccard_verify(
+        minhash_lsh_candidates(_dup_docs(), num_perm=32, bands=16, concurrency=2),
+        _dup_docs(), threshold=0.99,
+    ).take_all()
+    vp = {(r["doc_a"], r["doc_b"]) for r in verified}
+    assert (1, 2) in vp and (1, 5) in vp and (2, 5) in vp
+    assert all(a != 4 and b != 4 for a, b in vp)
+
+
+def test_simhash_near_dups():
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_dup_docs()).take_all()}
+    assert fps[1] == fps[2] == fps[5]
+    assert fps[1] != fps[4]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(_dup_docs(), max_hamming=3).take_all()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+
+
+def test_shingles_short_text():
+    assert _shingles("one two", 3) == {"one two"}
+    assert _shingles("", 3) == set()
+
+
+def test_token_count_matches_duckdb(docs):
+    import duckdb
+
+    got = token_count(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+
+
+def test_analyze_text_features(docs):
+    out = analyze_text(docs, concurrency=2).to_pandas()
+    assert {"lang_guess", "n_tokens", "stop_ratio", "punct_ratio", "quality", "fingerprint"} <= set(out.columns)
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+    assert out["n_tokens"].sum() > 0
+    # deterministic across runs
+    out2 = analyze_text(docs, concurrency=2).to_pandas()
+    m1 = out.sort_values("doc_id")["fingerprint"].to_numpy()
+    m2 = out2.sort_values("doc_id")["fingerprint"].to_numpy()
+    assert (m1 == m2).all()
+
+
+def test_langid_english():
+    rows = pd.DataFrame([
+        {"doc_id": 1, "text": "the cat and the dog went to the park and it was good for them"},
+        {"doc_id": 2, "text": "der Hund und die Katze ist mit den Kindern zu Hause ein Tag"},
+        {"doc_id": 3, "text": "zzz qqq xxx"},
+    ])
+    out = analyze_text(ray.data.from_pandas(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_guess"] == "en"
+    assert out.loc[2, "lang_guess"] == "de"
+    assert out.loc[3, "lang_guess"] == "unknown"
