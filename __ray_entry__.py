@@ -103,6 +103,16 @@ def _ann_topk(sf_dir: str):
     return out[["query_id", "vec_id"]].astype({"query_id": np.int64, "vec_id": np.int64})
 
 
+def _embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.ann import embedding_near_dups
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dups(ds, threshold=0.42, exact=True)
+    return out[["vec_a", "vec_b"]].astype({"vec_a": np.int64, "vec_b": np.int64})
+
+
 def _media_features(sf_dir: str):
     from fs_crawler_ray.multimodal import media_feature_pipeline
 
@@ -130,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_vertices": cq.span_vertices,
         "span_edges": cq.span_edges,
         "span_media": cq.span_media,
+        "living_filtered_vertices": cq.living_filtered_vertices,
+        "primary_edges": cq.primary_edges,
+        "rels_to_resolve": cq.rels_to_resolve,
+        "max_iteration": cq.max_iteration,
+        "invalid_birth_decades": cq.invalid_birth_decades,
         # --- generic relational operators over testdata ---------------
         "q_pricing_summary": rel.q_pricing_summary,
         "q_orders_by_segment": rel.q_orders_by_segment,
@@ -149,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _docs_simhash,                         # rows-only
         "docs_analysis": _docs_analysis,                       # rows-only
         "ann_topk": _ann_topk,
+        "embedding_near_dups": _embedding_near_dups,
         "media_features": _media_features,                     # rows-only
     }
 
@@ -179,6 +195,11 @@ def oracle_sql() -> dict[str, str]:
         "span_vertices": osql.span_vertices(d),
         "span_edges": osql.span_edges(d),
         "span_media": osql.span_media(d),
+        "living_filtered_vertices": osql.living_filtered_vertices(d, s, h),
+        "primary_edges": osql.primary_edges(d, r, s, h),
+        "rels_to_resolve": osql.rels_to_resolve(d, s, h),
+        "max_iteration": osql.max_iteration(d, s, h),
+        "invalid_birth_decades": osql.invalid_birth_decades(d, r, s, h),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -251,6 +272,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_counts": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -34,7 +34,8 @@ def run_bench() -> dict:
     hops = int(os.environ.get("GRAFT_BENCH_HOPS", "8"))
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)  # keep stdout to exactly one JSON line
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -66,12 +67,13 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir)
     cfg = CrawlConfig(
         hops=hops,
-        num_shards=max(8, num_cpus // 2),
+        num_shards=8,
         membership_mode="probabilistic",
         shard_capacity=1 << 20,
         fetch_concurrency=max(4, num_cpus // 4),
         fetch_batch_size=200,
-        num_buckets=max(32, num_cpus * 2),
+        num_buckets=64,
+        log_edge_classification="final",
     )
     t0 = time.time()
     result = crawl(info, info.seeds, out_dir, cfg)
@@ -95,7 +97,7 @@ def run_bench() -> dict:
     t0 = time.time()
     final = resolve_relationships(
         result.edges(), result.vertices(), info.relationships_path,
-        num_partitions=max(8, num_cpus // 2), num_buckets=max(32, num_cpus * 2),
+        num_partitions=max(8, num_cpus // 2), num_buckets=64,
         fetch_concurrency=max(2, num_cpus // 8),
     ).materialize()
     queries["resolve"] = round(time.time() - t0, 3)
@@ -146,17 +148,33 @@ def run_bench() -> dict:
     }
 
 
+def _last_json(out: str) -> dict:
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON line in bench output:\n{out[-2000:]}")
+
+
+def _run_child(extra_env: dict | None = None) -> dict:
+    """Run the bench in a subprocess and swallow all of Ray's async
+    stdout noise (raylet warnings can land AFTER the JSON line)."""
+    env = dict(os.environ, **(extra_env or {}))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run"],
+        env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench child failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+    return _last_json(proc.stdout)
+
+
 def run_scaling() -> dict:
     lo, hi = 8, 32
     results = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+        results[n] = _run_child({"RAY_GRAFT_CPUS": str(n)})
     thr_lo = results[lo]["urls_per_sec"]
     thr_hi = results[hi]["urls_per_sec"]
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
@@ -178,5 +196,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--run" in sys.argv:
+        print(json.dumps(run_bench()))  # child mode: noisy stdout OK, parent extracts
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(_run_child()))

@@ -67,6 +67,69 @@ def brute_force_topk(
     return _topk_reduce(parts, k).reset_index(drop=True)
 
 
+def embedding_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    concurrency: int = 4,
+    exact: bool = False,
+) -> pd.DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold, vec_id_a < vec_id_b).
+
+    ``exact=True``: blocked all-pairs matmul (O(N²/B) — the verifiable
+    baseline; each batch scored against the full broadcast matrix).
+    ``exact=False``: candidates restricted to pairs sharing an LSH
+    bucket in ≥1 of ``n_tables`` hyperplane tables, then exact rerank —
+    the scale path (recall < 1 by design)."""
+    df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    ids = df["vec_id"].to_numpy()
+    mref = ray.put(m)
+    idref = ray.put(ids)
+
+    if exact:
+        bucket_ids = None
+    else:
+        sigs = []
+        for t in range(n_tables):
+            lsh = HyperplaneLSH(m.shape[1], n_bits, seed=9 + t)
+            sigs.append(lsh.signatures(m.astype(np.float32)))
+        bucket_ids = np.stack(sigs, axis=1)  # (N, T)
+    bref = ray.put(bucket_ids)
+
+    class Score:
+        def __init__(self):
+            self.m = ray.get(mref)
+            self.ids = ray.get(idref)
+            self.buckets = ray.get(bref)
+            self.pos = {v: i for i, v in enumerate(self.ids)}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = np.array([self.pos[v] for v in batch["vec_id"]])
+            scores = self.m[rows] @ self.m.T          # one matmul per batch
+            mask = scores >= threshold
+            mask &= self.ids[None, :] > self.ids[rows][:, None]  # each pair once, a < b
+            if self.buckets is not None:
+                same = (self.buckets[rows][:, None, :] == self.buckets[None, :, :]).any(axis=2)
+                mask &= same
+            ii, jj = np.nonzero(mask)
+            return pd.DataFrame({
+                "vec_a": self.ids[rows][ii],
+                "vec_b": self.ids[jj],
+                "cosine": np.round(scores[ii, jj], 6),
+            })
+
+    parts = ds.select_columns(["vec_id"]).map_batches(
+        Score, batch_format="pandas", batch_size=512, concurrency=(1, concurrency)
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                             "vec_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=np.float64)})
+    return parts.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: sign bits of x·H packed into an int."""
 

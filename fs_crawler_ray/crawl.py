@@ -44,10 +44,10 @@ import ray.data
 
 from fs_crawler_ray.corpus import CorpusInfo
 from fs_crawler_ray.ids import is_valid_pid
-from fs_crawler_ray.metrics import MetricsActor
 from fs_crawler_ray.model import EDGE_SCHEMA, FRONTIER_SCHEMA, VERTEX_SCHEMA, RelationshipType
 from fs_crawler_ray.relops import dedup_keep_first, distinct
-from fs_crawler_ray.stages.fetch import Fetcher, PolitenessBudget
+from fs_crawler_ray.stages.fetch import PolitenessBudget
+from fs_crawler_ray.state.fetch_service import FetchPool, FetchStage
 from fs_crawler_ray.stages.parse import parse_documents
 from fs_crawler_ray.state.membership import ShardedMembership
 from fs_crawler_ray.state.robots import RobotsPolicy
@@ -68,6 +68,17 @@ class CrawlConfig:
     num_buckets: int = 64                   # dedup shuffle buckets; scale with cluster
     politeness: PolitenessBudget | None = None
     robots: RobotsPolicy | None = None
+    #: per-hop LOG edge classification: "full" recomputes the
+    #: within/spanning/frontier counts every hop (reference
+    #: end_iteration semantics, O(hops × edges)); "final" only on the
+    #: last hop; "off" never. Conformance runs use "full"; bench "final".
+    log_edge_classification: str = "full"
+    #: priority-queue frontier: process at most this many ids per hop,
+    #: chosen by (priority, id) order; the remainder carries over to the
+    #: next hop's frontier. None = reference semantics (whole frontier
+    #: per superstep). This is the load-bounding extension the reference
+    #: lacks — at 10^10-URL scale hops MUST be budgeted.
+    frontier_budget: int | None = None
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -152,6 +163,60 @@ class MembershipAdd:
         return pa.table({"n": pa.array([len(keys)], pa.int64())})
 
 
+class FilterAndRegister:
+    """Fused stage: keep rows NOT in ``check_names``, register the kept
+    keys into ``register_name`` in the same pass. Both the contains and
+    the idempotent add are retry-safe, so fusing costs nothing."""
+
+    def __init__(self, sm: ShardedMembership, check_names: list[str], register_name: str, column: str):
+        self.sm = sm
+        self.check_names = check_names
+        self.register_name = register_name
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        present = self.sm.contains_any(self.check_names, keys)
+        kept = keys[~present]
+        if len(kept):
+            self.sm.add(self.register_name, kept)
+        return batch.filter(pa.array(~present))
+
+
+class RegisterPassthrough:
+    """Register a key column into a set; emit the batch unchanged
+    (fused into a write pipeline)."""
+
+    def __init__(self, sm: ShardedMembership, name: str, column: str):
+        self.sm = sm
+        self.name = name
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch):
+            self.sm.add(self.name, batch[self.column].to_numpy(zero_copy_only=False))
+        return batch
+
+
+class EdgeSeenFilter:
+    """Cross-hop edge dedup: drop keys already committed in earlier
+    hops; buffer this hop's new keys for a post-write commit
+    (``check_and_add_deferred`` — retry-safe, see membership.py)."""
+
+    def __init__(self, sm: ShardedMembership, column: str = "edge_key"):
+        self.sm = sm
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        present = self.sm.check_and_add_deferred(EDGES, keys)
+        return batch.filter(pa.array(~present))
+
+
 def _expand_parquet(paths: list[str]) -> list[str]:
     """ray.data.read_parquet does not expand directories when given a
     LIST of paths — glob the part files explicitly."""
@@ -211,14 +276,19 @@ class Crawler:
             capacity_per_shard=self.config.shard_capacity,
             mode=self.config.membership_mode,
         )
-        self.metrics = MetricsActor.remote()
+        self.pool = FetchPool(
+            corpus.documents_path,
+            size=self.config.fetch_concurrency,
+            politeness=self.config.politeness,
+            robots=self.config.robots,
+        )
 
     def shutdown(self) -> None:
         """Kill the state actors. Results remain fully readable — all
         state is reconstructable from the checkpoint (resume does so)."""
         for a in self.sm.actors:
             ray.kill(a)
-        ray.kill(self.metrics)
+        self.pool.shutdown()
 
     # -- checkpoint helpers -------------------------------------------
     def _hop_dir(self, hop: int) -> str:
@@ -238,12 +308,6 @@ class Crawler:
             json.dump({"seeds": seeds, "config": self.config.to_json(),
                        "corpus": self.corpus.documents_path}, f, indent=1)
 
-    def _register_from_parquet(self, path: str, set_name: str, column: str) -> None:
-        ds = ray.data.read_parquet(path, columns=[column])
-        ds.map_batches(
-            MembershipAdd(self.sm, set_name, column), batch_format="pyarrow", batch_size=8192
-        ).sum("n")
-
     # -- resume --------------------------------------------------------
     def _resume_state(self) -> tuple[int, ray.data.Dataset | None, list[dict]]:
         """Rebuild shard state from checkpointed tables (SURVEY §7.5:
@@ -255,12 +319,17 @@ class Crawler:
         for h in done:
             with open(os.path.join(self._hop_dir(h), "log.json")) as f:
                 log.append(json.load(f))
-            self._register_from_parquet(os.path.join(self._hop_dir(h), "vertices.parquet"), VISITED, "id")
-            edges_p = os.path.join(self._hop_dir(h), "edges.parquet")
-            ds = ray.data.read_parquet(edges_p, columns=["source", "destination"])
-            ds.map_batches(_edge_key, batch_format="pyarrow").map_batches(
-                MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
-            ).sum("n")
+        # batched filter-state rebuild: one pass over all hops' tables
+        v_paths = _expand_parquet([os.path.join(self._hop_dir(h), "vertices.parquet") for h in done])
+        ray.data.read_parquet(v_paths, columns=["id"]).map_batches(
+            MembershipAdd(self.sm, VISITED, "id"), batch_format="pyarrow", batch_size=8192
+        ).sum("n")
+        e_paths = _expand_parquet([os.path.join(self._hop_dir(h), "edges.parquet") for h in done])
+        ray.data.read_parquet(e_paths, columns=["source", "destination"]).map_batches(
+            _edge_key, batch_format="pyarrow"
+        ).map_batches(
+            MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
+        ).sum("n")
         last = done[-1]
         frontier = ray.data.read_parquet(os.path.join(self._hop_dir(last), "frontier.parquet"))
         return last + 1, frontier, log
@@ -303,54 +372,74 @@ class Crawler:
             os.makedirs(hop_dir)
             self.sm.clear(PROCESSING)
 
-            # 1. visited-filter → processing checkpoint → register
-            proc_path = os.path.join(hop_dir, "processing.parquet")
-            _safe_write(
-                frontier.map_batches(MembershipFilter(self.sm, [VISITED], "id"), batch_format="pyarrow"),
-                proc_path,
-                FRONTIER_SCHEMA,
-            )
-            if _parquet_rows(proc_path) > 0:
-                self._register_from_parquet(proc_path, PROCESSING, "id")
+            stage_t: dict[str, float] = {}
 
-            # 2. fetch (politeness + robots) → parse → per-hop records
+            def _mark(name: str, since: list[float]) -> None:
+                now = time.time()
+                stage_t[name] = round(now - since[0], 3)
+                since[0] = now
+
+            tick = [time.time()]
+
+            # 1. visited-filter + processing registration (fused) → checkpoint
+            proc_path = os.path.join(hop_dir, "processing.parquet")
+            eligible = frontier.map_batches(
+                FilterAndRegister(self.sm, [VISITED], PROCESSING, "id"),
+                batch_format="pyarrow",
+            )
+            remainder = None
+            if cfg.frontier_budget is not None:
+                # sharded priority queue: take the best `budget` ids by
+                # (priority, id); carry the rest to the next frontier.
+                # NOTE: FilterAndRegister registers ALL eligible ids into
+                # PROCESSING before the split, so deregister the tail by
+                # re-clearing and re-registering the head below.
+                ordered = eligible.sort(["priority", "id"]).materialize()
+                head, tail = ordered.split_at_indices([cfg.frontier_budget])
+                self.sm.clear(PROCESSING)
+                eligible = head.map_batches(
+                    RegisterPassthrough(self.sm, PROCESSING, "id"), batch_format="pyarrow"
+                )
+                remainder = tail
+            _safe_write(eligible, proc_path, FRONTIER_SCHEMA)
+            _mark("frontier_filter", tick)
+
+            # 2. fetch (persistent pool: politeness + robots) → parse
             records = (
                 ray.data.read_parquet(proc_path, columns=["id"])
                 .map_batches(
-                    Fetcher,
-                    fn_constructor_kwargs=dict(
-                        documents_path=self.corpus.documents_path,
-                        hop=hop,
-                        politeness=cfg.politeness,
-                        robots=cfg.robots,
-                        metrics=self.metrics,
-                    ),
+                    FetchStage(self.pool, hop),
                     batch_size=cfg.fetch_batch_size,
-                    # autoscaling pool: starts with 1 actor even when the
-                    # cluster is briefly CPU-tight (prevents pool-start
-                    # deadlock), grows to the politeness budget
-                    concurrency=(1, cfg.fetch_concurrency),
                     batch_format="pyarrow",
                 )
                 .map_batches(parse_documents, batch_format="pyarrow")
                 .materialize()
             )
+            _mark("fetch_parse", tick)
+            # shuffle width scaled to this hop's data: a few-hundred-row
+            # hop must not pay a 64-partition shuffle's fixed cost
+            n_records = records.count()
+            eff_buckets = int(max(2, min(cfg.num_buckets, n_records // 5000 + 1)))
 
-            # 3a. vertices
+            # 3a. vertices: write + register into visited in one pass
+            # (safe pre-candidate-filter: this hop's vertices ⊆ processing,
+            # which the candidate filter also checks)
             verts = records.map_batches(_rec_filter("vertex"), batch_format="pyarrow").select_columns(
                 ["id", "color", "surname", "given_name", "iteration", "lifespan", "living"]
-            )
+            ).map_batches(RegisterPassthrough(self.sm, VISITED, "id"), batch_format="pyarrow")
             _safe_write(verts, os.path.join(hop_dir, "vertices.parquet"), VERTEX_SCHEMA)
+            _mark("vertices", tick)
 
-            # 3b. edges: in-hop keep-first dedup, then cross-hop seen filter
+            # 3b. edges: in-hop keep-first dedup → cross-hop seen filter
+            # (deferred add, committed after the write below)
             edges = records.map_batches(_rec_filter("edge"), batch_format="pyarrow").select_columns(
                 ["source", "destination", "rel_id", "src_doc", "offset", "hop"]
             )
             edges = dedup_keep_first(
-                edges, ["source", "destination"], ["hop", "src_doc", "offset"], cfg.num_buckets
+                edges, ["source", "destination"], ["hop", "src_doc", "offset"], eff_buckets
             )
             edges = edges.map_batches(_edge_key, batch_format="pyarrow").map_batches(
-                MembershipFilter(self.sm, [EDGES], "edge_key"), batch_format="pyarrow"
+                EdgeSeenFilter(self.sm), batch_format="pyarrow"
             )
 
             def _finish_edge(batch: pa.Table) -> pa.Table:
@@ -370,6 +459,8 @@ class Crawler:
                 os.path.join(hop_dir, "edges.parquet"),
                 EDGE_SCHEMA,
             )
+            self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
+            _mark("edges", tick)
 
             # 3c. frontier candidates → not (visited ∪ processing) → distinct
             cands = records.map_batches(_rec_filter("cand"), batch_format="pyarrow").select_columns(
@@ -378,15 +469,30 @@ class Crawler:
             cands = cands.map_batches(
                 MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
             )
-            cands = distinct(cands, ["cand_id"], cfg.num_buckets)
+
+            def _cand_priority(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "cand_id": batch["cand_id"],
+                        "priority": pa.array(np.full(len(batch), hop + 1, dtype=np.int64)),
+                    }
+                )
+
+            cands = cands.map_batches(_cand_priority, batch_format="pyarrow")
+            if remainder is not None and remainder.count() > 0:
+                # unprocessed frontier carries over with its ORIGINAL
+                # priority; distinct-by-id keeps the smallest (id sorts
+                # first, then priority) representative per id
+                rem = remainder.select_columns(["id", "priority"]).rename_columns({"id": "cand_id"})
+                cands = cands.union(rem)
+            cands = distinct(cands, ["cand_id"], eff_buckets)
 
             def _finish_frontier(batch: pa.Table) -> pa.Table:
-                n = len(batch)
                 return pa.table(
                     {
                         "id": batch["cand_id"],
-                        "priority": pa.array(np.full(n, hop + 1, dtype=np.int64)),
-                        "hop": pa.array(np.full(n, hop + 1, dtype=np.int32)),
+                        "priority": batch["priority"],
+                        "hop": pc.cast(batch["priority"], pa.int32()),
                     },
                     schema=FRONTIER_SCHEMA,
                 )
@@ -396,23 +502,24 @@ class Crawler:
                 os.path.join(hop_dir, "frontier.parquet"),
                 FRONTIER_SCHEMA,
             )
+            _mark("frontier_out", tick)
 
-            # 4. hop-boundary membership mutation + metrics + LOG
-            self._register_from_parquet(os.path.join(hop_dir, "vertices.parquet"), VISITED, "id")
-            eds = ray.data.read_parquet(
-                os.path.join(hop_dir, "edges.parquet"), columns=["source", "destination"]
-            )
-            eds.map_batches(_edge_key, batch_format="pyarrow").map_batches(
-                MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
-            ).sum("n")
-
-            counts = self._classify_edges(result.hops_run + [hop])
+            # 4. metrics + LOG (membership already mutated in-pass above)
+            if cfg.log_edge_classification == "full" or (
+                cfg.log_edge_classification == "final" and hop == cfg.hops - 1
+            ):
+                counts = self._classify_edges(result.hops_run + [hop])
+            else:
+                counts = {"within": None, "spanning": None, "frontier": None}
             n_vertices = sum(s[VISITED]["exact_size"] or s[VISITED]["cuckoo_count"] for s in self.sm.stats() if VISITED in s)
-            n_frontier = ray.data.read_parquet(os.path.join(hop_dir, "frontier.parquet")).count()
+            n_frontier = _parquet_rows(os.path.join(hop_dir, "frontier.parquet"))
+            _mark("log_classify", tick)
             lineage = {
                 "hop": hop,
-                "fetch": ray.get(self.metrics.reset_counters.remote()),
+                "fetch": self.pool.reset(),
                 "shards": self.sm.stats(),
+                "stage_seconds": stage_t,
+                "records": n_records,
             }
             with open(os.path.join(hop_dir, "lineage.json"), "w") as f:
                 json.dump(lineage, f, indent=1, default=str)

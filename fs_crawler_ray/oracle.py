@@ -62,26 +62,37 @@ def oracle_crawl(
     seeds: list[str],
     hops: int,
     robots: RobotsPolicy | None = None,
+    frontier_budget: int | None = None,
 ) -> OracleResult:
     docs = load_docs(documents_path)
     res = OracleResult()
-    frontier: set[str] = set(seeds)
+    frontier: dict[str, int] = {s: 0 for s in seeds}  # id → priority (hop queued)
     visited: set[str] = set()
     individuals: dict[str, dict] = {}
 
     for hop in range(hops):
         # start_iteration (graph_memory_impl.py:75-87)
-        frontier -= individuals.keys()
+        for k in individuals:
+            frontier.pop(k, None)
         visited |= individuals.keys()
         individuals = {}
-        processing = frontier
-        frontier = set()
+        eligible = sorted(
+            ((p, i) for i, p in frontier.items() if i not in visited)
+        )
+        if frontier_budget is not None:
+            head, tail = eligible[:frontier_budget], eligible[frontier_budget:]
+        else:
+            head, tail = eligible, []
+        processing = {i for _, i in head}
+        remainder = {i: p for p, i in tail}
+        frontier = {}
 
         def add_to_frontier(fid: str) -> None:
             if fid not in visited and fid not in processing:
-                frontier.add(fid)
+                if fid not in frontier or frontier[fid] > hop + 1:
+                    frontier[fid] = hop + 1
 
-        to_fetch = sorted(i for i in processing if i not in visited)
+        to_fetch = [i for _, i in head]
         n_vertices_before = len(visited)
         for fid in to_fetch:
             if robots is not None and robots.blocked(fid):
@@ -119,6 +130,10 @@ def oracle_crawl(
             if fid not in visited and fid not in individuals:
                 individuals[fid] = rec
                 res.vertices[fid] = rec
+        # carry unprocessed remainder with its original priority
+        for i, p in remainder.items():
+            if i not in frontier or frontier[i] > p:
+                frontier[i] = p
         # end_iteration metrics (graph_memory_impl.py:89-120)
         members = visited | individuals.keys()
         within = spanning = front = 0
@@ -135,9 +150,10 @@ def oracle_crawl(
             "edges": within, "spanning_edges": spanning, "frontier_edges": front,
         })
 
-    frontier -= individuals.keys()
+    for k in individuals:
+        frontier.pop(k, None)
     visited |= individuals.keys()
-    res.frontier = frontier
+    res.frontier = set(frontier)
     res.visited = visited
     return res
 

@@ -157,6 +157,55 @@ def validator_children(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def living_filtered_vertices(sf_dir: str) -> pd.DataFrame:
+    """M10: drop living individuals from the vertex output (the
+    save_living flag gate, graph_writer.py:85-87)."""
+    _, result = corpus_and_crawl(sf_dir)
+    out = result.vertices().map_batches(
+        lambda t: t.filter(pc.equal(t["living"], False)), batch_format="pyarrow"
+    )
+    return out.to_pandas()[["id", "color", "iteration", "lifespan"]]
+
+
+def primary_edges(sf_dir: str) -> pd.DataFrame:
+    """M13: the primary edge output after the resolution rewrite split
+    (relationship_rewriter.py:8-12)."""
+    from fs_crawler_ray.stages.resolve import split_primary_aux
+
+    _, _, final = _resolved_edges(sf_dir)
+    primary, _aux = split_primary_aux(final.materialize())
+    df = primary.to_pandas().rename(columns={"type": "final_type"})
+    return df[["source", "destination", "final_type"]]
+
+
+def rels_to_resolve(sf_dir: str) -> pd.DataFrame:
+    """A4: distinct relationship ids flagged Resolve
+    (graph_db_impl.py:233-249)."""
+    df = resolution_classification(sf_dir)
+    out = df[df["rtype"] == "Resolve"][["rel_id"]].drop_duplicates().sort_values("rel_id")
+    return out.reset_index(drop=True)
+
+
+def max_iteration(sf_dir: str) -> pd.DataFrame:
+    """A5: MAX(iteration) over the crawled vertices (resume bookkeeping,
+    graph_db_impl.py:288)."""
+    _, result = corpus_and_crawl(sf_dir)
+    m = result.vertices().max("iteration")
+    return pd.DataFrame({"max_iteration": [int(m)]})
+
+
+def invalid_birth_decades(sf_dir: str) -> pd.DataFrame:
+    """A7: birth-decade histogram of invalid children
+    (graph_validator.py:156-159)."""
+    _, result, final = _resolved_edges(sf_dir)
+    stats, _ = validate(result.vertices(), final.materialize(), result.frontier(), 8)
+    h = stats.birth_decade_histogram
+    return pd.DataFrame(
+        {"decade": np.array(sorted(h), dtype=np.int64),
+         "n": np.array([h[k] for k in sorted(h)], dtype=np.int64)}
+    )
+
+
 def span_vertices(sf_dir: str) -> pd.DataFrame:
     """Pure span parse (no BFS): every document → vertex record."""
     from fs_crawler_ray.stages.parse import parse_documents

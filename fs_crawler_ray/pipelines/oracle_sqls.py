@@ -228,6 +228,62 @@ FROM per_child
 """)
 
 
+def living_filtered_vertices(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT v.id, f.color, CAST(v.iteration AS BIGINT) AS iteration, f.lifespan
+FROM verts v JOIN vfields f ON f.id = v.id
+WHERE NOT f.living
+"""
+
+
+def primary_edges(docs: str, rels: str, seeds: list[str], hops: int) -> str:
+    return (_base(docs, seeds, hops) + _classification_ctes() + _resolved_ctes(rels) + """
+SELECT source, destination, final_type FROM resolved
+WHERE final_type IN ('UntypedParent', 'UnspecifiedParentType', 'BiologicalParent')
+""")
+
+
+def rels_to_resolve(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + _classification_ctes() + """
+SELECT DISTINCT rel_id FROM classification WHERE rtype = 'Resolve' ORDER BY rel_id
+"""
+
+
+def max_iteration(docs: str, seeds: list[str], hops: int) -> str:
+    return _base(docs, seeds, hops) + """
+SELECT CAST(MAX(iteration) AS BIGINT) AS max_iteration FROM verts
+"""
+
+
+def invalid_birth_decades(docs: str, rels: str, seeds: list[str], hops: int) -> str:
+    return (_base(docs, seeds, hops) + _classification_ctes() + _resolved_ctes(rels) + """
+, per_child AS (
+  SELECT r.source,
+    COUNT(*) FILTER (WHERE r.final_type IN ('BiologicalParent','UnspecifiedParentType') AND f.color IS NOT NULL) AS v_any,
+    COUNT(*) FILTER (WHERE r.final_type IN ('BiologicalParent','UnspecifiedParentType') AND f.color IS NOT NULL) AS v_tot
+  FROM resolved r
+  LEFT JOIN verts v ON v.id = r.destination
+  LEFT JOIN vfields f ON f.id = v.id
+  GROUP BY r.source
+),
+invalid_children AS (
+  SELECT source FROM per_child WHERE v_any > 0 AND (v_tot > 2 OR v_tot = 0)
+),
+bys AS (
+  SELECT CASE
+           WHEN strpos(f.lifespan, '-1') = 0 THEN (CASE WHEN f.lifespan = 'Living' THEN 3000 ELSE 0 END)
+           WHEN strpos(f.lifespan, '-1') = 1 THEN CAST(substr(f.lifespan, 2) AS BIGINT)
+           ELSE CAST(substr(f.lifespan, 1, strpos(f.lifespan, '-1') - 1) AS BIGINT)
+         END AS birth_year
+  FROM invalid_children i
+  JOIN vfields f ON f.id = i.source
+  JOIN verts v ON v.id = i.source
+)
+SELECT CAST(birth_year // 10 * 10 AS BIGINT) AS decade, COUNT(*) AS n
+FROM bys GROUP BY 1 ORDER BY 1
+""")
+
+
 def span_vertices(docs: str) -> str:
     return f"""
 WITH spans AS (

@@ -48,26 +48,43 @@ def dedup_keep_first(
     """Exact dedup keeping, per key, the row with the smallest
     ``order_cols`` tuple (deterministic keep-first — the distributed
     analog of the reference's first-insert-wins dedup,
-    ``graph_memory_impl.py:69-73`` / ``graph_db_impl.py:140-149``)."""
+    ``graph_memory_impl.py:69-73`` / ``graph_db_impl.py:140-149``).
+
+    A per-batch pre-combiner dedups BEFORE the shuffle, so a hot key
+    (e.g. a hot-lineage parent mentioned by thousands of docs) ships at
+    most one row per input batch instead of all of them — the
+    skew-mitigation for hot lineages (keep-first is associative:
+    min-of-mins == global min)."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="stable")
+        return df.drop_duplicates(subset=key_cols, keep="first")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="stable")
         return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
 
-    return _add_bucket(ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
+    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    return _add_bucket(pre_ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
         per_bucket, batch_format="pandas"
     )
 
 
 def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64) -> ray.data.Dataset:
-    """Distinct rows by key (any representative, deterministic by full
-    row sort within bucket)."""
+    """Distinct rows by key (deterministic representative: smallest full
+    row). Per-batch pre-dedup before the shuffle (hot-key mitigation,
+    same argument as :func:`dedup_keep_first`)."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(df.columns), kind="stable")
+        return df.drop_duplicates(subset=key_cols, keep="first")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(g.columns), kind="stable")
         return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
 
-    return _add_bucket(ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
+    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    return _add_bucket(pre_ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
         per_bucket, batch_format="pandas"
     )
 
@@ -113,8 +130,11 @@ def broadcast_lookup_join(
         def __init__(self):
             self.small: pd.DataFrame = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, how=how, left_on=on, right_on=r_on)
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            m = batch.merge(self.small, how=how, left_on=on, right_on=r_on)
+            # emit Arrow: downstream Project (select/rename) operators
+            # assume Arrow blocks in this Ray version
+            return pa.Table.from_pandas(m, preserve_index=False)
 
     return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
 

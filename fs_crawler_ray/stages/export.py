@@ -105,25 +105,21 @@ def adjacency_entries(
 
     diag = pos.map_batches(vert_entries, batch_format="pyarrow")
 
+    from fs_crawler_ray.relops import lookup_join
+
     e = edges.map_batches(
         lambda t: t.filter(pc.is_in(t["type"], value_set=pa.array(list(ADJACENCY_EDGE_TYPES)))),
         batch_format="pyarrow",
     ).select_columns(["source", "destination"])
     # endpoint joins: inner joins drop edges outside the (hop-filtered)
     # vertex set — the reference's double-join does the same (db_reader.py:20-27)
-    j1 = e.join(
-        pos.select_columns(["id", "position"]).rename_columns({"id": "__s", "position": "src_pos"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("source",),
-        right_on=("__s",),
+    j1 = lookup_join(
+        e, pos.select_columns(["id", "position"]).rename_columns({"id": "__s", "position": "src_pos"}),
+        on="source", right_on="__s", how="inner", num_partitions=num_partitions,
     )
-    j2 = j1.join(
-        pos.rename_columns({"id": "__d", "position": "dst_pos", "color": "dst_color"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("destination",),
-        right_on=("__d",),
+    j2 = lookup_join(
+        j1, pos.rename_columns({"id": "__d", "position": "dst_pos", "color": "dst_color"}),
+        on="destination", right_on="__d", how="inner", num_partitions=num_partitions,
     )
 
     def edge_entries(t: pa.Table) -> pa.Table:

@@ -50,23 +50,19 @@ def candidate_relationships(
     """J2: untyped edges ⨝ vertices(source) ⨝ vertices(destination→color)
     → (source, rel_id, dest_color). Both joins are hash-partitioned
     shuffle joins (both sides are graph-sized)."""
+    from fs_crawler_ray.relops import lookup_join
+
     unt = edges.map_batches(
         lambda t: t.filter(pc.equal(t["type"], UNTYPED)), batch_format="pyarrow"
     ).select_columns(["source", "destination", "id"])
-    v_ids = vertices.select_columns(["id", "color"])
-    j1 = unt.join(
-        v_ids.rename_columns({"id": "__vs", "color": "__cs"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("source",),
-        right_on=("__vs",),
+    v_ids = vertices.select_columns(["id", "color"]).materialize()
+    j1 = lookup_join(
+        unt, v_ids.rename_columns({"id": "__vs", "color": "__cs"}),
+        on="source", right_on="__vs", how="inner", num_partitions=num_partitions,
     )
-    j2 = j1.join(
-        v_ids.rename_columns({"id": "__vd", "color": "dest_color"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("destination",),
-        right_on=("__vd",),
+    j2 = lookup_join(
+        j1, v_ids.rename_columns({"id": "__vd", "color": "dest_color"}),
+        on="destination", right_on="__vd", how="inner", num_partitions=num_partitions,
     )
     return j2.select_columns(["source", "id", "dest_color"]).rename_columns({"id": "rel_id"})
 
@@ -117,10 +113,11 @@ def _left_join_type_override(
             def __init__(self):
                 self.small = _ray.get(ref)
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            def __call__(self, df: pd.DataFrame) -> pa.Table:
                 m = df.merge(self.small, how="left", left_on=list(on), right_on=list(right_on))
                 m["type"] = m[value_col].where(m[value_col].notna(), m["type"])
-                return m.drop(columns=[c for c in set(right_on) | {value_col} if c in m.columns and c not in df.columns])
+                m = m.drop(columns=[c for c in set(right_on) | {value_col} if c in m.columns and c not in df.columns])
+                return pa.Table.from_pandas(m, preserve_index=False)
 
         return edges.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
 

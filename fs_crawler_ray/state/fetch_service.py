@@ -1,0 +1,136 @@
+"""Persistent fetch-service actor pool.
+
+The first implementation recreated the fetcher actor pool every hop,
+which re-loaded the corpus index per actor per hop and paid actor
+startup latency × hops. This pool is created ONCE per crawl:
+
+- each of K actors holds the DocStore (corpus index), its share of the
+  per-host politeness token buckets, the robots gate and its request
+  counters — the durable analog of the reference's ``Session``
+  (``fscrawler/controller/session.py:24-33``), whose auth/counter state
+  also lives for the whole crawl;
+- ids are routed to actors BY HOST (``host % K``), so each synthetic
+  host's token bucket lives on exactly one actor and per-host budgets
+  hold under any parallelism (pool size == the politeness concurrency
+  budget, fsapi.py:23-34);
+- the per-hop pipeline stage (:class:`FetchStage`) is a stateless
+  ``map_batches`` function that scatter-gathers its batch across the
+  pool, so the streaming executor still pipelines fetch with parse and
+  downstream stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from fs_crawler_ray.ids import stable_hash64
+from fs_crawler_ray.sources.doc_table import DocStore
+from fs_crawler_ray.stages.fetch import PolitenessBudget, TokenBuckets
+from fs_crawler_ray.state.robots import RobotsPolicy
+
+
+@ray.remote(num_cpus=0)
+class FetchActor:
+    def __init__(self, documents_path: str, politeness: PolitenessBudget | None,
+                 robots: RobotsPolicy | None):
+        self.store = DocStore(documents_path)
+        self.politeness = politeness or PolitenessBudget()
+        self.robots = robots
+        self.buckets = TokenBuckets(self.politeness)
+        self.counters = {"requests": 0, "ids_attempted": 0, "robots_blocked": 0,
+                         "fetched": 0, "missing": 0, "politeness_wait_s": 0.0}
+
+    def fetch(self, ids: np.ndarray, hop: int) -> pa.Table:
+        c = self.counters
+        n_in = len(ids)
+        c["requests"] += max(1, int(np.ceil(n_in / 200)))
+        c["ids_attempted"] += n_in
+        if self.robots is not None:
+            allowed = self.robots.allowed_mask(ids)
+            c["robots_blocked"] += int((~allowed).sum())
+            ids = ids[allowed]
+        if self.politeness.rate_per_host > 0 and len(ids):
+            hosts = np.unique((stable_hash64(ids, seed=self.politeness.seed)
+                               % np.uint64(self.politeness.n_hosts)).astype(np.int64))
+            for h in hosts:
+                c["politeness_wait_s"] += self.buckets.acquire(int(h), 1)
+        docs, found = self.store.fetch(ids)
+        c["fetched"] += len(docs)
+        c["missing"] += int((~found).sum())
+        return docs.append_column("hop", pa.array(np.full(len(docs), hop, dtype=np.int32)))
+
+    def stats(self) -> dict:
+        return dict(self.counters)
+
+    def reset(self) -> dict:
+        out = dict(self.counters)
+        for k in self.counters:
+            self.counters[k] = 0 if not isinstance(self.counters[k], float) else 0.0
+        return out
+
+
+class FetchPool:
+    def __init__(self, documents_path: str, size: int,
+                 politeness: PolitenessBudget | None = None,
+                 robots: RobotsPolicy | None = None):
+        self.size = size
+        self.politeness = politeness or PolitenessBudget()
+        self.actors = [
+            FetchActor.remote(documents_path, politeness, robots) for _ in range(size)
+        ]
+
+    def host_of(self, ids: np.ndarray) -> np.ndarray:
+        return (stable_hash64(ids, seed=self.politeness.seed)
+                % np.uint64(self.politeness.n_hosts)).astype(np.int64)
+
+    def stats(self) -> dict:
+        totals: dict[str, float] = {}
+        for s in ray.get([a.stats.remote() for a in self.actors]):
+            for k, v in s.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def reset(self) -> dict:
+        totals: dict[str, float] = {}
+        for s in ray.get([a.reset.remote() for a in self.actors]):
+            for k, v in s.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+
+
+class FetchStage:
+    """Stateless map_batches fn: ids batch → docs batch via the pool,
+    routed by host so politeness budgets are honored exactly."""
+
+    def __init__(self, pool: FetchPool, hop: int, id_column: str = "id"):
+        self.pool = pool
+        self.hop = hop
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({})
+        actor_of = self.pool.host_of(ids) % self.pool.size
+        order = np.argsort(actor_of, kind="stable")
+        bounds = np.searchsorted(actor_of[order], np.arange(self.pool.size + 1))
+        refs = []
+        for a in range(self.pool.size):
+            lo, hi = bounds[a], bounds[a + 1]
+            if lo == hi:
+                continue
+            refs.append(self.pool.actors[a].fetch.remote(ids[order[lo:hi]], self.hop))
+        tables = [t for t in ray.get(refs) if len(t)]
+        if not tables:
+            import fs_crawler_ray.model as m
+
+            return m.DOCUMENT_SCHEMA.empty_table().append_column(
+                "hop", pa.array([], pa.int32())
+            )
+        return pa.concat_tables(tables)

@@ -191,6 +191,7 @@ class MembershipShardState:
         self.capacity = capacity
         self.mode = mode
         self.sets: dict[str, _NamedSet] = {}
+        self._pending: dict[str, set] = {}
 
     def _get(self, name: str) -> _NamedSet:
         if name not in self.sets:
@@ -244,9 +245,32 @@ class MembershipShardState:
             s.add(keys[new_first], h1[new_first], h2[new_first])
         return present | ~new
 
+    def check_and_add_deferred(self, name: str, keys: np.ndarray) -> np.ndarray:
+        """contains() against COMMITTED state only; absent keys are
+        buffered in a pending set merged by :meth:`commit`. Task retries
+        re-send the same keys and get the same mask (the committed state
+        is unchanged mid-epoch and the pending set dedups) — the
+        retry-safe fused check+add used by the per-hop edge-seen filter."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        present = self.contains(name, keys)
+        pend = self._pending.setdefault(name, set())
+        for k in keys[~present]:
+            pend.add(str(k))
+        return present
+
+    def commit(self, name: str) -> int:
+        """Merge the pending buffer into the committed filters."""
+        pend = self._pending.pop(name, None)
+        if not pend:
+            return 0
+        self.add(name, np.array(sorted(pend)))
+        return len(pend)
+
     def clear(self, name: str) -> None:
         if name in self.sets:
             self.sets[name].clear()
+        self._pending.pop(name, None)
 
     def drop(self, name: str) -> None:
         self.sets.pop(name, None)
@@ -332,6 +356,12 @@ class ShardedMembership:
 
     def check_and_add(self, name: str, keys) -> np.ndarray:
         return self._scatter_gather("check_and_add", keys, name)
+
+    def check_and_add_deferred(self, name: str, keys) -> np.ndarray:
+        return self._scatter_gather("check_and_add_deferred", keys, name)
+
+    def commit(self, name: str) -> int:
+        return sum(ray.get([a.commit.remote(name) for a in self.actors]))
 
     def clear(self, name: str) -> None:
         ray.get([a.clear.remote(name) for a in self.actors])

@@ -39,6 +39,35 @@ def test_brute_force_matches_numpy_oracle(emb):
         assert rows.iloc[0]["score"] == pytest.approx(1.0, abs=1e-4)
 
 
+def test_embedding_near_dups_exact_vs_numpy(emb):
+    from fs_crawler_ray.ann import embedding_near_dups
+
+    ds, df = emb
+    got = embedding_near_dups(ds, threshold=0.42, exact=True)
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    ids = df["vec_id"].to_numpy()
+    expected = set()
+    for i in range(len(ids)):
+        for j in np.nonzero((s[i] >= 0.42) & (ids > ids[i]))[0]:
+            expected.add((int(ids[i]), int(ids[j])))
+    assert {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])} == expected
+    assert len(expected) > 5
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(emb):
+    from fs_crawler_ray.ann import embedding_near_dups
+
+    ds, _ = emb
+    exact = embedding_near_dups(ds, threshold=0.42, exact=True)
+    approx = embedding_near_dups(ds, threshold=0.42, exact=False, n_bits=6, n_tables=8)
+    e = {(a, b) for a, b in zip(exact["vec_a"], exact["vec_b"])}
+    a = {(x, y) for x, y in zip(approx["vec_a"], approx["vec_b"])}
+    assert a <= e            # no false positives (exact rerank)
+    assert len(a) >= len(e) * 0.3  # multi-table probing keeps useful recall
+
+
 def test_lsh_topk_recall(emb):
     ds, df = emb
     q = np.stack(df["embedding"].head(5).to_numpy()).astype(np.float32)

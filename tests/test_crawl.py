@@ -123,6 +123,23 @@ def test_robots_gating(small_corpus, tmp_path_factory):
     assert lineage["fetch"].get("robots_blocked", 0) >= 0
 
 
+def test_frontier_budget_priority_queue(small_corpus, tmp_path_factory):
+    """Budgeted (priority-queue) frontier: ≤K ids processed per hop,
+    remainder carries over with original priority; matches the budgeted
+    oracle exactly."""
+    out = str(tmp_path_factory.mktemp("crawl_budget"))
+    cfg = CrawlConfig(hops=8, num_shards=2, num_buckets=4, frontier_budget=25)
+    result = crawl(small_corpus, small_corpus.seeds, out, cfg)
+    oracle = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 8,
+                          frontier_budget=25)
+    _assert_match(result, oracle)
+    for hop in result.hops_run:
+        assert result.processing(hop).count() <= 25
+    # budget actually bit: the unbudgeted crawl resolves more in 8 hops
+    plain = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 8)
+    assert len(oracle.vertices) < len(plain.vertices)
+
+
 def test_invalid_seed_rejected(small_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("crawl_bad"))
     with pytest.raises(ValueError):
