@@ -16,6 +16,36 @@ Reference semantics are cited per-module as ``file:line`` into
 ``/root/reference`` (rappdw/fs-crawler); no code is copied from it.
 """
 
+# Ray Data's path resolution probes `fsspec.implementations.http` on
+# EVERY read/write; with aiohttp absent the import fails and is retried
+# each call, and concurrent imports from our threaded hop branches race
+# into "cannot import name 'HTTPFileSystem'" ImportErrors that Ray's
+# ModuleNotFoundError guard doesn't catch. Install a completed stub once
+# (single-threaded, at package import): the isinstance() check against
+# the sentinel is always False, which is the correct answer here — this
+# sandbox never uses HTTP filesystems.
+def _stub_fsspec_http() -> None:
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        try:
+            import fsspec.implementations  # noqa: F401
+        except ImportError:
+            return
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _HTTPFileSystemUnavailable:  # pragma: no cover - sentinel
+            pass
+
+        stub.HTTPFileSystem = _HTTPFileSystemUnavailable
+        sys.modules["fsspec.implementations.http"] = stub
+
+
+_stub_fsspec_http()
+
 from fs_crawler_ray.model import Gender, RelationshipType, SpanKind
 
 __all__ = ["Gender", "RelationshipType", "SpanKind"]

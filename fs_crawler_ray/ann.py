@@ -40,30 +40,25 @@ def brute_force_topk(
     """Exact cosine top-k: per-batch matmul → per-batch partial top-k →
     driver-side final reduce (k×Q rows per batch, tiny)."""
     qref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
-    ids_ref = ray.put(list(query_ids))
+    qids = list(query_ids)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)          # (Q, d) — read once per actor
-            self.qids = ray.get(ids_ref)
+    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)                  # (Q, d) — plasma-local, zero-copy
+        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+        scores = m @ qm.T                   # (n, Q)
+        n, q = scores.shape
+        kk = min(k, n)
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (k, Q)
+        out_q, out_v, out_s = [], [], []
+        vec_ids = batch["vec_id"].to_numpy()
+        for qi in range(q):
+            out_q.extend([qids[qi]] * kk)
+            out_v.extend(vec_ids[idx[:, qi]].tolist())
+            out_s.extend(scores[idx[:, qi], qi].tolist())
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                             "score": np.round(np.array(out_s, dtype=np.float64), 6)})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
-            scores = m @ self.q.T            # (n, Q)
-            n, q = scores.shape
-            kk = min(k, n)
-            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (k, Q)
-            out_q, out_v, out_s = [], [], []
-            vec_ids = batch["vec_id"].to_numpy()
-            for qi in range(q):
-                out_q.extend([self.qids[qi]] * kk)
-                out_v.extend(vec_ids[idx[:, qi]].tolist())
-                out_s.extend(scores[idx[:, qi], qi].tolist())
-            return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
-                                 "score": np.round(np.array(out_s, dtype=np.float64), 6)})
-
-    parts = ds.map_batches(Score, batch_format="pandas", batch_size=4096,
-                           concurrency=(1, concurrency)).to_pandas()
+    parts = ds.map_batches(score_fn, batch_format="pandas", batch_size=4096).to_pandas()
     return _topk_reduce(parts, k).reset_index(drop=True)
 
 
@@ -85,8 +80,11 @@ def embedding_near_dups(
     df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
     m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     ids = df["vec_id"].to_numpy()
+    id_order = np.argsort(ids).astype(np.int64)
     mref = ray.put(m)
     idref = ray.put(ids)
+    orderref = ray.put(id_order)
+    sortedref = ray.put(ids[id_order])
 
     if exact:
         bucket_ids = None
@@ -98,30 +96,29 @@ def embedding_near_dups(
         bucket_ids = np.stack(sigs, axis=1)  # (N, T)
     bref = ray.put(bucket_ids)
 
-    class Score:
-        def __init__(self):
-            self.m = ray.get(mref)
-            self.ids = ray.get(idref)
-            self.buckets = ray.get(bref)
-            self.pos = {v: i for i, v in enumerate(self.ids)}
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows = np.array([self.pos[v] for v in batch["vec_id"]])
-            scores = self.m[rows] @ self.m.T          # one matmul per batch
-            mask = scores >= threshold
-            mask &= self.ids[None, :] > self.ids[rows][:, None]  # each pair once, a < b
-            if self.buckets is not None:
-                same = (self.buckets[rows][:, None, :] == self.buckets[None, :, :]).any(axis=2)
-                mask &= same
-            ii, jj = np.nonzero(mask)
-            return pd.DataFrame({
-                "vec_a": self.ids[rows][ii],
-                "vec_b": self.ids[jj],
-                "cosine": np.round(scores[ii, jj], 6),
-            })
+    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        all_ids = ray.get(idref)
+        order = ray.get(orderref)
+        sorted_ids = ray.get(sortedref)
+        buckets = ray.get(bref)
+        pos = np.searchsorted(sorted_ids, batch["vec_id"].to_numpy())
+        rows = order[pos]
+        scores = mm[rows] @ mm.T                  # one matmul per batch
+        mask = scores >= threshold
+        mask &= all_ids[None, :] > all_ids[rows][:, None]  # each pair once, a < b
+        if buckets is not None:
+            same = (buckets[rows][:, None, :] == buckets[None, :, :]).any(axis=2)
+            mask &= same
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame({
+            "vec_a": all_ids[rows][ii],
+            "vec_b": all_ids[jj],
+            "cosine": np.round(scores[ii, jj], 6),
+        })
 
     parts = ds.select_columns(["vec_id"]).map_batches(
-        Score, batch_format="pandas", batch_size=512, concurrency=(1, concurrency)
+        score_fn, batch_format="pandas", batch_size=512
     ).to_pandas()
     if parts.empty:
         return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
@@ -165,36 +162,32 @@ def lsh_topk(
         for b in range(n_bits):
             probe.add(s ^ (1 << b))
     qref = ray.put(q)
-    ids_ref = ray.put(list(query_ids))
+    qids = list(query_ids)
     probe_ref = ray.put(probe)
-    lsh_ref = ray.put(lsh)
+    h_ref = ray.put(lsh.h)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)
-            self.qids = ray.get(ids_ref)
-            self.probe = ray.get(probe_ref)
-            self.lsh = ray.get(lsh_ref)
+    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        probe_set = ray.get(probe_ref)
+        hmat = ray.get(h_ref)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+        bits = (m @ hmat) > 0
+        sigs = (bits.astype(np.uint64) << np.arange(hmat.shape[1], dtype=np.uint64)).sum(axis=1).astype(np.int64)
+        keep = np.fromiter((s in probe_set for s in sigs.tolist()), dtype=bool, count=len(sigs))
+        if not keep.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        m2 = m[keep]
+        vec_ids = batch["vec_id"].to_numpy()[keep]
+        scores = m2 @ qm.T
+        out = []
+        kk = min(k, len(m2))
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        for qi in range(scores.shape[1]):
+            for j in idx[:, qi]:
+                out.append((qids[qi], vec_ids[j], round(float(scores[j, qi]), 6)))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
-            sigs = self.lsh.signatures(m)
-            keep = np.fromiter((s in self.probe for s in sigs.tolist()), dtype=bool, count=len(sigs))
-            if not keep.any():
-                return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
-            m = m[keep]
-            vec_ids = batch["vec_id"].to_numpy()[keep]
-            scores = m @ self.q.T
-            out = []
-            kk = min(k, len(m))
-            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
-            for qi in range(scores.shape[1]):
-                for j in idx[:, qi]:
-                    out.append((self.qids[qi], vec_ids[j], round(float(scores[j, qi]), 6)))
-            return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
-
-    parts = ds.map_batches(Score, batch_format="pandas", batch_size=4096,
-                           concurrency=(1, concurrency)).to_pandas()
+    parts = ds.map_batches(score_fn, batch_format="pandas", batch_size=4096).to_pandas()
     if len(parts) == 0:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
     return _topk_reduce(parts, k).reset_index(drop=True)

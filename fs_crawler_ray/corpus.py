@@ -74,6 +74,13 @@ class CorpusSpec:
     media_frac: float = 0.3
     missing_doc_frac: float = 0.0    # ids mentioned but with no document (unfetchable)
     n_seeds: int = 2
+    #: words of deterministic narrative text per document (0 = none).
+    #: Real person documents carry kilobytes of prose/source citations;
+    #: narrative spans give each fetched document a realistic payload so
+    #: fetch+parse throughput measurements aren't dominated by per-task
+    #: fixed costs. Emitted as kind='narrative' spans AFTER the
+    #: canonical kinds (parsers pass unknown kinds through).
+    narrative_words: int = 0
 
 
 @dataclass
@@ -284,6 +291,13 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
         if has_media[p]:
             mem = 100000000 + p * 7
             add(SpanKind.MEDIA, "", f"memories/{mem}/personas/{mem}-{p * 13 + 5}")
+        if spec.narrative_words > 0:
+            # deterministic prose: seeded per person, chunked into
+            # ~120-word spans (exercises the list flatten at real sizes)
+            prng = np.random.RandomState((spec.seed * 1_000_003 + p) & 0x7FFFFFFF)
+            words = _NARRATIVE_VOCAB[prng.randint(0, len(_NARRATIVE_VOCAB), spec.narrative_words)]
+            for i in range(0, spec.narrative_words, 120):
+                add("narrative", " ".join(words[i:i + 120]))
         doc_ids.append(pids[p])
         span_lengths.append(len(kinds) - start)
 
@@ -323,22 +337,44 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
 
 Genders_TEXT = ["Male", "Unknown", "Female"]  # index by gender+1
 
+_NARRATIVE_VOCAB = np.array(
+    ("records census parish register baptism marriage burial witness household farm "
+     "village emigrated settled estate will probate deed land tenant letter diary "
+     "regiment war service schoolmaster weaver miller smith church minister elder "
+     "daughter eldest youngest twin infancy fever journey voyage ship arrived").split()
+)
+
 
 _CACHE_ROOT = "/tmp/fsray_corpus"
 
 
-def corpus_for_sf(sf_dir: str, cache_root: str = _CACHE_ROOT, seed: int = 42) -> CorpusInfo:
+def corpus_for_sf(
+    sf_dir: str,
+    cache_root: str = _CACHE_ROOT,
+    seed: int = 42,
+    scale: int = 1,
+    n_seeds: int = 2,
+    narrative_words: int = 0,
+) -> CorpusInfo:
     """Deterministic corpus sized from a testdata sf dir (row count of its
-    ``documents.parquet``), cached under /tmp. Same sf_dir + seed →
-    byte-identical corpus."""
+    ``documents.parquet`` × ``scale``), cached under /tmp. Same
+    parameters → byte-identical corpus. ``scale``/``n_seeds`` let the
+    bench grow the synthetic web beyond the sf's own document count."""
     n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    n_persons = max(500, int(n_rows))
+    n_persons = max(500, int(n_rows) * scale)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(cache_root, f"{tag}_n{n_persons}_s{seed}")
+    suffix = f"_k{n_seeds}" if n_seeds != 2 else ""
+    if narrative_words:
+        suffix += f"_w{narrative_words}"
+    out_dir = os.path.join(cache_root, f"{tag}_n{n_persons}_s{seed}{suffix}")
     meta = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta):
         try:
             return CorpusInfo.load(out_dir)
         except Exception:
             pass
-    return generate_corpus(CorpusSpec(n_persons=n_persons, seed=seed), out_dir)
+    return generate_corpus(
+        CorpusSpec(n_persons=n_persons, seed=seed, n_seeds=n_seeds,
+                   narrative_words=narrative_words),
+        out_dir,
+    )

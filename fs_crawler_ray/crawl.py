@@ -1,25 +1,32 @@
 """The BFS frontier crawl: one Ray Data pipeline per hop.
 
 Re-creates the reference's superstep loop (``fscrawler/crawler.py:44-46``
-→ ``fsapi.py:194-222`` → graph-store mutations) as, per hop:
+→ ``fsapi.py:194-222`` → graph-store mutations) as FIVE fused Dataset
+executions per hop:
 
-1. frontier → visited-filter (membership shards, ``map_batches``) →
-   ``processing.parquet`` checkpoint; processing ids registered into the
-   shards (idempotent adds — all in-hop membership READS are pure
-   ``contains`` so task retries and resume can never corrupt state);
-2. processing → Fetcher actor pool (politeness + robots) → span parser
-   → materialized per-hop record set;
-3. vertices written; edges dedup'd (keep-first by ``(hop, src_doc,
-   offset)`` under the canonical visit order = sorted id per hop) and
-   filtered against the cross-hop edge-seen shards; frontier candidates
-   filtered against ``visited ∪ processing`` (the
-   ``add_to_frontier`` guard, ``graph_memory_impl.py:60-63``) and
-   dedup'd → next frontier;
-4. new vertex ids and edge keys added to the shards (hop-boundary-only
-   mutation), cumulative edge classification (within/spanning/frontier,
-   ``graph_memory_impl.py:106-120``) and the LOG row written —
-   ``log.json`` is written LAST and is the hop-complete marker, making
-   a killed crawl resumable byte-identically from the last complete hop.
+1. frontier → fused visited-filter + processing-registration
+   (membership shards via ``map_batches``; optional priority-queue
+   budget takes the best ``(priority, id)`` ids and carries the rest)
+   → ``processing.parquet`` checkpoint;
+2. processing → persistent fetch pool (politeness token buckets +
+   robots, ids routed by host) → vectorized span parser → materialized
+   per-hop record set (adaptive shuffle width derives from its size);
+3. vertices written + registered into ``visited`` in the same pass
+   (safe: this hop's vertices ⊆ processing, which the candidate filter
+   also checks);
+4. edges: in-hop keep-first dedup (``(hop, src_doc, offset)`` under the
+   canonical visit order = sorted id per hop) → cross-hop edge-seen
+   filter with DEFERRED adds committed after the write (retry-safe);
+5. frontier candidates filtered against ``visited ∪ processing``
+   (the ``add_to_frontier`` guard, ``graph_memory_impl.py:60-63``),
+   unioned with any budget remainder, dedup'd → next frontier.
+
+All in-hop membership mutations are idempotent or deferred-committed,
+so task retries and resume can never corrupt state. The LOG row
+(cumulative edge classification per ``graph_memory_impl.py:106-120``)
+and per-stage lineage close the hop; ``log.json`` is written LAST and
+is the hop-complete marker, making a killed crawl resumable
+byte-identically from the last complete hop.
 
 Checkpoint layout (one directory per hop — partitioned, resumable output):
 
@@ -229,6 +236,23 @@ def _expand_parquet(paths: list[str]) -> list[str]:
     return files
 
 
+def _read_sized(path: str, columns: list[str] | None = None,
+                rows_per_block: int | None = None, max_blocks: int = 512) -> ray.data.Dataset:
+    """read_parquet with a block count proportional to the DATA (and,
+    when auto, to the cluster): Ray's default targets ~2×cores blocks,
+    which turns a few-thousand-row frontier into hundreds of micro-tasks
+    that each pay task launch + membership/fetch RPC fan-out (observed
+    6× slowdown at 32 CPUs). The auto mode aims for ~3 blocks per CPU
+    with at least 500 rows per block, so big hops still saturate the
+    cluster."""
+    rows = _parquet_rows(path)
+    if rows_per_block is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        rows_per_block = int(min(20_000, max(500, rows // (3 * cpus) + 1)))
+    blocks = int(min(max_blocks, max(1, rows // rows_per_block + 1)))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
 def _parquet_rows(dir_path: str) -> int:
     total = 0
     if not os.path.isdir(dir_path):
@@ -276,19 +300,50 @@ class Crawler:
             capacity_per_shard=self.config.shard_capacity,
             mode=self.config.membership_mode,
         )
-        self.pool = FetchPool(
-            corpus.documents_path,
-            size=self.config.fetch_concurrency,
-            politeness=self.config.politeness,
-            robots=self.config.robots,
-        )
+        # Two fetch modes: with a politeness budget the token buckets
+        # must be central → persistent host-routed actor pool; without
+        # one, fetch resolves against the ray.put-broadcast corpus
+        # in-task (no nested RPC — scales with task parallelism).
+        self.direct = self.config.politeness is None or self.config.politeness.rate_per_host <= 0
+        if self.direct:
+            from fs_crawler_ray.metrics import MetricsActor
+            from fs_crawler_ray.state.fetch_service import put_corpus_refs
+
+            self.pool = None
+            self.metrics = MetricsActor.remote()
+            self._corpus_refs = put_corpus_refs(corpus.documents_path)
+        else:
+            self.pool = FetchPool(
+                corpus.documents_path,
+                size=self.config.fetch_concurrency,
+                politeness=self.config.politeness,
+                robots=self.config.robots,
+            )
+            self.metrics = None
+
+    def _fetch_stage(self, hop: int):
+        if self.direct:
+            from fs_crawler_ray.state.fetch_service import make_broadcast_fetcher
+
+            t, s, o = self._corpus_refs
+            return make_broadcast_fetcher(t, s, o, hop, robots=self.config.robots,
+                                          metrics=self.metrics)
+        return FetchStage(self.pool, hop)
+
+    def _fetch_counters(self) -> dict:
+        if self.direct:
+            return ray.get(self.metrics.reset_counters.remote())
+        return self.pool.reset()
 
     def shutdown(self) -> None:
         """Kill the state actors. Results remain fully readable — all
         state is reconstructable from the checkpoint (resume does so)."""
         for a in self.sm.actors:
             ray.kill(a)
-        self.pool.shutdown()
+        if self.pool is not None:
+            self.pool.shutdown()
+        if self.metrics is not None:
+            ray.kill(self.metrics)
 
     # -- checkpoint helpers -------------------------------------------
     def _hop_dir(self, hop: int) -> str:
@@ -405,11 +460,17 @@ class Crawler:
             _mark("frontier_filter", tick)
 
             # 2. fetch (persistent pool: politeness + robots) → parse
+            # direct mode: whole-block batches (one corpus lookup per
+            # block) + CPU-aware block count; politeness mode keeps the
+            # MAX_PERSONS request granularity (fsapi.py:23)
+            n_proc = _parquet_rows(proc_path)
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            rpb = max(512, n_proc // (2 * cpus) + 1) if self.direct else 5_000
             records = (
-                ray.data.read_parquet(proc_path, columns=["id"])
+                _read_sized(proc_path, columns=["id"], rows_per_block=rpb)
                 .map_batches(
-                    FetchStage(self.pool, hop),
-                    batch_size=cfg.fetch_batch_size,
+                    self._fetch_stage(hop),
+                    batch_size=None if self.direct else cfg.fetch_batch_size,
                     batch_format="pyarrow",
                 )
                 .map_batches(parse_documents, batch_format="pyarrow")
@@ -421,26 +482,20 @@ class Crawler:
             n_records = records.count()
             eff_buckets = int(max(2, min(cfg.num_buckets, n_records // 5000 + 1)))
 
-            # 3a. vertices: write + register into visited in one pass
-            # (safe pre-candidate-filter: this hop's vertices ⊆ processing,
-            # which the candidate filter also checks)
-            verts = records.map_batches(_rec_filter("vertex"), batch_format="pyarrow").select_columns(
-                ["id", "color", "surname", "given_name", "iteration", "lifespan", "living"]
-            ).map_batches(RegisterPassthrough(self.sm, VISITED, "id"), batch_format="pyarrow")
-            _safe_write(verts, os.path.join(hop_dir, "vertices.parquet"), VERTEX_SCHEMA)
-            _mark("vertices", tick)
-
-            # 3b. edges: in-hop keep-first dedup → cross-hop seen filter
-            # (deferred add, committed after the write below)
-            edges = records.map_batches(_rec_filter("edge"), batch_format="pyarrow").select_columns(
-                ["source", "destination", "rel_id", "src_doc", "offset", "hop"]
-            )
-            edges = dedup_keep_first(
-                edges, ["source", "destination"], ["hop", "src_doc", "offset"], eff_buckets
-            )
-            edges = edges.map_batches(_edge_key, batch_format="pyarrow").map_batches(
-                EdgeSeenFilter(self.sm), batch_format="pyarrow"
-            )
+            # 3. three independent consumers of the materialized records
+            # run CONCURRENTLY (thread per branch — each drives its own
+            # streaming execution): vertices, edges, next frontier.
+            # Ordering analysis: vertex visited-adds are timing-free
+            # (vertices ⊆ processing, which the candidate filter also
+            # checks) and the edge-seen adds are deferred to the commit
+            # below — so the branches share no ordered state.
+            def _branch_vertices() -> None:
+                t0b = time.time()
+                verts = records.map_batches(_rec_filter("vertex"), batch_format="pyarrow").select_columns(
+                    ["id", "color", "surname", "given_name", "iteration", "lifespan", "living"]
+                ).map_batches(RegisterPassthrough(self.sm, VISITED, "id"), batch_format="pyarrow")
+                _safe_write(verts, os.path.join(hop_dir, "vertices.parquet"), VERTEX_SCHEMA)
+                stage_t["vertices"] = round(time.time() - t0b, 3)
 
             def _finish_edge(batch: pa.Table) -> pa.Table:
                 n = len(batch)
@@ -454,21 +509,23 @@ class Crawler:
                     }
                 )
 
-            _safe_write(
-                edges.map_batches(_finish_edge, batch_format="pyarrow"),
-                os.path.join(hop_dir, "edges.parquet"),
-                EDGE_SCHEMA,
-            )
-            self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
-            _mark("edges", tick)
-
-            # 3c. frontier candidates → not (visited ∪ processing) → distinct
-            cands = records.map_batches(_rec_filter("cand"), batch_format="pyarrow").select_columns(
-                ["cand_id", "hop"]
-            )
-            cands = cands.map_batches(
-                MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
-            )
+            def _branch_edges() -> None:
+                t0b = time.time()
+                edges = records.map_batches(_rec_filter("edge"), batch_format="pyarrow").select_columns(
+                    ["source", "destination", "rel_id", "src_doc", "offset", "hop"]
+                )
+                edges = dedup_keep_first(
+                    edges, ["source", "destination"], ["hop", "src_doc", "offset"], eff_buckets
+                )
+                edges = edges.map_batches(_edge_key, batch_format="pyarrow").map_batches(
+                    EdgeSeenFilter(self.sm), batch_format="pyarrow"
+                )
+                _safe_write(
+                    edges.map_batches(_finish_edge, batch_format="pyarrow"),
+                    os.path.join(hop_dir, "edges.parquet"),
+                    EDGE_SCHEMA,
+                )
+                stage_t["edges"] = round(time.time() - t0b, 3)
 
             def _cand_priority(batch: pa.Table) -> pa.Table:
                 return pa.table(
@@ -477,15 +534,6 @@ class Crawler:
                         "priority": pa.array(np.full(len(batch), hop + 1, dtype=np.int64)),
                     }
                 )
-
-            cands = cands.map_batches(_cand_priority, batch_format="pyarrow")
-            if remainder is not None and remainder.count() > 0:
-                # unprocessed frontier carries over with its ORIGINAL
-                # priority; distinct-by-id keeps the smallest (id sorts
-                # first, then priority) representative per id
-                rem = remainder.select_columns(["id", "priority"]).rename_columns({"id": "cand_id"})
-                cands = cands.union(rem)
-            cands = distinct(cands, ["cand_id"], eff_buckets)
 
             def _finish_frontier(batch: pa.Table) -> pa.Table:
                 return pa.table(
@@ -497,12 +545,37 @@ class Crawler:
                     schema=FRONTIER_SCHEMA,
                 )
 
-            _safe_write(
-                cands.map_batches(_finish_frontier, batch_format="pyarrow"),
-                os.path.join(hop_dir, "frontier.parquet"),
-                FRONTIER_SCHEMA,
-            )
-            _mark("frontier_out", tick)
+            def _branch_frontier() -> None:
+                t0b = time.time()
+                cands = records.map_batches(_rec_filter("cand"), batch_format="pyarrow").select_columns(
+                    ["cand_id", "hop"]
+                )
+                cands = cands.map_batches(
+                    MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
+                )
+                cands2 = cands.map_batches(_cand_priority, batch_format="pyarrow")
+                if remainder is not None and remainder.count() > 0:
+                    # unprocessed frontier carries over with its ORIGINAL
+                    # priority; distinct-by-id keeps the smallest (id
+                    # sorts first, then priority) representative per id
+                    rem = remainder.select_columns(["id", "priority"]).rename_columns({"id": "cand_id"})
+                    cands2 = cands2.union(rem)
+                cands2 = distinct(cands2, ["cand_id"], eff_buckets)
+                _safe_write(
+                    cands2.map_batches(_finish_frontier, batch_format="pyarrow"),
+                    os.path.join(hop_dir, "frontier.parquet"),
+                    FRONTIER_SCHEMA,
+                )
+                stage_t["frontier_out"] = round(time.time() - t0b, 3)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [pool.submit(f) for f in (_branch_vertices, _branch_edges, _branch_frontier)]
+                for f in futs:
+                    f.result()
+            self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
+            _mark("branches_wall", tick)
 
             # 4. metrics + LOG (membership already mutated in-pass above)
             if cfg.log_edge_classification == "full" or (
@@ -516,7 +589,7 @@ class Crawler:
             _mark("log_classify", tick)
             lineage = {
                 "hop": hop,
-                "fetch": self.pool.reset(),
+                "fetch": self._fetch_counters(),
                 "shards": self.sm.stats(),
                 "stage_seconds": stage_t,
                 "records": n_records,
@@ -540,7 +613,7 @@ class Crawler:
             os.replace(tmp, os.path.join(hop_dir, "log.json"))
 
             result.hops_run.append(hop)
-            frontier = ray.data.read_parquet(os.path.join(hop_dir, "frontier.parquet"))
+            frontier = _read_sized(os.path.join(hop_dir, "frontier.parquet"))
 
         result.log = log
         return result

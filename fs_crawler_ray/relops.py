@@ -99,18 +99,19 @@ def broadcast_semi_join(
     filter inside map_batches (no shuffle). For key sets too big to
     broadcast use the membership shard actors instead
     (:class:`fs_crawler_ray.crawl.MembershipFilter`)."""
+    # stateless task + ray.get of the broadcast set: the object is
+    # plasma-local after first access, and stateless tasks avoid
+    # per-execution actor-pool startup/teardown churn (measured: actor
+    # pools made small executions 2-3× slower on wide clusters)
     ref = ray.put(frozenset(keys))
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        keyset = ray.get(ref)
+        vals = batch[column].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((v in keyset for v in vals), dtype=bool, count=len(vals))
+        return batch.filter(pa.array(~mask if anti else mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch[column].to_numpy(zero_copy_only=False)
-            mask = np.fromiter((v in self.keys for v in vals), dtype=bool, count=len(vals))
-            return batch.filter(pa.array(~mask if anti else mask))
-
-    return ds.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def broadcast_lookup_join(
@@ -126,17 +127,14 @@ def broadcast_lookup_join(
     ref = ray.put(lookup_df)
     r_on = right_on or on
 
-    class Join:
-        def __init__(self):
-            self.small: pd.DataFrame = ray.get(ref)
+    def join_fn(batch: pd.DataFrame) -> pa.Table:
+        small: pd.DataFrame = ray.get(ref)  # plasma-local after first access
+        m = batch.merge(small, how=how, left_on=on, right_on=r_on)
+        # emit Arrow: downstream Project (select/rename) operators
+        # assume Arrow blocks in this Ray version
+        return pa.Table.from_pandas(m, preserve_index=False)
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            m = batch.merge(self.small, how=how, left_on=on, right_on=r_on)
-            # emit Arrow: downstream Project (select/rename) operators
-            # assume Arrow blocks in this Ray version
-            return pa.Table.from_pandas(m, preserve_index=False)
-
-    return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(join_fn, batch_format="pandas")
 
 
 #: Right sides at or below this row count are broadcast instead of

@@ -178,6 +178,72 @@ def write_adjacency_shards(
     return out_path
 
 
+class AbstractGraphBuilder:
+    """Pluggable adjacency-builder protocol (the RedBlackGraph extension
+    surface — reference ``fscrawler/util/abstract_graph.py:18-142``).
+
+    A builder receives the graph in the reference's merge-interleave
+    order (``db_reader.py:341-380``): positions DESCENDING, and for each
+    vertex its out-edges (dst descending) BEFORE the vertex itself —
+    i.e. exactly the reverse of the canonical ``(row, diag-first, col)``
+    CSR order, so arrays filled back-to-front reproduce the golden
+    layout.
+    """
+
+    def init_builder(self, vertex_count: int, edge_count: int) -> None:
+        raise NotImplementedError
+
+    def add_vertex(self, vertex_id: int, color: int) -> None:
+        raise NotImplementedError
+
+    def add_edge(self, source_id: int, dest_id: int) -> None:
+        raise NotImplementedError
+
+    def add_gender(self, vertex_id: int, color: int) -> None:
+        raise NotImplementedError
+
+    def build(self):
+        raise NotImplementedError
+
+
+def build_with_builder(
+    vertices: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    builder: AbstractGraphBuilder,
+    hops: int | None = None,
+    order_cols: list[str] | None = None,
+    num_partitions: int = 16,
+):
+    """Feed a builder through the reference's streaming protocol
+    (S9/O4): genders first (ascending), then the merge-interleave of
+    edges and vertices in descending canonical order. Driver-side
+    iteration over the sorted entry stream — at scale, run one builder
+    per contiguous shard inside ``map_groups`` instead."""
+    ent = adjacency_entries(vertices, edges, hops, order_cols, num_partitions)
+    ordered = ent.sort(["row", "diag", "col"], descending=True).materialize()
+    nv = int(hop_filter_vertices(vertices, hops).count())
+    ne = ordered.count() - nv
+    builder.init_builder(nv, ne)
+    # genders ascending (db_reader.py:351-356 reads vertices first)
+    for b in ordered.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        diag = b["diag"].to_numpy(zero_copy_only=False)
+        rows = b["row"].to_numpy(zero_copy_only=False)
+        vals = b["val"].to_numpy(zero_copy_only=False)
+        for r, v in zip(rows[diag == 0], vals[diag == 0]):
+            builder.add_gender(int(r), int(v))
+    for b in ordered.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        rows = b["row"].to_numpy(zero_copy_only=False)
+        cols = b["col"].to_numpy(zero_copy_only=False)
+        vals = b["val"].to_numpy(zero_copy_only=False)
+        diag = b["diag"].to_numpy(zero_copy_only=False)
+        for r, c, v, d in zip(rows, cols, vals, diag):
+            if d == 0:
+                builder.add_vertex(int(r), int(v))
+            else:
+                builder.add_edge(int(r), int(c))
+    return builder.build()
+
+
 def vertex_key(
     vertices: ray.data.Dataset,
     hops: int | None = None,

@@ -69,14 +69,21 @@ def parse_documents(batch: pa.Table) -> pa.Table:
 
     flat = spans.flatten()
     parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-    kind = np.asarray(flat.field("kind"))
+    kind_arr = flat.field("kind")
     text = flat.field("text")
-    text_np = np.asarray(text)
-    mref = np.asarray(flat.field("media_ref"))
     offset = flat.field("offset").to_numpy(zero_copy_only=False)
-    doc_of = np.asarray(doc_ids)[parent]
+    doc_np = doc_ids.to_numpy(zero_copy_only=False)
     hop_np = hops.to_numpy(zero_copy_only=False).astype(np.int32)
-    hop_of = hop_np[parent]
+
+    # per-kind boolean masks via Arrow kernels — never materialize the
+    # full text column as Python objects (narrative payloads dominate
+    # span bytes; only the small per-kind slices are taken out)
+    def kind_mask(k: str) -> np.ndarray:
+        return pc.equal(kind_arr, k).to_numpy(zero_copy_only=False)
+
+    def take_text(mask: np.ndarray) -> np.ndarray:
+        idx = np.nonzero(mask)[0]
+        return text.take(pa.array(idx)).to_numpy(zero_copy_only=False)
 
     parts: list[pa.Table] = []
 
@@ -95,8 +102,8 @@ def parse_documents(batch: pa.Table) -> pa.Table:
 
     # --- vertices (one per doc) --------------------------------------
     def last_of(k: str, default=""):
-        m = kind == k
-        return _scatter_last(n_docs, parent[m], text_np[m], default)
+        m = kind_mask(k)
+        return _scatter_last(n_docs, parent[m], take_text(m), default)
 
     given = last_of(SpanKind.NAME_GIVEN)
     surname = last_of(SpanKind.NAME_SURNAME)
@@ -107,7 +114,7 @@ def parse_documents(batch: pa.Table) -> pa.Table:
     emit(
         "vertex",
         n_docs,
-        id=np.asarray(doc_ids),
+        id=doc_np,
         color=color,
         surname=surname,
         given_name=given,
@@ -118,39 +125,41 @@ def parse_documents(batch: pa.Table) -> pa.Table:
     )
 
     # --- edges (child_parent spans) ----------------------------------
-    cp = kind == SpanKind.CHILD_PARENT
+    cp = kind_mask(SpanKind.CHILD_PARENT)
     n_cp = int(cp.sum())
     if n_cp:
         cp_idx = np.nonzero(cp)[0]
         split = pc.split_pattern(text.take(pa.array(cp_idx)), "|")
-        child = np.asarray(pc.list_element(split, 0))
-        par = np.asarray(pc.list_element(split, 1))
-        rid = np.asarray(pc.list_element(split, 2))
+        child = pc.list_element(split, 0).to_numpy(zero_copy_only=False)
+        par = pc.list_element(split, 1).to_numpy(zero_copy_only=False)
+        rid = pc.list_element(split, 2).to_numpy(zero_copy_only=False)
         emit(
             "edge",
             n_cp,
             source=child,
             destination=par,
             rel_id=rid,
-            src_doc=doc_of[cp],
+            src_doc=doc_np[parent[cp]],
             offset=offset[cp],
-            hop=hop_of[cp],
+            hop=hop_np[parent[cp]],
         )
     else:
         child = par = np.array([], dtype=object)
 
     # --- frontier candidates -----------------------------------------
-    cpl = kind == SpanKind.COUPLE
-    cand = np.concatenate([text_np[cpl], child, par])
-    cand_doc = np.concatenate([doc_of[cpl], doc_of[cp], doc_of[cp]])
+    cpl = kind_mask(SpanKind.COUPLE)
+    cand = np.concatenate([take_text(cpl), child, par])
+    cand_doc = np.concatenate([doc_np[parent[cpl]], doc_np[parent[cp]], doc_np[parent[cp]]])
     cand_off = np.concatenate([offset[cpl], offset[cp], offset[cp]])
-    cand_hop = np.concatenate([hop_of[cpl], hop_of[cp], hop_of[cp]])
+    cand_hop = np.concatenate([hop_np[parent[cpl]], hop_np[parent[cp]], hop_np[parent[cp]]])
     emit("cand", len(cand), cand_id=cand, src_doc=cand_doc, offset=cand_off.astype(np.int32), hop=cand_hop)
 
     # --- media spans --------------------------------------------------
-    md = kind == SpanKind.MEDIA
-    emit("media", int(md.sum()), id=doc_of[md], media_ref=mref[md],
-         src_doc=doc_of[md], offset=offset[md].astype(np.int32), hop=hop_of[md])
+    md = kind_mask(SpanKind.MEDIA)
+    n_md = int(md.sum())
+    mref_taken = flat.field("media_ref").take(pa.array(np.nonzero(md)[0])).to_numpy(zero_copy_only=False)
+    emit("media", n_md, id=doc_np[parent[md]], media_ref=mref_taken,
+         src_doc=doc_np[parent[md]], offset=offset[md].astype(np.int32), hop=hop_np[parent[md]])
 
     if not parts:
         return RECORD_SCHEMA.empty_table()

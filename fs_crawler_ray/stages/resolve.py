@@ -109,17 +109,14 @@ def _left_join_type_override(
         rdf = right.to_pandas()
         ref = _ray.put(rdf)
 
-        class Merge:
-            def __init__(self):
-                self.small = _ray.get(ref)
+        def merge_fn(df: pd.DataFrame) -> pa.Table:
+            small = _ray.get(ref)
+            m = df.merge(small, how="left", left_on=list(on), right_on=list(right_on))
+            m["type"] = m[value_col].where(m[value_col].notna(), m["type"])
+            m = m.drop(columns=[c for c in set(right_on) | {value_col} if c in m.columns and c not in df.columns])
+            return pa.Table.from_pandas(m, preserve_index=False)
 
-            def __call__(self, df: pd.DataFrame) -> pa.Table:
-                m = df.merge(self.small, how="left", left_on=list(on), right_on=list(right_on))
-                m["type"] = m[value_col].where(m[value_col].notna(), m["type"])
-                m = m.drop(columns=[c for c in set(right_on) | {value_col} if c in m.columns and c not in df.columns])
-                return pa.Table.from_pandas(m, preserve_index=False)
-
-        return edges.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+        return edges.map_batches(merge_fn, batch_format="pandas")
 
     j = edges.join(
         right, join_type="left_outer", num_partitions=num_partitions, on=on, right_on=right_on

@@ -104,6 +104,61 @@ class FetchPool:
             ray.kill(a)
 
 
+def put_corpus_refs(documents_path: str):
+    """Broadcast the corpus once: the Arrow table plus a sorted-id
+    lookup (numpy arrays — zero-copy through the object store, unlike a
+    Python dict which would re-deserialize per task)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(documents_path, memory_map=True)
+    ids = np.asarray(table["doc_id"].to_pylist(), dtype="U16")
+    order = np.argsort(ids).astype(np.int64)
+    return ray.put(table), ray.put(ids[order]), ray.put(order)
+
+
+def make_broadcast_fetcher(table_ref, sorted_ids_ref, order_ref, hop: int,
+                           robots: RobotsPolicy | None = None, metrics=None):
+    """Direct (politeness-free) fetch path: a STATELESS map_batches fn
+    that resolves ids against the broadcast corpus in-task — no nested
+    actor RPC, so fetch throughput scales with task parallelism.
+    Politeness-budgeted crawls must use :class:`FetchStage` instead
+    (central token buckets)."""
+
+    def fetch_fn(batch: pa.Table) -> pa.Table:
+        import fs_crawler_ray.model as m
+
+        ids = np.asarray(batch["id"].to_pylist(), dtype="U16")
+        n_in = len(ids)
+        robots_blocked = 0
+        if robots is not None and n_in:
+            allowed = robots.allowed_mask(ids)
+            robots_blocked = int((~allowed).sum())
+            ids = ids[allowed]
+        table = ray.get(table_ref)
+        sorted_ids = ray.get(sorted_ids_ref)
+        order = ray.get(order_ref)
+        pos = np.searchsorted(sorted_ids, ids)
+        pos_c = np.clip(pos, 0, len(sorted_ids) - 1)
+        found = (pos < len(sorted_ids)) & (sorted_ids[pos_c] == ids)
+        rows = order[pos_c[found]]
+        docs = table.take(pa.array(rows))
+        out = docs.append_column("hop", pa.array(np.full(len(docs), hop, dtype=np.int32)))
+        if metrics is not None:
+            metrics.increment.remote({
+                "requests": max(1, int(np.ceil(n_in / 200))),
+                "ids_attempted": n_in,
+                "robots_blocked": robots_blocked,
+                "fetched": len(docs),
+                "missing": int((~found).sum()),
+                "politeness_wait_s": 0.0,
+            })
+        if len(out) == 0:
+            return m.DOCUMENT_SCHEMA.empty_table().append_column("hop", pa.array([], pa.int32()))
+        return out
+
+    return fetch_fn
+
+
 class FetchStage:
     """Stateless map_batches fn: ids batch → docs batch via the pool,
     routed by host so politeness budgets are honored exactly."""

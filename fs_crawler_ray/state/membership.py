@@ -84,6 +84,12 @@ class CuckooFilter:
         self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
         self.count = 0
         self._mask = np.uint64(self.n_buckets - 1)
+        #: cuckoo-with-stash: a failed eviction chain leaves one
+        #: fingerprint in hand that belongs to some PREVIOUSLY inserted
+        #: key — dropping it would create a false negative. It goes to
+        #: the stash, which lookups also consult. Bounded in practice;
+        #: a growing stash means the filter is undersized (see stats).
+        self.stash: set[int] = set()
 
     def _fp(self, h: np.ndarray) -> np.ndarray:
         fp = ((h >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.uint16)
@@ -104,7 +110,10 @@ class CuckooFilter:
         t = self.table
         m1 = (t[i1] == fp[:, None]).any(axis=1)
         m2 = (t[i2] == fp[:, None]).any(axis=1)
-        return m1 | m2
+        out = m1 | m2
+        if self.stash:
+            out |= np.fromiter((int(f) in self.stash for f in fp), dtype=bool, count=len(fp))
+        return out
 
     def add_h(self, h: np.ndarray) -> None:
         fp = self._fp(h)
@@ -121,7 +130,8 @@ class CuckooFilter:
             if len(empt):
                 row[empt[0]] = fp
                 return
-        # evict
+        # evict with bounded kicks; a surviving in-hand fingerprint
+        # (belonging to some earlier key) goes to the stash
         rng_state = int(fp)  # deterministic kicks
         idx = i1
         for kick in range(self.MAX_KICKS):
@@ -134,7 +144,7 @@ class CuckooFilter:
             if len(empt):
                 row[empt[0]] = fp
                 return
-        raise RuntimeError("cuckoo filter full — shard capacity exceeded; resize shards")
+        self.stash.add(int(fp))
 
     def delete_h(self, h: np.ndarray) -> None:
         fp = self._fp(h)
@@ -156,6 +166,7 @@ class CuckooFilter:
 class _NamedSet:
     def __init__(self, capacity: int, mode: str):
         self.mode = mode
+        self.capacity = capacity
         self.exact: set | None = set() if mode == "exact" else None
         self.bloom = BloomFilter(capacity)
         self.cuckoo = CuckooFilter(capacity)
@@ -178,8 +189,8 @@ class _NamedSet:
     def clear(self) -> None:
         if self.exact is not None:
             self.exact = set()
-        self.bloom = BloomFilter(max(self.bloom.count, 1024))
-        self.cuckoo = CuckooFilter(max(self.cuckoo.count, 1024))
+        self.bloom = BloomFilter(self.capacity)
+        self.cuckoo = CuckooFilter(self.capacity)
 
 
 class MembershipShardState:
@@ -283,6 +294,7 @@ class MembershipShardState:
                 "bloom_count": s.bloom.count,
                 "cuckoo_count": s.cuckoo.count,
                 "cuckoo_load": s.cuckoo.count / (s.cuckoo.n_buckets * CuckooFilter.SLOTS),
+                "stash": len(s.cuckoo.stash),
             }
             for name, s in self.sets.items()
         }

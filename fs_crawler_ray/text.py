@@ -65,8 +65,20 @@ def _shingles(text: str, k: int) -> set:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _minhasher(num_perm: int, shingle_k: int, seed: int = 5) -> "MinHasher":
+    """Worker-global cached MinHasher: stateless map tasks rebuild
+    nothing after the first batch on a worker (avoids per-execution
+    actor-pool churn while keeping the setup-once property)."""
+    return MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+
 class MinHasher:
-    """Per-actor state: the permutation parameters (stateful stage)."""
+    """Minhash parameters + signature kernel (cached per worker via
+    :func:`_minhasher`)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 5):
         rng = np.random.RandomState(seed)
@@ -105,12 +117,11 @@ def minhash_lsh_candidates(
     bucket. Pair explosion is bounded per bucket (oversized buckets are
     truncated with a log — hot-bucket salting is the scale lever)."""
     rows_per_band = num_perm // bands
-    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k),
-        batch_format="pandas",
-        concurrency=(1, concurrency),
-    )
+
+    def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _minhasher(num_perm, shingle_k)(df)
+
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(sig_fn, batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ids, band_ids, band_hash = [], [], []
@@ -156,27 +167,22 @@ def ngram_jaccard_verify(
     in by doc_id instead."""
     import ray
 
-    texts_ref = ray.put(dict(zip(
-        docs.select_columns(["doc_id", "text"]).to_pandas()["doc_id"],
-        docs.select_columns(["doc_id", "text"]).to_pandas()["text"],
-    )))
+    tdf = docs.select_columns(["doc_id", "text"]).to_pandas()
+    texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        jac = []
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            sa, sb = _shingles(texts.get(a, ""), shingle_k), _shingles(texts.get(b, ""), shingle_k)
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            jac.append(inter / union)
+        df = df.copy()
+        df["jaccard"] = jac
+        return df[df["jaccard"] >= threshold]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a, b in zip(df["doc_a"], df["doc_b"]):
-                sa, sb = _shingles(self.texts.get(a, ""), shingle_k), _shingles(self.texts.get(b, ""), shingle_k)
-                inter = len(sa & sb)
-                union = len(sa | sb) or 1
-                jac.append(inter / union)
-            df = df.copy()
-            df["jaccard"] = jac
-            return df[df["jaccard"] >= threshold]
-
-    return candidates.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return candidates.map_batches(verify_fn, batch_format="pandas")
 
 
 # ----------------------------------------------------------------------
@@ -204,10 +210,10 @@ class SimHasher:
 
 
 def simhash_fingerprints(ds: ray.data.Dataset, shingle_k: int = 2, concurrency: int = 4) -> ray.data.Dataset:
-    return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, fn_constructor_kwargs=dict(shingle_k=shingle_k),
-        batch_format="pandas", concurrency=(1, concurrency),
-    )
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return SimHasher(shingle_k=shingle_k)(df)
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
 
 
 def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3, shingle_k: int = 2) -> ray.data.Dataset:
@@ -310,9 +316,16 @@ class TextAnalyzer:
         return out
 
 
+@lru_cache(maxsize=1)
+def _analyzer() -> "TextAnalyzer":
+    return TextAnalyzer()
+
+
 def analyze_text(ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 2048) -> ray.data.Dataset:
-    return ds.map_batches(TextAnalyzer, batch_format="pandas",
-                          concurrency=(1, concurrency), batch_size=batch_size)
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _analyzer()(df)  # worker-global cached (regexes compiled once)
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
 
 
 def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -20,7 +20,14 @@ def ray_session():
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # scale exchange width with the (4-cpu) test cluster, not Ray's
+    # 200-partition defaults — same setting bench.py uses
+    ctx.min_parallelism = 8
+    ctx.read_op_min_num_blocks = 8
+    ctx.default_hash_shuffle_parallelism = 8
+    ctx.max_hash_shuffle_aggregators = 4
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)

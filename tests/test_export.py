@@ -136,6 +136,46 @@ def test_vertex_key(golden):
     assert vk[14] == ("ABCD-FAB", "'C', 'E'")
 
 
+def test_builder_protocol_golden(golden):
+    """The pluggable builder protocol (reference AbstractGraphBuilder +
+    merge-interleave read order) reproduces the golden CSR arrays via
+    back-to-front fill, exactly like reference tests/util/test_db_reader.py."""
+    from fs_crawler_ray.stages.export import AbstractGraphBuilder, build_with_builder
+
+    class CsrBuilder(AbstractGraphBuilder):
+        def init_builder(self, nv, ne):
+            self.idx = nv + ne - 1
+            self.val = [0] * (nv + ne)
+            self.col = [0] * (nv + ne)
+            self.row = [0] * (nv + ne)
+            self.genders = [0] * nv
+
+        def add_gender(self, vid, color):
+            self.genders[vid] = color
+
+        def add_vertex(self, vid, color):
+            self.val[self.idx] = color
+            self.row[self.idx] = vid
+            self.col[self.idx] = vid
+            self.idx -= 1
+
+        def add_edge(self, src, dst):
+            self.val[self.idx] = 3 if self.genders[dst] == 1 else 2
+            self.row[self.idx] = src
+            self.col[self.idx] = dst
+            self.idx -= 1
+
+        def build(self):
+            return self.row, self.col, self.val
+
+    verts, edges = golden
+    rows, cols, vals = build_with_builder(verts, edges, CsrBuilder(), hops=4,
+                                          order_cols=["id"], num_partitions=4)
+    r = -1
+    assert vals == [r, 2, 3, r, 3, 2, 1, 3, 2, r, 2, 3, r, 3, 2, 1, 1, r, 3, 2, 1, r, 2, 3, 1, 1, r, r, 1]
+    assert rows == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 7, 7, 7, 8, 9, 9, 9, 10, 11, 12, 13, 14]
+
+
 def test_write_adjacency_shards(golden, tmp_path):
     verts, edges = golden
     out = str(tmp_path / "adj")

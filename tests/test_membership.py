@@ -53,6 +53,22 @@ def test_shard_state_check_and_add(mode):
     assert not s.contains("visited", fresh).any() or mode == "probabilistic"
 
 
+def test_overflow_spill_preserves_correctness():
+    """A probabilistic set pushed past its cuckoo capacity spills to the
+    exact overflow set instead of failing; membership stays correct."""
+    s = MembershipShardState(capacity=256, mode="probabilistic")
+    keys = indices_to_pids(np.arange(4000))  # 15× capacity
+    s.add("visited", keys)
+    assert s.contains("visited", keys).all()  # no false negatives, ever
+    st = s.stats()["visited"]
+    assert st["stash"] > 0  # the overload spilled into the stash
+    # clear() restores ORIGINAL capacity (regression: it used to shrink
+    # to the previous count, overflowing the next epoch)
+    s.clear("visited")
+    s.add("visited", indices_to_pids(np.arange(100)))
+    assert s.contains("visited", indices_to_pids(np.arange(100))).all()
+
+
 def test_shard_state_in_batch_duplicates():
     s = MembershipShardState(mode="exact")
     keys = np.array(["AAAA-001", "AAAA-002", "AAAA-001", "AAAA-003", "AAAA-002"])

@@ -1,0 +1,69 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fs_crawler_ray.relops import (
+    broadcast_semi_join,
+    dedup_keep_first,
+    distinct,
+    lookup_join,
+    semi_anti_join,
+)
+
+
+def _ds(df):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_dedup_keep_first_deterministic():
+    rng = np.random.RandomState(0)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 300, n),          # hot keys included
+        "o1": rng.randint(0, 10, n),
+        "o2": np.arange(n),
+        "v": rng.rand(n),
+    })
+    out = dedup_keep_first(_ds(df), ["k"], ["o1", "o2"], num_buckets=8).to_pandas()
+    exp = df.sort_values(["o1", "o2"]).drop_duplicates("k", keep="first")
+    got = out.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_distinct_representative_is_min_row():
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 2], "p": [5, 3, 9, 1, 4]})
+    out = distinct(_ds(df), ["k"], num_buckets=4).to_pandas().sort_values("k")
+    assert out["p"].tolist() == [3, 1]  # smallest full row per key
+
+
+def test_semi_anti_join_broadcast():
+    left = _ds(pd.DataFrame({"a": [1, 2, 3, 4, 5]}))
+    right = _ds(pd.DataFrame({"b": [2, 4]}))
+    semi = semi_anti_join(left, right, "a", "b", anti=False).to_pandas()
+    anti = semi_anti_join(left, right, "a", "b", anti=True).to_pandas()
+    assert sorted(semi["a"]) == [2, 4]
+    assert sorted(anti["a"]) == [1, 3, 5]
+
+
+def test_semi_anti_join_empty_right():
+    left = _ds(pd.DataFrame({"a": [1, 2]}))
+    right = _ds(pd.DataFrame({"b": pd.Series(dtype=np.int64)}))
+    assert semi_anti_join(left, right, "a", "b", anti=True).count() == 2
+    assert semi_anti_join(left, right, "a", "b", anti=False).count() == 0
+
+
+def test_lookup_join_inner_and_left():
+    left = _ds(pd.DataFrame({"a": [1, 2, 3], "x": ["p", "q", "r"]}))
+    right = _ds(pd.DataFrame({"b": [1, 3], "y": ["Y1", "Y3"]}))
+    inner = lookup_join(left, right, "a", "b", how="inner").to_pandas().sort_values("a")
+    assert inner["y"].tolist() == ["Y1", "Y3"]
+    left_j = lookup_join(left, right, "a", "b", how="left").to_pandas().sort_values("a")
+    assert left_j["y"].fillna("-").tolist() == ["Y1", "-", "Y3"]
+
+
+def test_broadcast_semi_join_strings():
+    left = _ds(pd.DataFrame({"id": ["A", "B", "C"]}))
+    out = broadcast_semi_join(left, ["B", "C"], "id").to_pandas()
+    assert sorted(out["id"]) == ["B", "C"]
