@@ -22,8 +22,8 @@ The reference's post-crawl pass (``fsapi.py:224-235``):
 Ray mapping: the per-source grouping shuffles by a HASH BUCKET of
 source (all rows of a source land in one bucket; vectorized pandas
 inside — no per-group Python call), classification/update application
-are distributed hash joins (``Dataset.join``), and the resolve fetch is
-an actor pool (``RelFetcher``).
+are size-aware joins (broadcast below ``BROADCAST_LIMIT``), and the
+resolve fetch resolves in-task against the broadcast relationship store.
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ import ray.data
 
 from fs_crawler_ray.model import PRIMARY_EDGE_TYPES, RelationshipType
 from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, distinct
-from fs_crawler_ray.stages.fetch import RelFetcher
+
 
 ASSUMED = RelationshipType.ASSUMED_BIOLOGICAL.value
 RESOLVE = RelationshipType.RESOLVE.value
@@ -147,16 +147,34 @@ def fetch_resolve_updates(
 ) -> ray.data.Dataset:
     """Distinct Resolve rel ids → relationship store → update rows
     (source, destination, new_type)."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
     to_resolve = classification.map_batches(
         lambda t: t.filter(pc.equal(t["rtype"], RESOLVE)), batch_format="pyarrow"
     ).select_columns(["rel_id"]).rename_columns({"rel_id": "id"})
-    rel_docs = to_resolve.map_batches(
-        RelFetcher,
-        fn_constructor_kwargs=dict(relationships_path=relationships_path, metrics=metrics),
-        batch_size=200,  # ≤200 concurrent relationship requests (fsapi.py:26)
-        concurrency=(1, fetch_concurrency),
-        batch_format="pyarrow",
-    )
+
+    # broadcast the relationship store once; resolve lookups run in-task
+    # (same pattern as the direct corpus fetch — no per-execution actor
+    # pool; RelFetcher remains for politeness-budgeted deployments)
+    rel_table = pq.read_table(relationships_path, memory_map=True)
+    rel_ids_np = np.asarray(rel_table["rel_id"].to_pylist(), dtype="U16")
+    order = np.argsort(rel_ids_np).astype(np.int64)
+    tref = _ray.put(rel_table)
+    sref = _ray.put(rel_ids_np[order])
+    oref = _ray.put(order)
+
+    def rel_fetch_fn(batch: pa.Table) -> pa.Table:
+        t = _ray.get(tref)
+        sorted_ids = _ray.get(sref)
+        ordr = _ray.get(oref)
+        ids = np.asarray(batch["id"].to_pylist(), dtype="U16")
+        pos = np.searchsorted(sorted_ids, ids)
+        pos_c = np.clip(pos, 0, max(0, len(sorted_ids) - 1))
+        found = (pos < len(sorted_ids)) & (sorted_ids[pos_c] == ids) if len(sorted_ids) else np.zeros(len(ids), bool)
+        return t.take(pa.array(ordr[pos_c[found]]))
+
+    rel_docs = to_resolve.map_batches(rel_fetch_fn, batch_format="pyarrow", batch_size=4096)
 
     def expand(t: pa.Table) -> pa.Table:
         srcs, dsts, types, rids = [], [], [], []
