@@ -32,7 +32,27 @@ from fs_crawler_ray.stages.validate import birth_year_from_lifespan, validate
 CRAWL_HOPS = 5
 
 
+def _tune_context() -> None:
+    """Scale Ray Data exchange widths with the cluster instead of the
+    200-partition defaults (safe to call in the driver's session — it
+    only affects execution shape, never results)."""
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        return
+    ctx = DataContext.get_current()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(8, cpus)
+    if ctx.min_parallelism > width:
+        ctx.min_parallelism = width
+        ctx.read_op_min_num_blocks = width
+        ctx.default_hash_shuffle_parallelism = width
+        ctx.max_hash_shuffle_aggregators = max(4, cpus // 2)
+
+
 def corpus_and_crawl(sf_dir: str) -> tuple[CorpusInfo, CrawlResult]:
+    _tune_context()
     info = corpus_for_sf(sf_dir)
     out_dir = os.path.join(info.out_dir, f"crawl_h{CRAWL_HOPS}")
     try:
