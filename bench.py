@@ -6,10 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "urls_per_sec": ..., "crawl_stats": {...}}
 
---scaling: runs the bench twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input and reports both throughputs plus the
-N→4N scaling efficiency (the sandbox evidence for the two-cluster-size
-criterion; see BASELINE.md).
+--scaling: runs the bench twice in fresh processes at num_cpus=N and
+num_cpus=4N on the same input (N from $GRAFT_SCALE_LO, 4N from
+$GRAFT_SCALE_HI; defaults 2 and 8 — the largest N→4N pair whose upper
+size this VM's memory bus can feed, see BASELINE.md) and reports both
+throughputs plus the N→4N scaling efficiency (the sandbox evidence for
+the two-cluster-size criterion).
 
 Run from the repo root (Ray workers resolve fs_crawler_ray via cwd).
 """

@@ -50,7 +50,7 @@ import ray
 import ray.data
 
 from fs_crawler_ray.corpus import CorpusInfo
-from fs_crawler_ray.ids import is_valid_pid
+from fs_crawler_ray.ids import as_key_array, is_valid_pid
 from fs_crawler_ray.model import EDGE_SCHEMA, FRONTIER_SCHEMA, VERTEX_SCHEMA, RelationshipType
 from fs_crawler_ray.relops import dedup_keep_first, distinct
 from fs_crawler_ray.stages.fetch import PolitenessBudget
@@ -151,7 +151,7 @@ class MembershipFilter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        keys = as_key_array(batch[self.column])
         present = self.sm.contains_any(self.names, keys)
         return batch.filter(pa.array(present if self.keep_present else ~present))
 
@@ -165,7 +165,7 @@ class MembershipAdd:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        keys = as_key_array(batch[self.column])
         self.sm.add(self.name, keys)
         return pa.table({"n": pa.array([len(keys)], pa.int64())})
 
@@ -184,7 +184,7 @@ class FilterAndRegister:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        keys = as_key_array(batch[self.column])
         present = self.sm.contains_any(self.check_names, keys)
         kept = keys[~present]
         if len(kept):
@@ -203,7 +203,7 @@ class RegisterPassthrough:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch):
-            self.sm.add(self.name, batch[self.column].to_numpy(zero_copy_only=False))
+            self.sm.add(self.name, as_key_array(batch[self.column]))
         return batch
 
 
@@ -219,7 +219,7 @@ class EdgeSeenFilter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        keys = batch[self.column].to_numpy(zero_copy_only=False)
+        keys = as_key_array(batch[self.column])
         present = self.sm.check_and_add_deferred(EDGES, keys)
         return batch.filter(pa.array(~present))
 
@@ -330,9 +330,9 @@ class Crawler:
                                           metrics=self.metrics)
         return FetchStage(self.pool, hop)
 
-    def _fetch_counters(self) -> dict:
+    def _fetch_counters(self, hop: int | None = None) -> dict:
         if self.direct:
-            return ray.get(self.metrics.reset_counters.remote())
+            return ray.get(self.metrics.reset_counters.remote(hop))
         return self.pool.reset()
 
     def shutdown(self) -> None:
@@ -589,7 +589,7 @@ class Crawler:
             _mark("log_classify", tick)
             lineage = {
                 "hop": hop,
-                "fetch": self._fetch_counters(),
+                "fetch": self._fetch_counters(hop),
                 "shards": self.sm.stats(),
                 "stage_seconds": stage_t,
                 "records": n_records,
@@ -628,8 +628,8 @@ class Crawler:
         sm = self.sm
 
         def classify(batch: pa.Table) -> pa.Table:
-            src_in = sm.contains(VISITED, batch["source"].to_numpy(zero_copy_only=False))
-            dst_in = sm.contains(VISITED, batch["destination"].to_numpy(zero_copy_only=False))
+            src_in = sm.contains(VISITED, as_key_array(batch["source"]))
+            dst_in = sm.contains(VISITED, as_key_array(batch["destination"]))
             within = int((src_in & dst_in).sum())
             frontier = int((~src_in & ~dst_in).sum())
             return pa.table(

@@ -65,11 +65,48 @@ def indices_to_pids(idx: np.ndarray) -> np.ndarray:
     return np.array(["".join(row) for row in out])
 
 
-def _to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
-    """Strings → (N, maxlen) uint8 matrix + lengths, for vectorized hashing."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+def as_key_array(values) -> np.ndarray:
+    """Arrow/numpy/list strings → numpy array suitable for key ops.
+
+    Fast path: a fixed-width ASCII Arrow string column (person ids, rel
+    ids, edge keys) becomes a zero-copy ``S<w>`` bytes view of the Arrow
+    data buffer — no per-row Python string materialization. Fallback is
+    the usual object→unicode array. ``stable_hash64`` produces identical
+    hashes for both representations of the same ASCII strings."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array) and pa.types.is_string(values.type) and values.null_count == 0:
+        n = len(values)
+        if n == 0:
+            return np.zeros(0, dtype="S1")
+        offs = np.frombuffer(values.buffers()[1], dtype=np.int32,
+                             count=n + 1, offset=values.offset * 4)
+        w = int(offs[1] - offs[0])
+        if w > 0 and (np.diff(offs) == w).all():
+            data = values.buffers()[2]
+            return np.frombuffer(data, dtype=f"S{w}", count=n, offset=int(offs[0]))
         values = values.to_numpy(zero_copy_only=False)
-    arr = np.asarray(values, dtype="U")
+    if isinstance(values, pa.Array):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("S", "U"):
+        return arr
+    return arr.astype("U")
+
+
+def _to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
+    """Strings → (N, width) uint code-unit matrix + lengths, for
+    vectorized hashing. Accepts unicode arrays (UTF-32 view) and the
+    ``S`` fixed-byte fast path of :func:`as_key_array` (uint8 view —
+    identical code units for ASCII)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = as_key_array(values)
+    arr = np.asarray(values)
+    if arr.dtype.kind == "S":
+        u8 = np.frombuffer(arr.tobytes(), dtype=np.uint8).reshape(len(arr), -1)
+        lengths = (u8 != 0).sum(axis=1)
+        return u8.astype(np.uint32), lengths
+    arr = np.asarray(arr, dtype="U")
     # Encode via UTF-32 view → keep low byte (ids are ASCII; general
     # strings still hash stably since we fold all 4 bytes).
     u32 = arr.view(np.uint32).reshape(len(arr), -1)
@@ -83,6 +120,8 @@ def stable_hash64(values, seed: int = 0) -> np.ndarray:
     FNV-1a over UTF-32 code units, with a seed mixed in. Returns
     ``np.uint64`` array. O(maxlen) vectorized passes over all rows.
     """
+    if hasattr(values, "__len__") and len(values) == 0:
+        return np.zeros(0, dtype=np.uint64)
     u32, lengths = _to_bytes_matrix(values)
     n, width = u32.shape
     h = np.full(n, _FNV_OFFSET ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF), dtype=np.uint64)

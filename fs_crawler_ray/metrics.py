@@ -17,11 +17,19 @@ import ray
 class MetricsActor:
     def __init__(self):
         self.counters: dict[str, float] = defaultdict(float)
+        #: per-hop counter buckets: fire-and-forget increments from map
+        #: tasks are tagged with their hop, so a late-arriving delta can
+        #: never be attributed to the wrong hop's lineage row (it lands
+        #: in its own hop's bucket even if that hop's snapshot was
+        #: already taken).
+        self.by_hop: dict[int | None, dict[str, float]] = {}
         self.lineage: list[dict] = []
 
-    def increment(self, deltas: dict[str, float]) -> None:
+    def increment(self, deltas: dict[str, float], hop: int | None = None) -> None:
+        bucket = self.by_hop.setdefault(hop, defaultdict(float))
         for k, v in deltas.items():
             self.counters[k] += v
+            bucket[k] += v
 
     def add_lineage(self, row: dict) -> None:
         self.lineage.append(row)
@@ -32,7 +40,12 @@ class MetricsActor:
     def lineage_rows(self) -> list[dict]:
         return list(self.lineage)
 
-    def reset_counters(self) -> dict:
+    def reset_counters(self, hop: int | None = None) -> dict:
+        """Snapshot-and-clear. With ``hop``, only that hop's bucket is
+        returned/cleared (hop-accurate lineage); without, the totals."""
+        if hop is not None:
+            return dict(self.by_hop.pop(hop, {}))
         out = dict(self.counters)
         self.counters = defaultdict(float)
+        self.by_hop = {}
         return out

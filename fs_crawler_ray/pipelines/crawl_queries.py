@@ -139,15 +139,19 @@ def hop_filtered_vertices(sf_dir: str, hops: int = 3) -> pd.DataFrame:
 def edge_classification_counts(sf_dir: str) -> pd.DataFrame:
     """J1/A2 over the final graph: every edge × endpoint membership."""
     _, result = corpus_and_crawl(sf_dir)
-    vert_ids = frozenset(r["id"] for r in result.vertices().select_columns(["id"]).take_all())
     import ray as _ray
 
-    ref = _ray.put(vert_ids)
+    # vertex-id set broadcast once as an Arrow array; membership via the
+    # pc.is_in kernel (one call per endpoint column, no Python row loop).
+    # For sets too big to broadcast, use the membership shard actors
+    # (crawl.MembershipFilter) instead.
+    vert_ids = result.vertices().select_columns(["id"]).to_pandas()["id"]
+    ref = _ray.put(pa.array(vert_ids.to_numpy()))
 
     def classify(t: pa.Table) -> pa.Table:
         ids = _ray.get(ref)
-        src_in = np.fromiter((s in ids for s in t["source"].to_pylist()), dtype=bool, count=len(t))
-        dst_in = np.fromiter((s in ids for s in t["destination"].to_pylist()), dtype=bool, count=len(t))
+        src_in = pc.is_in(t["source"], value_set=ids).to_numpy(zero_copy_only=False)
+        dst_in = pc.is_in(t["destination"], value_set=ids).to_numpy(zero_copy_only=False)
         cat = np.select([src_in & dst_in, ~src_in & ~dst_in], ["within", "frontier"], "spanning")
         return pa.table({"category": pa.array(cat.tolist(), pa.string())})
 

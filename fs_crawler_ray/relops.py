@@ -20,6 +20,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -103,13 +104,15 @@ def broadcast_semi_join(
     # plasma-local after first access, and stateless tasks avoid
     # per-execution actor-pool startup/teardown churn (measured: actor
     # pools made small executions 2-3× slower on wide clusters)
-    ref = ray.put(frozenset(keys))
+    arr = np.asarray(list(keys) if not isinstance(keys, np.ndarray) else keys)
+    if arr.dtype.kind == "S":
+        arr = arr.astype("U")
+    ref = ray.put(pa.array(np.unique(arr).astype("U")))
 
     def filt(batch: pa.Table) -> pa.Table:
-        keyset = ray.get(ref)
-        vals = batch[column].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((v in keyset for v in vals), dtype=bool, count=len(vals))
-        return batch.filter(pa.array(~mask if anti else mask))
+        value_set = ray.get(ref)  # plasma-local after first access
+        mask = pc.is_in(batch[column], value_set=value_set)
+        return batch.filter(pc.invert(mask) if anti else mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
 

@@ -234,6 +234,12 @@ def save_valid_graph(
 
     inv_rel = semi_anti_join(edges, invalid, "source", "source", anti=False,
                              num_partitions=num_partitions).select_columns(["source", "id"])
+    # the reference emits a deduplicated (child, rel) set via its
+    # child_to_rel dict (graph_validator.py:220-225) — a two-parent
+    # relationship must not produce duplicate rows
+    from fs_crawler_ray.relops import distinct
+
+    inv_rel = distinct(inv_rel, ["source", "id"], num_partitions)
     ipath = os.path.join(out_dir, "invalid.edges.parquet")
     inv_rel.write_parquet(ipath)
     return {"vertices": vpath, "edges": epath, "invalid": ipath}

@@ -151,7 +151,7 @@ def make_broadcast_fetcher(table_ref, sorted_ids_ref, order_ref, hop: int,
                 "fetched": len(docs),
                 "missing": int((~found).sum()),
                 "politeness_wait_s": 0.0,
-            })
+            }, hop)
         if len(out) == 0:
             return m.DOCUMENT_SCHEMA.empty_table().append_column("hop", pa.array([], pa.int32()))
         return out

@@ -87,9 +87,11 @@ class CuckooFilter:
         #: cuckoo-with-stash: a failed eviction chain leaves one
         #: fingerprint in hand that belongs to some PREVIOUSLY inserted
         #: key — dropping it would create a false negative. It goes to
-        #: the stash, which lookups also consult. Bounded in practice;
-        #: a growing stash means the filter is undersized (see stats).
-        self.stash: set[int] = set()
+        #: the stash as BOTH of its (bucket, fingerprint) addressings
+        #: (the alternate bucket is derivable from either), which lookups
+        #: and deletes consult. Bounded in practice; a growing stash
+        #: means the filter is undersized (see stats).
+        self.stash: set[tuple[int, int]] = set()
 
     def _fp(self, h: np.ndarray) -> np.ndarray:
         fp = ((h >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.uint16)
@@ -112,16 +114,49 @@ class CuckooFilter:
         m2 = (t[i2] == fp[:, None]).any(axis=1)
         out = m1 | m2
         if self.stash:
-            out |= np.fromiter((int(f) in self.stash for f in fp), dtype=bool, count=len(fp))
+            miss = np.nonzero(~out)[0]
+            for j in miss:
+                if (int(i1[j]), int(fp[j])) in self.stash:
+                    out[j] = True
         return out
 
     def add_h(self, h: np.ndarray) -> None:
-        fp = self._fp(h)
-        i1 = self._i1(h)
+        """Vectorized insert. Already-present fingerprints are skipped
+        (idempotent under Ray task retries — ``count`` tracks distinct
+        keys up to fingerprint collisions, so the LOG's probabilistic
+        vertex count no longer drifts on retried adds). The ~95%
+        no-collision case is a masked scatter; only eviction chains drop
+        to the per-key loop."""
+        fp_all = self._fp(h)
+        i1_all = self._i1(h)
+        todo = ~self.contains_h(h)
+        if not todo.any():
+            return
+        fp, i1 = fp_all[todo], i1_all[todo]
+        # in-batch dedup of identical (bucket, fingerprint) insertions
+        pair_key = (i1.astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+        _, first = np.unique(pair_key, return_index=True)
+        fp, i1 = fp[first], i1[first]
         i2 = self._i2(i1, fp)
-        for j in range(len(h)):
+        n = len(fp)
+        inserted = np.zeros(n, dtype=bool)
+        for buckets in (i1, i2):
+            rem = np.nonzero(~inserted)[0]
+            if len(rem) == 0:
+                break
+            idxs = buckets[rem]
+            # one write per bucket per pass (avoid scatter conflicts)
+            _, first_in_bucket = np.unique(idxs, return_index=True)
+            cand = rem[first_in_bucket]
+            rows = self.table[buckets[cand]]
+            has_empty = (rows == 0).any(axis=1)
+            slot = (rows == 0).argmax(axis=1)
+            ok = cand[has_empty]
+            self.table[buckets[ok], slot[has_empty]] = fp[ok]
+            inserted[ok] = True
+        for j in np.nonzero(~inserted)[0]:
             self._insert_one(int(i1[j]), int(i2[j]), np.uint16(fp[j]))
-        self.count += len(h)
+        self.count += n
 
     def _insert_one(self, i1: int, i2: int, fp: np.uint16) -> None:
         for idx in (i1, i2):
@@ -144,7 +179,12 @@ class CuckooFilter:
             if len(empt):
                 row[empt[0]] = fp
                 return
-        self.stash.add(int(fp))
+        self._stash_add(idx, int(fp))
+
+    def _stash_add(self, idx: int, fp: int) -> None:
+        alt = int(self._i2(np.array([idx]), np.array([fp], dtype=np.uint16))[0])
+        self.stash.add((idx, fp))
+        self.stash.add((alt, fp))
 
     def delete_h(self, h: np.ndarray) -> None:
         fp = self._fp(h)
@@ -158,6 +198,13 @@ class CuckooFilter:
                     row[hit[0]] = 0
                     self.count -= 1
                     break
+            else:
+                pair = (int(i1[j]), int(fp[j]))
+                if pair in self.stash:
+                    alt = (int(i2[j]), int(fp[j]))
+                    self.stash.discard(pair)
+                    self.stash.discard(alt)
+                    self.count -= 1
 
 
 # ----------------------------------------------------------------------
@@ -266,8 +313,7 @@ class MembershipShardState:
             return np.zeros(0, dtype=bool)
         present = self.contains(name, keys)
         pend = self._pending.setdefault(name, set())
-        for k in keys[~present]:
-            pend.add(str(k))
+        pend.update(keys[~present].tolist())  # native str/bytes scalars
         return present
 
     def commit(self, name: str) -> int:
