@@ -316,8 +316,13 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
 
     documents_path = os.path.join(out_dir, "documents.parquet")
     relationships_path = os.path.join(out_dir, "relationships.parquet")
-    pq.write_table(doc_table, documents_path, row_group_size=64 * 1024)
-    pq.write_table(rel_table, relationships_path)
+    # Small row groups ARE the fetch partitioning: both tables are
+    # globally sorted by their key (ids are creation-ordered), so each
+    # row group is a contiguous key range that the RangeStore point
+    # lookups resolve partition-locally (doc_table.py). ~4k rows ≈ a few
+    # MB with narrative payloads — the Lance-fragment-sized unit.
+    pq.write_table(doc_table, documents_path, row_group_size=4096)
+    pq.write_table(rel_table, relationships_path, row_group_size=4096)
 
     # seeds: late-generation persons (BFS walks up ancestors + across
     # couples), deterministic: last n_seeds persons that have documents.
@@ -347,6 +352,10 @@ _NARRATIVE_VOCAB = np.array(
 
 _CACHE_ROOT = "/tmp/fsray_corpus"
 
+#: bump when generation logic, spec defaults or file layout change —
+#: keeps corpus_for_sf cache dirs from serving stale corpora.
+CORPUS_VERSION = 2
+
 
 def corpus_for_sf(
     sf_dir: str,
@@ -366,7 +375,7 @@ def corpus_for_sf(
     suffix = f"_k{n_seeds}" if n_seeds != 2 else ""
     if narrative_words:
         suffix += f"_w{narrative_words}"
-    out_dir = os.path.join(cache_root, f"{tag}_n{n_persons}_s{seed}{suffix}")
+    out_dir = os.path.join(cache_root, f"{tag}_n{n_persons}_s{seed}{suffix}_v{CORPUS_VERSION}")
     meta = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta):
         try:

@@ -302,16 +302,15 @@ class Crawler:
         )
         # Two fetch modes: with a politeness budget the token buckets
         # must be central → persistent host-routed actor pool; without
-        # one, fetch resolves against the ray.put-broadcast corpus
-        # in-task (no nested RPC — scales with task parallelism).
+        # one, fetch resolves partition-locally in-task against the
+        # row-group range store (no nested RPC, no corpus broadcast —
+        # scales with task parallelism AND corpus size).
         self.direct = self.config.politeness is None or self.config.politeness.rate_per_host <= 0
         if self.direct:
             from fs_crawler_ray.metrics import MetricsActor
-            from fs_crawler_ray.state.fetch_service import put_corpus_refs
 
             self.pool = None
             self.metrics = MetricsActor.remote()
-            self._corpus_refs = put_corpus_refs(corpus.documents_path)
         else:
             self.pool = FetchPool(
                 corpus.documents_path,
@@ -323,10 +322,10 @@ class Crawler:
 
     def _fetch_stage(self, hop: int):
         if self.direct:
-            from fs_crawler_ray.state.fetch_service import make_broadcast_fetcher
+            from fs_crawler_ray.state.fetch_service import make_partition_fetcher
 
-            t, s, o = self._corpus_refs
-            return make_broadcast_fetcher(t, s, o, hop, robots=self.config.robots,
+            return make_partition_fetcher(self.corpus.documents_path, hop,
+                                          robots=self.config.robots,
                                           metrics=self.metrics)
         return FetchStage(self.pool, hop)
 
@@ -436,27 +435,34 @@ class Crawler:
 
             tick = [time.time()]
 
-            # 1. visited-filter + processing registration (fused) → checkpoint
+            # 1. visited-filter + processing registration (fused) →
+            # checkpoint, written SORTED BY ID: the id sort is the range
+            # routing for the partition-local fetch (each fetch task gets
+            # a contiguous id range → 1-2 corpus row groups / Lance
+            # fragments), and it makes the canonical visit order (O5)
+            # physical.
             proc_path = os.path.join(hop_dir, "processing.parquet")
-            eligible = frontier.map_batches(
-                FilterAndRegister(self.sm, [VISITED], PROCESSING, "id"),
-                batch_format="pyarrow",
-            )
             remainder = None
-            if cfg.frontier_budget is not None:
+            if cfg.frontier_budget is None:
+                eligible = frontier.map_batches(
+                    FilterAndRegister(self.sm, [VISITED], PROCESSING, "id"),
+                    batch_format="pyarrow",
+                )
+            else:
                 # sharded priority queue: take the best `budget` ids by
                 # (priority, id); carry the rest to the next frontier.
-                # NOTE: FilterAndRegister registers ALL eligible ids into
-                # PROCESSING before the split, so deregister the tail by
-                # re-clearing and re-registering the head below.
-                ordered = eligible.sort(["priority", "id"]).materialize()
+                # Registration into PROCESSING happens on the head only,
+                # AFTER the split (no register/clear/re-register churn).
+                filtered = frontier.map_batches(
+                    MembershipFilter(self.sm, [VISITED], "id"), batch_format="pyarrow"
+                )
+                ordered = filtered.sort(["priority", "id"]).materialize()
                 head, tail = ordered.split_at_indices([cfg.frontier_budget])
-                self.sm.clear(PROCESSING)
                 eligible = head.map_batches(
                     RegisterPassthrough(self.sm, PROCESSING, "id"), batch_format="pyarrow"
                 )
                 remainder = tail
-            _safe_write(eligible, proc_path, FRONTIER_SCHEMA)
+            _safe_write(eligible.sort("id"), proc_path, FRONTIER_SCHEMA)
             _mark("frontier_filter", tick)
 
             # 2. fetch (persistent pool: politeness + robots) → parse

@@ -6,49 +6,147 @@ deployment scale — ``lance.dataset(...).take`` for point lookups and
 ``ray.data.read_lance`` for scans; the ``lance`` package is not
 installed here).
 
-``DocStore`` is the sandbox stand-in for the crawl's remote fetch
-(reference ``fscrawler/controller/session.py:109-132`` HTTP GETs): a
-batched point-lookup of doc_ids against the corpus. It memory-maps the
-Parquet file once per process/actor (``__init__``-time state per the
-actor-pool pattern) and serves ``fetch(ids)`` via a hash index +
-``Table.take`` — zero-copy Arrow out.
+``RangeStore`` is the partition-local point-lookup primitive: the
+corpus file is globally sorted by its key column, so each parquet row
+group is a contiguous key RANGE. The store keeps only the row-group
+range index (from parquet footer statistics — bytes, not data) and
+loads row groups lazily into a small LRU cache. A fetch touches ONLY
+the row groups owning its ids — the 10^10-doc analog is a Lance
+fragment ``take``; nothing ever broadcasts or loads the whole corpus
+(the round-1 design did, which was the #1 scale defect).
+
+``DocStore``/``RelStore`` are the sandbox stand-ins for the crawl's
+remote fetch (reference ``fscrawler/controller/session.py:109-132``
+HTTP GETs / ``fsapi.py:99-101`` relationship requests): batched point
+lookups of ids against the corpus. Route sorted id batches at them
+(the crawl writes its processing set id-sorted) and each batch resolves
+against 1-2 row groups.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from fs_crawler_ray.ids import as_key_array
+
 
 def read_documents(path: str, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, **kwargs)
+
+
+class RangeStore:
+    """Row-group-range-partitioned point lookup over a key-sorted
+    parquet file. Holds the range index only; row groups load on demand
+    (memory-mapped) into an LRU of ``max_cached`` row groups."""
+
+    def __init__(self, path: str, key_col: str, max_cached: int = 16):
+        self.path = path
+        self.key_col = key_col
+        self.pf = pq.ParquetFile(path, memory_map=True)
+        md = self.pf.metadata
+        self.n_rows = md.num_rows
+        # leaf-column index of the (top-level) key column
+        self._leaf_idx = None
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == key_col:
+                    self._leaf_idx = i
+                    break
+        mins, maxs = [], []
+        if self._leaf_idx is not None:
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(self._leaf_idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(f"{path}: no min/max statistics for {key_col}")
+                mins.append(st.min if isinstance(st.min, bytes) else str(st.min).encode())
+                maxs.append(st.max if isinstance(st.max, bytes) else str(st.max).encode())
+        self.rg_min = np.array(mins, dtype="S") if mins else np.zeros(0, dtype="S1")
+        self.rg_max = np.array(maxs, dtype="S") if maxs else np.zeros(0, dtype="S1")
+        self._cache: OrderedDict[int, tuple[np.ndarray, pa.Table]] = OrderedDict()
+        self._max_cached = max_cached
+
+    def __len__(self) -> int:
+        return self.n_rows
+
+    def _load(self, rg: int) -> tuple[np.ndarray, pa.Table]:
+        hit = self._cache.get(rg)
+        if hit is not None:
+            self._cache.move_to_end(rg)
+            return hit
+        tbl = self.pf.read_row_group(rg)
+        keys = as_key_array(tbl[self.key_col])
+        if keys.dtype.kind == "U":
+            keys = keys.astype("S")
+        entry = (keys, tbl)
+        self._cache[rg] = entry
+        while len(self._cache) > self._max_cached:
+            self._cache.popitem(last=False)
+        return entry
+
+    def fetch(self, ids: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+        """ids → (rows for the found ids, found mask aligned to input).
+
+        Missing ids are simply absent from the result — the reference
+        treats unfetchable persons as silently unresolved
+        (``fsapi.py:139-143`` only processes returned persons). Output
+        rows are grouped by owning row group (≈ key-sorted), not input
+        order; all consumers key on the id column.
+        """
+        ids = np.asarray(ids)
+        n = len(ids)
+        found = np.zeros(n, dtype=bool)
+        if n == 0 or self.n_rows == 0 or len(self.rg_max) == 0:
+            return self.pf.schema_arrow.empty_table(), found
+        ids_b = ids.astype("S") if ids.dtype.kind == "U" else ids
+        if ids_b.dtype.itemsize != self.rg_max.dtype.itemsize:
+            w = max(ids_b.dtype.itemsize, self.rg_max.dtype.itemsize)
+            ids_b = ids_b.astype(f"S{w}")
+        rg_max = self.rg_max.astype(ids_b.dtype)
+        rg_of = np.searchsorted(rg_max, ids_b, side="left")
+        in_range = rg_of < len(rg_max)
+        parts: list[pa.Table] = []
+        for rg in np.unique(rg_of[in_range]):
+            sel = np.nonzero(rg_of == rg)[0]
+            keys, tbl = self._load(int(rg))
+            want = ids_b[sel].astype(keys.dtype)
+            pos = np.searchsorted(keys, want)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            ok = (pos < len(keys)) & (keys[pos_c] == want)
+            if ok.any():
+                parts.append(tbl.take(pa.array(pos_c[ok])))
+                found[sel[ok]] = True
+        if not parts:
+            return self.pf.schema_arrow.empty_table(), found
+        return pa.concat_tables(parts), found
+
+
+@lru_cache(maxsize=8)
+def open_range_store(path: str, key_col: str) -> RangeStore:
+    """Worker-global store cache: stateless map tasks share one range
+    index + row-group LRU per (path, key) per worker process — the
+    setup-once property of an actor pool without pinning the stage to
+    actors."""
+    return RangeStore(path, key_col)
 
 
 class DocStore:
     """Point-lookup view of the document corpus (the synthetic "web")."""
 
     def __init__(self, documents_path: str):
-        self.table = pq.read_table(documents_path, memory_map=True)
-        ids = self.table["doc_id"].to_numpy(zero_copy_only=False)
-        self._index = {d: i for i, d in enumerate(ids)}
+        self.store = RangeStore(documents_path, "doc_id")
 
     def __len__(self) -> int:
-        return len(self.table)
+        return len(self.store)
 
     def fetch(self, ids: np.ndarray) -> tuple[pa.Table, np.ndarray]:
-        """ids → (docs table for the found ids, found mask).
-
-        Missing ids are simply absent from the result — the reference
-        treats unfetchable persons as silently unresolved (they stay out
-        of the graph; ``fsapi.py:139-143`` only processes returned
-        persons).
-        """
-        idx = np.array([self._index.get(d, -1) for d in ids], dtype=np.int64)
-        found = idx >= 0
-        docs = self.table.take(pa.array(idx[found]))
-        return docs, found
+        return self.store.fetch(ids)
 
 
 class RelStore:
@@ -56,10 +154,8 @@ class RelStore:
     resolve-phase "API", reference ``fsapi.py:99-101``)."""
 
     def __init__(self, relationships_path: str):
-        self.table = pq.read_table(relationships_path, memory_map=True)
-        ids = self.table["rel_id"].to_numpy(zero_copy_only=False)
-        self._index = {d: i for i, d in enumerate(ids)}
+        self.store = RangeStore(relationships_path, "rel_id")
 
     def fetch(self, rel_ids: np.ndarray) -> pa.Table:
-        idx = np.array([self._index.get(d, -1) for d in rel_ids], dtype=np.int64)
-        return self.table.take(pa.array(idx[idx >= 0]))
+        tbl, _found = self.store.fetch(np.asarray(rel_ids))
+        return tbl

@@ -146,33 +146,25 @@ def fetch_resolve_updates(
     metrics=None,
 ) -> ray.data.Dataset:
     """Distinct Resolve rel ids → relationship store → update rows
-    (source, destination, new_type)."""
-    import pyarrow.parquet as pq
-    import ray as _ray
+    (source, destination, new_type).
+
+    The rel-id set is sorted before the fetch so each lookup task hits a
+    contiguous range of the (rel_id-sorted) relationship store — the
+    same partition-local shape as the corpus fetch; the store is NEVER
+    broadcast or loaded whole (``open_range_store`` reads only the row
+    groups owning each batch's ids)."""
 
     to_resolve = classification.map_batches(
         lambda t: t.filter(pc.equal(t["rtype"], RESOLVE)), batch_format="pyarrow"
-    ).select_columns(["rel_id"]).rename_columns({"rel_id": "id"})
-
-    # broadcast the relationship store once; resolve lookups run in-task
-    # (same pattern as the direct corpus fetch — no per-execution actor
-    # pool; RelFetcher remains for politeness-budgeted deployments)
-    rel_table = pq.read_table(relationships_path, memory_map=True)
-    rel_ids_np = np.asarray(rel_table["rel_id"].to_pylist(), dtype="U16")
-    order = np.argsort(rel_ids_np).astype(np.int64)
-    tref = _ray.put(rel_table)
-    sref = _ray.put(rel_ids_np[order])
-    oref = _ray.put(order)
+    ).select_columns(["rel_id"]).rename_columns({"rel_id": "id"}).sort("id")
 
     def rel_fetch_fn(batch: pa.Table) -> pa.Table:
-        t = _ray.get(tref)
-        sorted_ids = _ray.get(sref)
-        ordr = _ray.get(oref)
-        ids = np.asarray(batch["id"].to_pylist(), dtype="U16")
-        pos = np.searchsorted(sorted_ids, ids)
-        pos_c = np.clip(pos, 0, max(0, len(sorted_ids) - 1))
-        found = (pos < len(sorted_ids)) & (sorted_ids[pos_c] == ids) if len(sorted_ids) else np.zeros(len(ids), bool)
-        return t.take(pa.array(ordr[pos_c[found]]))
+        from fs_crawler_ray.ids import as_key_array
+        from fs_crawler_ray.sources.doc_table import open_range_store
+
+        store = open_range_store(relationships_path, "rel_id")
+        tbl, _found = store.fetch(as_key_array(batch["id"]))
+        return tbl
 
     rel_docs = to_resolve.map_batches(rel_fetch_fn, batch_format="pyarrow", batch_size=4096)
 

@@ -104,44 +104,32 @@ class FetchPool:
             ray.kill(a)
 
 
-def put_corpus_refs(documents_path: str):
-    """Broadcast the corpus once: the Arrow table plus a sorted-id
-    lookup (numpy arrays — zero-copy through the object store, unlike a
-    Python dict which would re-deserialize per task)."""
-    import pyarrow.parquet as pq
-
-    table = pq.read_table(documents_path, memory_map=True)
-    ids = np.asarray(table["doc_id"].to_pylist(), dtype="U16")
-    order = np.argsort(ids).astype(np.int64)
-    return ray.put(table), ray.put(ids[order]), ray.put(order)
-
-
-def make_broadcast_fetcher(table_ref, sorted_ids_ref, order_ref, hop: int,
+def make_partition_fetcher(documents_path: str, hop: int,
                            robots: RobotsPolicy | None = None, metrics=None):
     """Direct (politeness-free) fetch path: a STATELESS map_batches fn
-    that resolves ids against the broadcast corpus in-task — no nested
-    actor RPC, so fetch throughput scales with task parallelism.
-    Politeness-budgeted crawls must use :class:`FetchStage` instead
-    (central token buckets)."""
+    that resolves ids against the corpus PARTITION-LOCALLY — each task
+    reads only the row groups owning its ids (worker-global
+    :func:`~fs_crawler_ray.sources.doc_table.open_range_store`). The
+    crawl writes its processing set id-sorted, so each task's batch is a
+    contiguous id range hitting 1-2 row groups; at deployment scale the
+    same shape is a Lance fragment ``take``. Nothing broadcasts the
+    corpus. Politeness-budgeted crawls must use :class:`FetchStage`
+    instead (central token buckets)."""
 
     def fetch_fn(batch: pa.Table) -> pa.Table:
         import fs_crawler_ray.model as m
+        from fs_crawler_ray.ids import as_key_array
+        from fs_crawler_ray.sources.doc_table import open_range_store
 
-        ids = np.asarray(batch["id"].to_pylist(), dtype="U16")
+        ids = as_key_array(batch["id"])
         n_in = len(ids)
         robots_blocked = 0
         if robots is not None and n_in:
             allowed = robots.allowed_mask(ids)
             robots_blocked = int((~allowed).sum())
             ids = ids[allowed]
-        table = ray.get(table_ref)
-        sorted_ids = ray.get(sorted_ids_ref)
-        order = ray.get(order_ref)
-        pos = np.searchsorted(sorted_ids, ids)
-        pos_c = np.clip(pos, 0, len(sorted_ids) - 1)
-        found = (pos < len(sorted_ids)) & (sorted_ids[pos_c] == ids)
-        rows = order[pos_c[found]]
-        docs = table.take(pa.array(rows))
+        store = open_range_store(documents_path, "doc_id")
+        docs, found = store.fetch(ids)
         out = docs.append_column("hop", pa.array(np.full(len(docs), hop, dtype=np.int32)))
         if metrics is not None:
             metrics.increment.remote({
@@ -169,7 +157,9 @@ class FetchStage:
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        from fs_crawler_ray.ids import as_key_array
+
+        ids = as_key_array(batch[self.id_column])
         if len(ids) == 0:
             return pa.table({})
         actor_of = self.pool.host_of(ids) % self.pool.size
