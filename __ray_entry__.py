@@ -60,14 +60,19 @@ def _docs_token_counts(sf_dir: str):
     return out.astype({"doc_id": np.int64, "n_tokens": np.int64})
 
 
-def _docs_minhash_candidates(sf_dir: str):
+def _docs_near_dup_pairs(sf_dir: str):
+    """MinHash → LSH bucket candidates → n-gram-Jaccard verify: the full
+    near-dup detection pipeline, oracled by an all-pairs true-Jaccard
+    SQL (recall of the 16×4 LSH at J≥0.8 is ~1-2e-4 per pair; verified
+    exact-equal on the test corpora)."""
     import ray.data
 
-    from fs_crawler_ray.text import minhash_lsh_candidates
+    from fs_crawler_ray.text import minhash_lsh_candidates, ngram_jaccard_verify
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    out = minhash_lsh_candidates(ds, num_perm=64, bands=16).to_pandas()
-    return out.astype({"doc_a": np.int64, "doc_b": np.int64})
+    cand = minhash_lsh_candidates(ds, num_perm=64, bands=16)
+    out = ngram_jaccard_verify(cand, ds, threshold=0.8, shingle_k=3).to_pandas()
+    return out[["doc_a", "doc_b"]].astype({"doc_a": np.int64, "doc_b": np.int64})
 
 
 def _docs_simhash(sf_dir: str):
@@ -128,7 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_vertices": cq.crawl_vertices,
         "crawl_edges": cq.crawl_edges,
         "crawl_frontier": cq.crawl_frontier,
-        "crawl_log": cq.crawl_log,                      # rows-only
+        "crawl_log": cq.crawl_log,
         "resolution_classification": cq.resolution_classification,
         "resolved_edge_types": cq.resolved_edge_types,
         "adjacency_triples": cq.adjacency_triples,
@@ -160,9 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
-        "docs_minhash_candidates": _docs_minhash_candidates,   # rows-only
-        "docs_simhash": _docs_simhash,                         # rows-only
-        "docs_analysis": _docs_analysis,                       # rows-only
+        "docs_near_dup_pairs": _docs_near_dup_pairs,
+        "docs_simhash": _docs_simhash,
+        "docs_analysis": _docs_analysis,
         "ann_topk": _ann_topk,
         "embedding_near_dups": _embedding_near_dups,
         "media_features": _media_features,                     # rows-only
@@ -184,6 +189,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_vertices": osql.crawl_vertices(d, s, h),
         "crawl_edges": osql.crawl_edges(d, s, h),
         "crawl_frontier": osql.crawl_frontier(d, s, h),
+        "crawl_log": osql.crawl_log(d, s, h),
+        "docs_analysis": osql.docs_analysis(),
+        "docs_simhash": osql.docs_simhash(shingle_k=2),
+        "docs_near_dup_pairs": osql.docs_near_dup_pairs(threshold=0.8, shingle_k=3),
         "resolution_classification": osql.resolution_classification(d, s, h),
         "resolved_edge_types": osql.resolved_edge_types(d, r, s, h),
         "adjacency_triples": osql.adjacency_triples(d, r, s, h),

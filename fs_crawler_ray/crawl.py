@@ -248,7 +248,7 @@ def _read_sized(path: str, columns: list[str] | None = None,
     rows = _parquet_rows(path)
     if rows_per_block is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        rows_per_block = int(min(20_000, max(500, rows // (3 * cpus) + 1)))
+        rows_per_block = int(min(20_000, max(4096, rows // (2 * cpus) + 1)))
     blocks = int(min(max_blocks, max(1, rows // rows_per_block + 1)))
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
@@ -471,7 +471,13 @@ class Crawler:
             # MAX_PERSONS request granularity (fsapi.py:23)
             n_proc = _parquet_rows(proc_path)
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            rpb = max(512, n_proc // (2 * cpus) + 1) if self.direct else 5_000
+            # blocks sized to amortize per-block fixed costs (task
+            # dispatch + membership-shard RPC fan-out): ≥4k ids per
+            # fetch task, ~2 tasks/CPU when the hop is large enough.
+            # Measured on this VM: halving block count at 32 CPUs beat
+            # doubling it (per-block overhead, not compute, bounds small
+            # hops — see BASELINE.md).
+            rpb = max(4096, n_proc // (2 * cpus) + 1) if self.direct else 5_000
             records = (
                 _read_sized(proc_path, columns=["id"], rows_per_block=rpb)
                 .map_batches(
@@ -488,13 +494,18 @@ class Crawler:
             n_records = records.count()
             eff_buckets = int(max(2, min(cfg.num_buckets, n_records // 5000 + 1)))
 
-            # 3. three independent consumers of the materialized records
-            # run CONCURRENTLY (thread per branch — each drives its own
-            # streaming execution): vertices, edges, next frontier.
+            # 3. three independent consumers of the materialized
+            # records run SEQUENTIALLY — each is a short, wide Dataset
+            # execution. (Running them on 3 driver threads was measured
+            # 2-4× SLOWER at 32 CPUs: concurrent streaming executions
+            # contend for the same task slots and object store, and the
+            # per-execution fixed costs triple. Sequential keeps each
+            # execution wide enough to saturate the cluster on large
+            # hops and pays the floor once per branch on small ones.)
             # Ordering analysis: vertex visited-adds are timing-free
             # (vertices ⊆ processing, which the candidate filter also
             # checks) and the edge-seen adds are deferred to the commit
-            # below — so the branches share no ordered state.
+            # below — so branch order is irrelevant for correctness.
             def _branch_vertices() -> None:
                 t0b = time.time()
                 verts = records.map_batches(_rec_filter("vertex"), batch_format="pyarrow").select_columns(
@@ -574,12 +585,8 @@ class Crawler:
                 )
                 stage_t["frontier_out"] = round(time.time() - t0b, 3)
 
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                futs = [pool.submit(f) for f in (_branch_vertices, _branch_edges, _branch_frontier)]
-                for f in futs:
-                    f.result()
+            for f in (_branch_vertices, _branch_edges, _branch_frontier):
+                f()
             self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
             _mark("branches_wall", tick)
 

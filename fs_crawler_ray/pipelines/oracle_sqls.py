@@ -284,6 +284,148 @@ FROM bys GROUP BY 1 ORDER BY 1
 """)
 
 
+def crawl_log(docs: str, seeds: list[str], hops: int) -> str:
+    """Per-hop LOG row oracle (A9): cumulative visited vertices, next
+    frontier size and cumulative edge classification after each hop,
+    all derived from the recursive-CTE BFS (duration is execution
+    metadata and lives in lineage.json, not the compared table)."""
+    return _base(docs, seeds, hops) + f"""
+SELECT CAST(h.h AS BIGINT) AS iteration,
+  (SELECT COUNT(*) FROM dist WHERE iteration <= h.h) AS vertices,
+  (SELECT COUNT(*) FROM dist WHERE iteration = h.h + 1) AS frontier,
+  (SELECT COUNT(*) FROM edges_dedup e
+     JOIN dist ds ON ds.id = e.source JOIN dist dd ON dd.id = e.destination
+   WHERE e.hop <= h.h AND ds.iteration <= h.h AND dd.iteration <= h.h) AS edges,
+  (SELECT COUNT(*) FROM edges_dedup e
+     LEFT JOIN dist ds ON ds.id = e.source LEFT JOIN dist dd ON dd.id = e.destination
+   WHERE e.hop <= h.h AND
+     (COALESCE(ds.iteration, {hops}) <= h.h) != (COALESCE(dd.iteration, {hops}) <= h.h)) AS spanning_edges,
+  (SELECT COUNT(*) FROM edges_dedup e
+     LEFT JOIN dist ds ON ds.id = e.source LEFT JOIN dist dd ON dd.id = e.destination
+   WHERE e.hop <= h.h AND NOT (COALESCE(ds.iteration, {hops}) <= h.h)
+     AND NOT (COALESCE(dd.iteration, {hops}) <= h.h)) AS frontier_edges
+FROM (SELECT unnest(generate_series(0, {hops - 1})) AS h) h
+ORDER BY iteration
+"""
+
+
+# ----------------------------------------------------------------------
+# text-analysis oracles (documents table) — every kernel here is defined
+# to be DuckDB-reproducible: tokens = [a-z0-9]+ runs of lower(text),
+# token/shingle hash = md5_number_lower, fingerprint = Horner mod 2^64.
+# ----------------------------------------------------------------------
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM documents
+)"""
+
+
+def _stop_list(lang: str) -> str:
+    from fs_crawler_ray.text import _STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+
+def docs_analysis() -> str:
+    """Exact oracle for TextAnalyzer (lang/tokens/quality/fingerprint);
+    float quality matches bit-for-bit because both sides evaluate the
+    IEEE-identical expression tree (no rounding anywhere)."""
+    de, en, es, fr = (_stop_list(x) for x in ("de", "en", "es", "fr"))
+    return _TOKS_CTE + f"""
+, scored AS (
+  SELECT doc_id, text, tk, len(tk) AS n,
+    len(list_filter(tk, t -> list_contains([{de}], t))) AS s_de,
+    len(list_filter(tk, t -> list_contains([{en}], t))) AS s_en,
+    len(list_filter(tk, t -> list_contains([{es}], t))) AS s_es,
+    len(list_filter(tk, t -> list_contains([{fr}], t))) AS s_fr
+  FROM toks
+), feat AS (
+  SELECT doc_id, text, tk, n, GREATEST(s_de, s_en, s_es, s_fr) AS best,
+    CASE WHEN n = 0 OR GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+         WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         ELSE 'de' END AS lang_guess
+  FROM scored
+), fps AS (
+  SELECT doc_id, CASE WHEN len(tk) = 0 THEN CAST(0 AS UBIGINT)
+    ELSE list_reduce(list_transform(tk, t -> md5_number_lower(t)),
+      (a, h) -> CAST((CAST(a AS HUGEINT) * 1099511628211 + CAST(h AS HUGEINT))
+                     % 18446744073709551616 AS UBIGINT)) END AS f
+  FROM feat
+)
+SELECT feat.doc_id, lang_guess, CAST(n AS BIGINT) AS n_tokens,
+  CAST(0.4 AS DOUBLE) * (CASE WHEN n BETWEEN 10 AND 100000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+  + CAST(0.4 AS DOUBLE) * LEAST((CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+                                      ELSE CAST(best AS DOUBLE) / n END) * 5.0, CAST(1.0 AS DOUBLE))
+  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+      - LEAST((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / GREATEST(len(text), 1)) * 5.0,
+              CAST(1.0 AS DOUBLE))) AS quality,
+  CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
+            THEN CAST(f AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT)
+            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM feat JOIN fps ON fps.doc_id = feat.doc_id
+"""
+
+
+def docs_simhash(shingle_k: int = 2) -> str:
+    """Exact oracle for SimHasher: majority vote over the distinct
+    k-word-shingle set, shingles hashed with md5_number_lower."""
+    joins = " || ' ' || ".join(f"tk[i+{j}]" for j in range(shingle_k))
+    return _TOKS_CTE + f"""
+, sh AS (
+  SELECT doc_id, CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       WHEN len(tk) < {shingle_k} THEN [array_to_string(tk, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(tk) - {shingle_k - 1}),
+                                         i -> {joins})) END AS s
+  FROM toks
+), un AS (
+  SELECT doc_id, md5_number_lower(g.g) AS h FROM sh, unnest(s) g(g)
+), bits AS (
+  SELECT doc_id, b.b AS b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM un CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+), sims AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(CASE WHEN COALESCE(u, 0) >= CAST(9223372036854775808 AS HUGEINT)
+            THEN COALESCE(u, 0) - CAST(18446744073709551616 AS HUGEINT)
+            ELSE COALESCE(u, 0) END AS BIGINT) AS simhash
+FROM toks t LEFT JOIN sims ON sims.doc_id = t.doc_id
+"""
+
+
+def docs_near_dup_pairs(threshold: float = 0.8, shingle_k: int = 3) -> str:
+    """True-Jaccard near-dup pairs over distinct k-shingle sets — the
+    oracle for the MinHash-LSH candidate + n-gram-Jaccard verify
+    pipeline (at 16 bands × 4 rows the per-pair miss probability at
+    J≥0.8 is (1-0.8^4)^16 ≈ 2e-4; verified exact-equal on the sf0.001
+    and sf0.01 corpora)."""
+    joins = " || ' ' || ".join(f"tk[i+{j}]" for j in range(shingle_k))
+    return _TOKS_CTE + f"""
+, sh AS (
+  SELECT doc_id, CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       WHEN len(tk) < {shingle_k} THEN [array_to_string(tk, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(tk) - {shingle_k - 1}),
+                                         i -> {joins})) END AS s
+  FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+"""
+
+
 def span_vertices(docs: str) -> str:
     return f"""
 WITH spans AS (

@@ -162,50 +162,96 @@ def ngram_jaccard_verify(
     threshold: float = 0.8,
     shingle_k: int = 3,
 ) -> ray.data.Dataset:
-    """Verify candidate pairs by true shingle Jaccard. The docs table is
-    broadcast (small side) — for corpora too big to broadcast, join text
-    in by doc_id instead."""
-    import ray
+    """Verify candidate pairs by true shingle Jaccard, with the text
+    JOINED onto the pairs by doc id (two size-aware lookup joins —
+    broadcast below :data:`fs_crawler_ray.relops.BROADCAST_LIMIT`,
+    shuffle join above it). The corpus is never collected into a
+    driver-side dict; verification runs per pair batch with both texts
+    in-row."""
+    from fs_crawler_ray.relops import lookup_join
 
-    tdf = docs.select_columns(["doc_id", "text"]).to_pandas()
-    texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
+    def _project(key: str, val: str):
+        # select+rename via an Arrow batch fn (Dataset.rename_columns'
+        # Project op assumes Arrow blocks and breaks on pandas blocks)
+        return lambda t: pa.table({key: t["doc_id"], val: t["text"]})
+
+    j1 = lookup_join(
+        candidates, docs.map_batches(_project("__ta", "text_a"), batch_format="pyarrow"),
+        on="doc_a", right_on="__ta", how="inner",
+    )
+    j2 = lookup_join(
+        j1, docs.map_batches(_project("__tb", "text_b"), batch_format="pyarrow"),
+        on="doc_b", right_on="__tb", how="inner",
+    )
 
     def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        jac = []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = _shingles(texts.get(a, ""), shingle_k), _shingles(texts.get(b, ""), shingle_k)
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+            sa, sb = _shingles(ta, shingle_k), _shingles(tb, shingle_k)
             inter = len(sa & sb)
             union = len(sa | sb) or 1
-            jac.append(inter / union)
-        df = df.copy()
-        df["jaccard"] = jac
-        return df[df["jaccard"] >= threshold]
+            jac[i] = inter / union
+        out = df.drop(columns=[c for c in ("text_a", "text_b", "__ta", "__tb") if c in df.columns]).copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
 
-    return candidates.map_batches(verify_fn, batch_format="pandas")
+    return j2.map_batches(verify_fn, batch_format="pandas")
 
 
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
+def md5_lower64(values: np.ndarray) -> np.ndarray:
+    """Lower 64 bits of md5 per string — EXACTLY DuckDB's
+    ``md5_number_lower`` (little-endian uint64 of digest bytes 8:16), so
+    every operator built on it (simhash, rolling fingerprint) has a SQL
+    oracle. Batch callers hash only the UNIQUE values (vocabulary ≪
+    token stream)."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, t in enumerate(values):
+        b = t if isinstance(t, bytes) else str(t).encode()
+        out[i] = int.from_bytes(hashlib.md5(b).digest()[8:16], "little")
+    return out
+
+
+def _md5_tokens(flat: np.ndarray) -> np.ndarray:
+    """md5_lower64 over a token stream via its unique vocabulary."""
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    return md5_lower64(uniq)[inv]
+
+
 class SimHasher:
+    """64-bit SimHash over the k-word-shingle SET, shingle-hashed with
+    :func:`md5_lower64` (SQL-reproducible; see ``oracle_sqls``). Output
+    is the unsigned simhash reinterpreted as int64 (XOR/Hamming
+    semantics unchanged)."""
+
     def __init__(self, shingle_k: int = 2):
         self.k = shingle_k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in df["text"]:
+        all_sh: list[str] = []
+        counts = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
             sh = sorted(_shingles(t, self.k))
-            if not sh:
-                out.append(0)
-                continue
-            h = stable_hash64(np.array(sh))
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            u = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(u - 2**63)  # store as signed int64 (uint64 - int would go through float64)
+            all_sh.extend(sh)
+            counts[i] = len(sh)
+        h = _md5_tokens(np.asarray(all_sh, dtype=object))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = 2 * bits - 1  # (n_shingles, 64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out = np.zeros(len(df), dtype=np.uint64)
+        nz = counts > 0
+        if nz.any():
+            sums = np.add.reduceat(votes, starts[nz], axis=0)
+            u = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+            out[nz] = u
         res = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
-        res["simhash"] = np.array(out, dtype=np.int64)
+        res["simhash"] = out.view(np.int64)
         return res
 
 
@@ -241,7 +287,7 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3, shingle_k: int
             hs = rows["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             for i in range(len(ids)):
                 x = np.bitwise_xor(hs[i], hs[i + 1:])
-                d = np.array([bin(v).count("1") for v in x])
+                d = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1) if len(x) else np.zeros(0, np.int64)
                 ok = np.nonzero(d <= max_hamming)[0]
                 for j in ok:
                     out_a.append(ids[i])
@@ -268,51 +314,106 @@ _STOPWORDS = {
 }
 
 
+_FP_PRIME = np.uint64(1099511628211)  # FNV prime, the Horner multiplier
+
+
+def _tokenize_batch(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized tokenization shared by the analyzer and token_count:
+    lowercase + split on ``[^a-z0-9]+`` (Arrow RE2 kernels — identical
+    token stream to ``[A-Za-z0-9]+`` findall on the original text).
+    Returns (flat_tokens: object ndarray in document order,
+    parent: int64 ndarray, n_tokens per doc)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_np = flat.to_numpy(zero_copy_only=False)[nonempty]
+    parent_np = parent[nonempty]
+    n_tokens = np.bincount(parent_np, minlength=n_docs).astype(np.int64)
+    return flat_np, parent_np, n_tokens
+
+
 class TextAnalyzer:
-    """Stateful stage: compiled regexes + stopword profiles built once
-    per actor. Emits language guess, quality features, token count and a
-    rolling-hash fingerprint per document."""
+    """Stateful stage: stopword profiles + power tables built once per
+    worker. Emits language guess, quality features, token count and a
+    rolling-hash document fingerprint per document.
+
+    Fully vectorized per batch: Arrow RE2 kernels tokenize/count, numpy
+    ``bincount``/``reduceat`` segment-aggregate per document, and the
+    rolling fingerprint is a Horner polynomial over md5-lower64 token
+    hashes (mod 2^64) — every output column is reproduced exactly by
+    the DuckDB oracle (``oracle_sqls.docs_analysis``); quality stays
+    un-rounded because the arithmetic is IEEE-identical on both sides.
+    """
 
     def __init__(self):
-        self.word = re.compile(r"[A-Za-z0-9]+")
-        self.punct = re.compile(r"[^\w\s]")
-        self.profiles = {lang: sw for lang, sw in _STOPWORDS.items()}
+        self.langs = sorted(_STOPWORDS)  # tie-break: largest name wins
+        self.stop_sets = {lang: pa.array(sorted(sw)) for lang, sw in _STOPWORDS.items()}
+        self._pows = np.ones(1, dtype=np.uint64)
+
+    def _powers(self, n: int) -> np.ndarray:
+        if len(self._pows) < n:
+            with np.errstate(over="ignore"):
+                p = np.empty(n, dtype=np.uint64)
+                p[0] = 1
+                p[1:] = _FP_PRIME
+                self._pows = np.cumprod(p)  # wraps mod 2^64
+        return self._pows
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        langs, n_tokens, stop_ratio, punct_ratio, quality, fps = [], [], [], [], [], []
-        for t in df["text"]:
-            toks = [w.lower() for w in self.word.findall(t)]
-            n = len(toks)
-            n_tokens.append(n)
-            scores = {lang: sum(w in sw for w in toks) for lang, sw in self.profiles.items()}
-            best = max(scores, key=lambda k: (scores[k], k)) if n else "unknown"
-            langs.append(best if scores.get(best, 0) > 0 else "unknown")
-            sr = scores.get(best, 0) / n if n else 0.0
-            pr = len(self.punct.findall(t)) / max(1, len(t))
-            stop_ratio.append(sr)
-            punct_ratio.append(pr)
-            q = 0.0
-            if 10 <= n <= 100000:
-                q += 0.4
-            q += 0.4 * min(sr * 5, 1.0)
-            q += 0.2 * (1.0 - min(pr * 5, 1.0))
-            quality.append(round(q, 4))
-            # rolling polynomial fingerprint over tokens
-            fp = np.uint64(0)
+        import pyarrow.compute as pc
+
+        n_docs = len(df)
+        texts = pa.array(df["text"], type=pa.string())
+        flat, parent, n_tokens = _tokenize_batch(texts)
+
+        # language scores: one is_in kernel + one bincount per language
+        flat_arr = pa.array(flat, type=pa.string())
+        scores = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            m = pc.is_in(flat_arr, value_set=self.stop_sets[lang]).to_numpy(zero_copy_only=False)
+            if m.any():
+                scores[:, j] = np.bincount(parent[m], minlength=n_docs)
+        # best score; ties → lexicographically largest language
+        best_j = (len(self.langs) - 1) - np.argmax(scores[:, ::-1], axis=1)
+        best_score = scores[np.arange(n_docs), best_j]
+        langs = np.array(self.langs, dtype=object)[best_j]
+        langs[(best_score == 0) | (n_tokens == 0)] = "unknown"
+
+        n_safe = np.maximum(n_tokens, 1)
+        stop_ratio = np.where(n_tokens > 0, best_score / n_safe, 0.0)
+        punct = pc.count_substring_regex(texts, pattern=r"[^\w\s]").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        punct_ratio = punct / np.maximum(tlen, 1)
+        len_ok = ((n_tokens >= 10) & (n_tokens <= 100000)).astype(np.float64)
+        quality = 0.4 * len_ok + 0.4 * np.minimum(stop_ratio * 5.0, 1.0) \
+            + 0.2 * (1.0 - np.minimum(punct_ratio * 5.0, 1.0))
+
+        # rolling fingerprint: fp = Σ md5_64(tok_i) · P^(n-1-i)  mod 2^64
+        fp = np.zeros(n_docs, dtype=np.uint64)
+        if len(flat):
+            th = _md5_tokens(flat)
+            starts = np.concatenate([[0], np.cumsum(n_tokens)[:-1]])
+            ends = np.cumsum(n_tokens)
+            exp = (ends[parent] - 1) - np.arange(len(flat))
+            pows = self._powers(int(n_tokens.max()))
             with np.errstate(over="ignore"):
-                if toks:
-                    th = stable_hash64(np.array(toks))
-                    p = np.uint64(1099511628211)
-                    for v in th:
-                        fp = fp * p + v
-            fps.append(int(fp.astype(np.int64)))
+                terms = th * pows[exp]
+                nz = n_tokens > 0
+                fp[nz] = np.add.reduceat(terms, starts[nz])
+
         out = df.copy()
         out["lang_guess"] = langs
-        out["n_tokens"] = np.array(n_tokens, dtype=np.int64)
-        out["stop_ratio"] = np.round(np.array(stop_ratio), 6)
-        out["punct_ratio"] = np.round(np.array(punct_ratio), 6)
+        out["n_tokens"] = n_tokens
+        out["stop_ratio"] = stop_ratio
+        out["punct_ratio"] = punct_ratio
         out["quality"] = quality
-        out["fingerprint"] = np.array(fps, dtype=np.int64)
+        out["fingerprint"] = fp.view(np.int64)
         return out
 
 
@@ -333,10 +434,7 @@ def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     DuckDB oracle (regexp_extract_all) reproduces it exactly."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        w = re.compile(r"[A-Za-z0-9]+")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tokens": df["text"].map(lambda t: len(w.findall(t))).astype(np.int64),
-        })
+        _, _, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n_tokens})
 
     return ds.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
