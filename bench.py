@@ -201,8 +201,7 @@ def run_bench() -> dict:
     extras["docs_unique"] = int(n_unique)
 
     t0 = time.time()
-    n_cand = minhash_lsh_candidates(docs, num_perm=64, bands=16,
-                                    concurrency=max(4, num_cpus // 2)).count()
+    n_cand = minhash_lsh_candidates(docs, num_perm=64, bands=16).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
     extras["near_dup_candidates"] = int(n_cand)
 

@@ -67,16 +67,75 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_bits: int = 8,
     n_tables: int = 4,
-    concurrency: int = 4,
+    num_buckets: int = 64,
     exact: bool = False,
 ) -> pd.DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold, vec_id_a < vec_id_b).
 
-    ``exact=True``: blocked all-pairs matmul (O(N²/B) — the verifiable
-    baseline; each batch scored against the full broadcast matrix).
-    ``exact=False``: candidates restricted to pairs sharing an LSH
-    bucket in ≥1 of ``n_tables`` hyperplane tables, then exact rerank —
-    the scale path (recall < 1 by design)."""
+    ``exact=False`` (the scale path): per-batch hyperplane signatures →
+    explode each vector to its ``n_tables`` (table, signature) buckets →
+    hash-bucketed ``groupby`` → EXACT cosine scoring WITHIN each
+    signature cell only → distinct pairs. Compute is O(Σ cell²), data
+    movement is one shuffle of (vector × n_tables); nothing is
+    driver-materialized or broadcast. Recall < 1 by design (a pair must
+    collide in ≥1 table).
+
+    ``exact=True``: the all-pairs oracle mode for small-scale
+    conformance (driver query at sf≤0.01) — blocked matmul of each
+    batch against the full broadcast matrix, O(N²/B) by construction.
+    """
+    if exact:
+        return _near_dups_exact(ds, threshold)
+
+    def explode_fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        out = []
+        for t in range(n_tables):
+            lsh = HyperplaneLSH(m.shape[1], n_bits, seed=9 + t)
+            sig = lsh.signatures(m.astype(np.float32))
+            out.append(pd.DataFrame({
+                "vec_id": df["vec_id"].to_numpy(),
+                "tbl": np.full(len(df), t, dtype=np.int8),
+                "sig": sig,
+                "embedding": df["embedding"].to_numpy(),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        explode_fn, batch_format="pandas"
+    )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for (_, _), grp in g.groupby(["tbl", "sig"]):
+            grp = grp.drop_duplicates("vec_id")
+            if len(grp) < 2:
+                continue
+            m = _normalize(np.stack(grp["embedding"].to_numpy()).astype(np.float64))
+            ids = grp["vec_id"].to_numpy()
+            scores = m @ m.T                      # bucket-local matmul only
+            ii, jj = np.nonzero((scores >= threshold) & (ids[None, :] > ids[:, None]))
+            out_a.extend(ids[ii].tolist())
+            out_b.extend(ids[jj].tolist())
+            out_c.extend(scores[ii, jj].tolist())
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
+                             "cosine": np.round(np.array(out_c, dtype=np.float64), 6)})
+
+    from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, distinct
+
+    cells = _add_bucket(exploded, ["tbl", "sig"], num_buckets).groupby(_BUCKET_COL).map_groups(
+        lambda g: cell_pairs(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+    )
+    parts = distinct(cells, ["vec_a", "vec_b"], max(8, num_buckets // 4)).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                             "vec_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=np.float64)})
+    return parts.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _near_dups_exact(ds: ray.data.Dataset, threshold: float) -> pd.DataFrame:
+    """All-pairs oracle mode (see :func:`embedding_near_dups`)."""
     df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
     m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     ids = df["vec_id"].to_numpy()
@@ -86,30 +145,16 @@ def embedding_near_dups(
     orderref = ray.put(id_order)
     sortedref = ray.put(ids[id_order])
 
-    if exact:
-        bucket_ids = None
-    else:
-        sigs = []
-        for t in range(n_tables):
-            lsh = HyperplaneLSH(m.shape[1], n_bits, seed=9 + t)
-            sigs.append(lsh.signatures(m.astype(np.float32)))
-        bucket_ids = np.stack(sigs, axis=1)  # (N, T)
-    bref = ray.put(bucket_ids)
-
     def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
         mm = ray.get(mref)
         all_ids = ray.get(idref)
         order = ray.get(orderref)
         sorted_ids = ray.get(sortedref)
-        buckets = ray.get(bref)
         pos = np.searchsorted(sorted_ids, batch["vec_id"].to_numpy())
         rows = order[pos]
         scores = mm[rows] @ mm.T                  # one matmul per batch
         mask = scores >= threshold
         mask &= all_ids[None, :] > all_ids[rows][:, None]  # each pair once, a < b
-        if buckets is not None:
-            same = (buckets[rows][:, None, :] == buckets[None, :, :]).any(axis=2)
-            mask &= same
         ii, jj = np.nonzero(mask)
         return pd.DataFrame({
             "vec_a": all_ids[rows][ii],

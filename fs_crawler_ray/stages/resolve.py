@@ -154,9 +154,12 @@ def fetch_resolve_updates(
     broadcast or loaded whole (``open_range_store`` reads only the row
     groups owning each batch's ids)."""
 
-    to_resolve = classification.map_batches(
-        lambda t: t.filter(pc.equal(t["rtype"], RESOLVE)), batch_format="pyarrow"
-    ).select_columns(["rel_id"]).rename_columns({"rel_id": "id"}).sort("id")
+    def _resolve_ids(t: pa.Table) -> pa.Table:
+        # filter+project in one Arrow batch fn (select/rename Project
+        # ops break on the pandas blocks classification arrives in)
+        return pa.table({"id": t.filter(pc.equal(t["rtype"], RESOLVE))["rel_id"]})
+
+    to_resolve = classification.map_batches(_resolve_ids, batch_format="pyarrow").sort("id")
 
     def rel_fetch_fn(batch: pa.Table) -> pa.Table:
         from fs_crawler_ray.ids import as_key_array

@@ -108,14 +108,22 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    concurrency: int = 4,
+    hot_bucket_cap: int = 200,
+    metrics=None,
 ) -> ray.data.Dataset:
     """→ Dataset[doc_a, doc_b] candidate near-dup pairs (doc_a < doc_b).
 
-    shingle→minhash per batch (actor pool) → explode to
-    (band_id, band_hash, doc_id) → groupby band bucket → pairs within
-    bucket. Pair explosion is bounded per bucket (oversized buckets are
-    truncated with a log — hot-bucket salting is the scale lever)."""
+    shingle→minhash per batch → explode to (band, band_hash, doc_id) →
+    groupby band bucket → pairs within bucket (vectorized triu).
+
+    Hot buckets (a band hash shared by > ``hot_bucket_cap`` docs — at
+    web scale, boilerplate) are SALTED, not silently truncated: members
+    split deterministically into ⌈n/cap⌉ salt groups and pairs form
+    within each group, bounding compute at O(n·cap) per bucket. The
+    cross-salt-group pairs that are skipped are COUNTED — pass a
+    ``MetricsActor`` handle as ``metrics`` to receive
+    ``minhash_hot_buckets`` / ``minhash_skipped_pairs`` increments (no
+    silent caps)."""
     rows_per_band = num_perm // bands
 
     def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -137,16 +145,32 @@ def minhash_lsh_candidates(
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out = []
+        hot, skipped = 0, 0
         for (_, _), grp in g.groupby(["band", "bh"]):
-            ids = sorted(grp["doc_id"].unique())
-            if len(ids) > 200:  # hot bucket cap; log-worthy at scale
-                ids = ids[:200]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+            ids = np.array(sorted(grp["doc_id"].unique()))
+            n = len(ids)
+            if n < 2:
+                continue
+            if n <= hot_bucket_cap:
+                groups = [ids]
+            else:
+                hot += 1
+                n_salt = -(-n // hot_bucket_cap)  # ceil
+                salt = stable_hash64(ids.astype("U"), seed=97) % np.uint64(n_salt)
+                groups = [ids[salt == s] for s in range(n_salt)]
+                skipped += n * (n - 1) // 2 - sum(len(x) * (len(x) - 1) // 2 for x in groups)
+            for gi in groups:
+                if len(gi) < 2:
+                    continue
+                ii, jj = np.triu_indices(len(gi), k=1)
+                out.append(pd.DataFrame({"doc_a": gi[ii], "doc_b": gi[jj]}))
+        if metrics is not None and (hot or skipped):
+            metrics.increment.remote({"minhash_hot_buckets": hot,
+                                      "minhash_skipped_pairs": skipped})
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)})
+        return pd.concat(out, ignore_index=True)
 
     cand = _add_bucket(exploded, ["band", "bh"], 64).groupby(_BUCKET_COL).map_groups(
         lambda g: pairs(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"

@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pytest
 import ray.data
 
@@ -84,3 +85,43 @@ def test_lsh_topk_recall(emb):
     for qi in range(5):
         a = approx[approx["query_id"] == qi]
         assert int(df.iloc[qi]["vec_id"]) in set(a["vec_id"])
+
+
+def test_embedding_near_dups_buckets_are_the_scoring_unit():
+    """The LSH path must score ONLY within signature cells: a pair with
+    cosine ≥ threshold that collides in NO table must be absent (proof
+    that the rebuild is O(Σ cell²), not all-pairs with a post-mask),
+    while cell-mates above threshold are found."""
+    from fs_crawler_ray.ann import HyperplaneLSH, embedding_near_dups, _normalize
+
+    dim, n_bits, n_tables, thr = 16, 8, 2, 0.8
+    rng = np.random.RandomState(3)
+    base = _normalize(rng.normal(size=(1, dim)).astype(np.float64))[0]
+    lshs = [HyperplaneLSH(dim, n_bits, seed=9 + t) for t in range(n_tables)]
+
+    def sigs(v):
+        return tuple(int(l.signatures(v.astype(np.float32)[None, :])[0]) for l in lshs)
+
+    # find a high-cosine partner whose signature differs in EVERY table
+    split = None
+    for _ in range(5000):
+        cand = _normalize((base + 0.35 * rng.normal(size=dim))[None, :])[0]
+        if float(base @ cand) >= thr and all(a != b for a, b in zip(sigs(base), sigs(cand))):
+            split = cand
+            break
+    assert split is not None, "could not construct a bucket-splitting near-dup"
+    # and a same-cell near-dup (identical vector → identical signatures)
+    twin = base.copy()
+    fill = _normalize(rng.normal(size=(20, dim)).astype(np.float64))
+    vecs = np.vstack([base, split, twin, fill])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": [v for v in vecs]})
+    ds = ray.data.from_pandas(df)
+    out = embedding_near_dups(ds, threshold=thr, n_bits=n_bits, n_tables=n_tables,
+                              num_buckets=8, exact=False)
+    pairs = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
+    assert (0, 2) in pairs          # cell-mates found (exact cosine in-cell)
+    assert (0, 1) not in pairs      # no shared bucket → never scored
+    exact = embedding_near_dups(ds, threshold=thr, exact=True)
+    epairs = {(int(a), int(b)) for a, b in zip(exact["vec_a"], exact["vec_b"])}
+    assert (0, 1) in epairs         # the oracle mode does see it
