@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_key": cq.vertex_key_table,
         "hop_filtered_vertices": lambda sf: cq.hop_filtered_vertices(sf, HOP_FILTER),
         "edge_classification_counts": cq.edge_classification_counts,
+        "spanning_edges": cq.spanning_edges,
+        "frontier_edges": cq.frontier_edges,
         "lifespan_birth_years": cq.lifespan_birth_years,
         "validator_children": cq.validator_children,
         "span_vertices": cq.span_vertices,
@@ -199,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
         "vertex_key": osql.vertex_key_table(d, s, h),
         "hop_filtered_vertices": osql.hop_filtered_vertices(d, s, h, HOP_FILTER),
         "edge_classification_counts": osql.edge_classification_counts(d, s, h),
+        "spanning_edges": osql.spanning_edges(d, s, h),
+        "frontier_edges": osql.frontier_edges(d, s, h),
         "lifespan_birth_years": osql.lifespan_birth_years(d, s, h),
         "validator_children": osql.validator_children(d, r, s, h),
         "span_vertices": osql.span_vertices(d),

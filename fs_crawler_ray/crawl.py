@@ -436,11 +436,12 @@ class Crawler:
             tick = [time.time()]
 
             # 1. visited-filter + processing registration (fused) →
-            # checkpoint, written SORTED BY ID: the id sort is the range
-            # routing for the partition-local fetch (each fetch task gets
-            # a contiguous id range → 1-2 corpus row groups / Lance
-            # fragments), and it makes the canonical visit order (O5)
-            # physical.
+            # checkpoint. The frontier arrives RANGE-CLUSTERED (seeds
+            # are sorted; each later frontier is written range-bucketed
+            # by the distinct shuffle in _branch_frontier), and the
+            # 1:1 filter stage preserves that — so each fetch task's
+            # batch is a contiguous id range hitting 1-2 corpus row
+            # groups / Lance fragments with NO extra sort here.
             proc_path = os.path.join(hop_dir, "processing.parquet")
             remainder = None
             if cfg.frontier_budget is None:
@@ -462,7 +463,7 @@ class Crawler:
                     RegisterPassthrough(self.sm, PROCESSING, "id"), batch_format="pyarrow"
                 )
                 remainder = tail
-            _safe_write(eligible.sort("id"), proc_path, FRONTIER_SCHEMA)
+            _safe_write(eligible, proc_path, FRONTIER_SCHEMA)
             _mark("frontier_filter", tick)
 
             # 2. fetch (persistent pool: politeness + robots) → parse
@@ -537,8 +538,13 @@ class Crawler:
                 edges = edges.map_batches(_edge_key, batch_format="pyarrow").map_batches(
                     EdgeSeenFilter(self.sm), batch_format="pyarrow"
                 )
+                final_edges = edges.map_batches(_finish_edge, batch_format="pyarrow")
+                if os.environ.get("FSRAY_DUMP_STATS"):
+                    final_edges = final_edges.materialize()
+                    import sys as _sys
+                    print("EDGES STATS hop", hop, "\n", final_edges.stats(), file=_sys.stderr)
                 _safe_write(
-                    edges.map_batches(_finish_edge, batch_format="pyarrow"),
+                    final_edges,
                     os.path.join(hop_dir, "edges.parquet"),
                     EDGE_SCHEMA,
                 )
@@ -563,12 +569,16 @@ class Crawler:
                 )
 
             def _branch_frontier() -> None:
+                # DISTINCT BEFORE the membership filter: candidate
+                # mentions are massively duplicated (hot lineages are
+                # cited by thousands of docs), and distinct's per-batch
+                # pre-combine collapses them before the shuffle — so the
+                # membership shard actors (the crawl's serialization
+                # point) see each unique id ONCE instead of once per
+                # mention. Pure contains-filter and dedup commute.
                 t0b = time.time()
                 cands = records.map_batches(_rec_filter("cand"), batch_format="pyarrow").select_columns(
                     ["cand_id", "hop"]
-                )
-                cands = cands.map_batches(
-                    MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
                 )
                 cands2 = cands.map_batches(_cand_priority, batch_format="pyarrow")
                 if remainder is not None and remainder.count() > 0:
@@ -577,7 +587,13 @@ class Crawler:
                     # sorts first, then priority) representative per id
                     rem = remainder.select_columns(["id", "priority"]).rename_columns({"id": "cand_id"})
                     cands2 = cands2.union(rem)
-                cands2 = distinct(cands2, ["cand_id"], eff_buckets)
+                # range_bucket: the next frontier lands range-clustered
+                # (contiguous id ranges per block), which IS the fetch
+                # routing for the next hop — no separate sort anywhere
+                cands2 = distinct(cands2, ["cand_id"], eff_buckets, range_bucket=True)
+                cands2 = cands2.map_batches(
+                    MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
+                )
                 _safe_write(
                     cands2.map_batches(_finish_frontier, batch_format="pyarrow"),
                     os.path.join(hop_dir, "frontier.parquet"),

@@ -143,3 +143,21 @@ def stable_hash64(values, seed: int = 0) -> np.ndarray:
 def shard_of(values, num_shards: int, seed: int = 7) -> np.ndarray:
     """Hash-partition routing: id → shard index (uint32)."""
     return (stable_hash64(values, seed=seed) % np.uint64(num_shards)).astype(np.uint32)
+
+
+def range_bucket_of(values, num_buckets: int) -> np.ndarray:
+    """RANGE-partition routing by the first two key characters (base36
+    ids are dense in their prefix, so buckets are near-uniform
+    contiguous id ranges). Used to write frontier/processing sets
+    range-clustered so each fetch task's batch maps to 1-2 corpus row
+    groups — the routing is folded into shuffles that already happen
+    (distinct), never a separate global sort. For non-uniform key
+    distributions swap in sampled boundaries."""
+    u32, lengths = _to_bytes_matrix(values)
+    if len(u32) == 0:
+        return np.zeros(0, dtype=np.int64)
+    # map byte → base36 digit (0-9, A-Z); other bytes clamp into range
+    c0 = np.where(u32[:, 0] >= 65, u32[:, 0] - 55, u32[:, 0] - 48).clip(0, 35) if u32.shape[1] > 0 else np.zeros(len(u32), np.uint32)
+    c1 = np.where(u32[:, 1] >= 65, u32[:, 1] - 55, u32[:, 1] - 48).clip(0, 35) if u32.shape[1] > 1 else np.zeros(len(u32), np.uint32)
+    v = c0.astype(np.int64) * 36 + c1.astype(np.int64)
+    return v * num_buckets // (36 * 36)

@@ -268,3 +268,23 @@ def span_media(sf_dir: str) -> pd.DataFrame:
         lambda t: t.filter(pc.equal(t["rec_kind"], "media")), batch_format="pyarrow"
     )
     return media.to_pandas()[["id", "media_ref", "offset"]].rename(columns={"id": "doc_id"})
+
+
+def _edge_category_table(sf_dir: str, category: str) -> pd.DataFrame:
+    from fs_crawler_ray.functions.graph_csv import classify_edge_tables
+
+    _, result = corpus_and_crawl(sf_dir)
+    ds = classify_edge_tables(result.edges(), result.vertices())[category]
+    df = ds.to_pandas().rename(columns={"id": "rel_id"})
+    return df[["source", "destination", "rel_id"]]
+
+
+def spanning_edges(sf_dir: str) -> pd.DataFrame:
+    """J1 as a table (graph_writer.py:100-114): edges with exactly one
+    endpoint in the resolved vertex set."""
+    return _edge_category_table(sf_dir, "spanning")
+
+
+def frontier_edges(sf_dir: str) -> pd.DataFrame:
+    """J1 as a table: edges with neither endpoint resolved."""
+    return _edge_category_table(sf_dir, "frontier")

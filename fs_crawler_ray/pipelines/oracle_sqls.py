@@ -461,3 +461,28 @@ SELECT doc_id, u.media_ref AS media_ref, CAST(u."offset" AS BIGINT) AS "offset"
 FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
 WHERE u.kind = 'media'
 """
+
+
+def _edge_category_sql(docs: str, seeds: list[str], hops: int, pred: str) -> str:
+    return _base(docs, seeds, hops) + f"""
+SELECT e.source, e.destination, e.rel_id
+FROM edges_dedup e
+LEFT JOIN verts vs ON vs.id = e.source
+LEFT JOIN verts vd ON vd.id = e.destination
+WHERE {pred}
+"""
+
+
+def spanning_edges(docs: str, seeds: list[str], hops: int) -> str:
+    """J1 as a table: edges with exactly one endpoint resolved
+    (graph_writer.py:100-114 spanning set)."""
+    return _edge_category_sql(
+        docs, seeds, hops,
+        "(vs.id IS NOT NULL) != (vd.id IS NOT NULL)")
+
+
+def frontier_edges(docs: str, seeds: list[str], hops: int) -> str:
+    """J1 as a table: edges with neither endpoint resolved."""
+    return _edge_category_sql(
+        docs, seeds, hops,
+        "vs.id IS NULL AND vd.id IS NULL")

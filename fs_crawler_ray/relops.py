@@ -71,10 +71,29 @@ def dedup_keep_first(
     )
 
 
-def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64) -> ray.data.Dataset:
+def _add_range_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int) -> ray.data.Dataset:
+    """Bucket by key RANGE (id prefix) instead of hash — output buckets
+    are contiguous key ranges, so a downstream consumer that wants
+    range-clustered blocks (e.g. the partition-local fetch) gets them
+    from THIS shuffle for free."""
+    from fs_crawler_ray.ids import range_bucket_of
+
+    def add(batch: pa.Table) -> pa.Table:
+        from fs_crawler_ray.ids import as_key_array
+
+        b = range_bucket_of(as_key_array(batch[key_col]), num_buckets)
+        return batch.append_column(_BUCKET_COL, pa.array(b))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64,
+             range_bucket: bool = False) -> ray.data.Dataset:
     """Distinct rows by key (deterministic representative: smallest full
     row). Per-batch pre-dedup before the shuffle (hot-key mitigation,
-    same argument as :func:`dedup_keep_first`)."""
+    same argument as :func:`dedup_keep_first`). ``range_bucket=True``
+    buckets by the first key column's RANGE, emitting range-clustered,
+    internally-sorted blocks."""
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(list(df.columns), kind="stable")
@@ -85,9 +104,11 @@ def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64) -
         return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
 
     pre_ds = ds.map_batches(pre, batch_format="pandas")
-    return _add_bucket(pre_ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
-        per_bucket, batch_format="pandas"
-    )
+    if range_bucket:
+        bucketed = _add_range_bucket(pre_ds, key_cols[0], num_buckets)
+    else:
+        bucketed = _add_bucket(pre_ds, key_cols, num_buckets)
+    return bucketed.groupby(_BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
 def broadcast_semi_join(

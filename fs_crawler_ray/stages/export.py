@@ -70,10 +70,28 @@ def compute_positions(
     vertices: ray.data.Dataset,
     hops: int | None = None,
     order_cols: list[str] | None = None,
+    ordering: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Vertex numbering table (id, color, position). Default order is the
     canonical insertion order (iteration, id); pass ``order_cols=["id"]``
-    to number purely by id (the golden fixture's layout)."""
+    to number purely by id (the golden fixture's layout), or
+    ``ordering`` — an externally computed permutation Dataset
+    ``(external_id, position)`` (the persisted ORDERING table, reference
+    ``db_reader.py:29-45,308-316``) — to compose a builder-supplied
+    canonical order into the read."""
+    if ordering is not None:
+        from fs_crawler_ray.relops import lookup_join
+
+        v = hop_filter_vertices(vertices, hops).select_columns(["id", "color"])
+        j = lookup_join(
+            v, ordering.select_columns(["external_id", "position"]),
+            on="id", right_on="external_id", how="inner",
+        )
+        return j.map_batches(
+            lambda t: pa.table({"id": t["id"], "color": t["color"],
+                                "position": pc.cast(t["position"], pa.int64())}),
+            batch_format="pyarrow",
+        )
     v = hop_filter_vertices(vertices, hops).select_columns(
         list(dict.fromkeys(["id", "color"] + (order_cols or ["iteration", "id"])))
     )
@@ -87,10 +105,11 @@ def adjacency_entries(
     hops: int | None = None,
     order_cols: list[str] | None = None,
     num_partitions: int = 16,
+    ordering: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """→ Dataset[row:int64, col:int64, val:int8, diag:int8] of CSR
     triples (0-based), unsorted; sort/shard downstream."""
-    pos = compute_positions(vertices, hops, order_cols).materialize()
+    pos = compute_positions(vertices, hops, order_cols, ordering).materialize()
 
     def vert_entries(t: pa.Table) -> pa.Table:
         p = pc.subtract(t["position"], 1)
@@ -205,6 +224,50 @@ class AbstractGraphBuilder:
     def build(self):
         raise NotImplementedError
 
+    # -- canonical ordering (reference abstract_graph.py get_ordering /
+    #    db_reader.py:157-192 compute_ordering round trip) -------------
+    def get_ordering(self) -> "np.ndarray":
+        """Permutation ``old_position → canonical position`` computed
+        from the unordered graph fed so far (the RedBlackGraph
+        topological-closure ordering in the reference). Optional."""
+        raise NotImplementedError
+
+    # -- built-graph cache (reference db_reader.py:194-249 delegates
+    #    validity/save/load to the builder) ----------------------------
+    def save_cache(self, graph, cache_path: str, metadata: dict) -> None:
+        """Default binary cache: pickle + a ``.meta.json`` sidecar
+        carrying ``metadata`` (e.g. ``{'hops': N}``). Builders with
+        custom formats override."""
+        import json
+        import pickle
+
+        with open(cache_path, "wb") as f:
+            pickle.dump(graph, f)
+        with open(cache_path + ".meta.json", "w") as f:
+            json.dump(metadata, f)
+
+    def load_cache(self, cache_path: str, expected_metadata: dict):
+        """Load the cached graph; raises ``ValueError`` on metadata
+        mismatch (reference load_cache hop-count check)."""
+        import json
+        import pickle
+
+        with open(cache_path + ".meta.json") as f:
+            meta = json.load(f)
+        if meta != expected_metadata:
+            raise ValueError(f"cache metadata mismatch: {meta} != {expected_metadata}")
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
+
+    def is_cache_valid(self, cache_path: str, source_path: str) -> bool:
+        """Freshness: cache + sidecar exist and the cache is newer than
+        the source data (reference mtime check, db_reader.py:204-214)."""
+        import os
+
+        if not (os.path.exists(cache_path) and os.path.exists(cache_path + ".meta.json")):
+            return False
+        return os.path.getmtime(cache_path) >= os.path.getmtime(source_path)
+
 
 def build_with_builder(
     vertices: ray.data.Dataset,
@@ -213,13 +276,14 @@ def build_with_builder(
     hops: int | None = None,
     order_cols: list[str] | None = None,
     num_partitions: int = 16,
+    ordering: ray.data.Dataset | None = None,
 ):
     """Feed a builder through the reference's streaming protocol
     (S9/O4): genders first (ascending), then the merge-interleave of
     edges and vertices in descending canonical order. Driver-side
     iteration over the sorted entry stream — at scale, run one builder
     per contiguous shard inside ``map_groups`` instead."""
-    ent = adjacency_entries(vertices, edges, hops, order_cols, num_partitions)
+    ent = adjacency_entries(vertices, edges, hops, order_cols, num_partitions, ordering)
     ordered = ent.sort(["row", "diag", "col"], descending=True).materialize()
     nv = int(hop_filter_vertices(vertices, hops).count())
     ne = ordered.count() - nv
@@ -272,3 +336,103 @@ def vertex_key(
         )
 
     return pos.map_batches(fmt, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# RelationshipGraphReader: the db_reader.read() analog — ordering
+# round-trip + built-graph cache protocol (S10/O2, reference
+# fscrawler/util/db_reader.py:157-316)
+# ----------------------------------------------------------------------
+class RelationshipGraphReader:
+    """Reads a crawl checkpoint into an :class:`AbstractGraphBuilder`
+    with (a) an optional persisted canonical ORDERING and (b) a
+    built-graph cache keyed ``{stem}[_hops{N}].cache`` whose validity
+    (mtime freshness + ``{'hops': N}`` metadata) is delegated to the
+    builder — the RedBlackGraph plug-in surface."""
+
+    def __init__(self, crawl_dir: str, builder: AbstractGraphBuilder,
+                 hops: int | None = None, num_partitions: int = 8):
+        import os
+
+        self.crawl_dir = crawl_dir
+        self.builder = builder
+        self.hops = hops
+        self.num_partitions = num_partitions
+        self.ordering_path = os.path.join(crawl_dir, "ordering.parquet")
+
+    # -- sources -------------------------------------------------------
+    def _tables(self):
+        from fs_crawler_ray.crawl import CrawlResult
+
+        res = CrawlResult.load(self.crawl_dir)
+        return res.vertices(), res.edges()
+
+    def _source_mtime_path(self) -> str:
+        import os
+
+        # newest hop marker = the checkpoint's logical mtime
+        hops = sorted(d for d in os.listdir(self.crawl_dir) if d.startswith("hop="))
+        return os.path.join(self.crawl_dir, hops[-1], "log.json") if hops else self.crawl_dir
+
+    def cache_path(self) -> str:
+        import os
+
+        stem = os.path.basename(os.path.normpath(self.crawl_dir))
+        name = f"{stem}_hops{self.hops}.cache" if self.hops is not None else f"{stem}.cache"
+        return os.path.join(self.crawl_dir, name)
+
+    # -- ordering round trip (db_reader.py:157-192,308-316) ------------
+    def has_ordering(self) -> bool:
+        import os
+
+        return os.path.exists(self.ordering_path)
+
+    def compute_ordering(self) -> None:
+        """Build the UNORDERED graph, ask the builder for its canonical
+        permutation, persist it as the ORDERING table
+        ``(external_id, position)``. Skips recompute when the persisted
+        ordering already covers every vertex (reference up-to-date
+        check)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        vertices, edges = self._tables()
+        nv = hop_filter_vertices(vertices, None).count()
+        if self.has_ordering() and pq.read_metadata(self.ordering_path).num_rows == nv:
+            return
+        # feed the unordered (full, default-order) graph; builders see
+        # the same stream the reference's unordered read produces
+        build_with_builder(vertices, edges, self.builder,
+                           num_partitions=self.num_partitions)
+        ordering = np.asarray(self.builder.get_ordering())
+        # ordering[i] = canonical position of the vertex at default
+        # position i; persist external_id → canonical position
+        key = vertex_key(vertices).to_pandas().sort_values("position")
+        tbl = pa.table({
+            "external_id": pa.array(key["external_id"].to_numpy()),
+            "position": pa.array(ordering.astype(np.int64) + 1),
+        })
+        pq.write_table(tbl, self.ordering_path)
+
+    def ordering(self) -> "ray.data.Dataset | None":
+        if not self.has_ordering():
+            return None
+        return ray.data.read_parquet(self.ordering_path)
+
+    # -- read with cache (db_reader.py:251-306) ------------------------
+    def read(self, use_cache: bool = False):
+        metadata = {"hops": self.hops}
+        cpath = self.cache_path()
+        if use_cache and self.builder.is_cache_valid(cpath, self._source_mtime_path()):
+            try:
+                return self.builder.load_cache(cpath, metadata)
+            except ValueError:
+                pass  # stale metadata → rebuild
+        vertices, edges = self._tables()
+        graph = build_with_builder(
+            vertices, edges, self.builder, hops=self.hops,
+            num_partitions=self.num_partitions, ordering=self.ordering(),
+        )
+        if use_cache:
+            self.builder.save_cache(graph, cpath, metadata)
+        return graph

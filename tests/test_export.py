@@ -187,3 +187,137 @@ def test_write_adjacency_shards(golden, tmp_path):
     assert len(got) == 29
     for r in got:
         assert r["row"] // 8 == int(r["shard"])
+
+
+class _OrderingBuilder:
+    """Test builder: records entries, supplies a REVERSING canonical
+    ordering, uses the default pickle cache protocol."""
+
+    def __init__(self):
+        from fs_crawler_ray.stages.export import AbstractGraphBuilder
+
+        self._abc = AbstractGraphBuilder
+        self.reset()
+        self.builds = 0
+        self.loads = 0
+
+    def reset(self):
+        self.nv = 0
+        self.entries = []
+        self.genders = {}
+
+    def init_builder(self, nv, ne):
+        self.reset()
+        self.nv = nv
+
+    def add_vertex(self, vid, color):
+        self.entries.append(("v", vid, color))
+
+    def add_edge(self, s, d):
+        self.entries.append(("e", s, d))
+
+    def add_gender(self, vid, color):
+        self.genders[vid] = color
+
+    def build(self):
+        self.builds += 1
+        return {"entries": list(self.entries), "genders": dict(self.genders)}
+
+    def get_ordering(self):
+        import numpy as np
+
+        return np.arange(self.nv)[::-1]  # reverse permutation
+
+    # default cache protocol from the ABC
+    def save_cache(self, graph, path, metadata):
+        return self._abc.save_cache(self, graph, path, metadata)
+
+    def load_cache(self, path, expected_metadata):
+        self.loads += 1
+        return self._abc.load_cache(self, path, expected_metadata)
+
+    def is_cache_valid(self, cache_path, source_path):
+        return self._abc.is_cache_valid(self, cache_path, source_path)
+
+
+def _fake_crawl_dir(tmp_path, golden):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from fs_crawler_ray.model import FRONTIER_SCHEMA
+
+    verts, edges = golden
+    hop0 = os.path.join(tmp_path, "hop=0")
+    for sub in ("vertices.parquet", "edges.parquet", "frontier.parquet", "processing.parquet"):
+        os.makedirs(os.path.join(hop0, sub), exist_ok=True)
+    vt = pa.Table.from_pandas(verts.to_pandas(), preserve_index=False)
+    vt = vt.append_column("living", pa.array([False] * len(vt)))
+    pq.write_table(vt, os.path.join(hop0, "vertices.parquet", "part.parquet"))
+    et = pa.Table.from_pandas(edges.to_pandas(), preserve_index=False)
+    et = et.append_column("hop", pa.array([0] * len(et), pa.int32()))
+    pq.write_table(et, os.path.join(hop0, "edges.parquet", "part.parquet"))
+    pq.write_table(FRONTIER_SCHEMA.empty_table(), os.path.join(hop0, "frontier.parquet", "empty.parquet"))
+    pq.write_table(FRONTIER_SCHEMA.empty_table(), os.path.join(hop0, "processing.parquet", "empty.parquet"))
+    with open(os.path.join(hop0, "log.json"), "w") as f:
+        json.dump({"iteration": 0}, f)
+    return tmp_path
+
+
+def test_ordering_round_trip_and_cache(golden, tmp_path):
+    """S10/O2/X2 completion: compute_ordering persists the builder's
+    permutation; read() composes it; read(use_cache=True) round-trips
+    through the builder cache with mtime + hops-metadata validation
+    (reference db_reader.py:157-249)."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from fs_crawler_ray.stages.export import RelationshipGraphReader
+
+    d = _fake_crawl_dir(str(tmp_path), golden)
+    b = _OrderingBuilder()
+    reader = RelationshipGraphReader(d, b, hops=None)
+
+    # ordering round trip: persisted once, reused
+    reader.compute_ordering()
+    assert reader.has_ordering()
+    nv = 15
+    assert pq.read_metadata(reader.ordering_path).num_rows == nv
+    mtime = os.path.getmtime(reader.ordering_path)
+    reader.compute_ordering()  # up-to-date → no rewrite
+    assert os.path.getmtime(reader.ordering_path) == mtime
+
+    # the persisted permutation reverses the default (iteration, id) order
+    odf = pq.read_table(reader.ordering_path).to_pandas().sort_values("external_id")
+    default = sorted(
+        (v[4], v[0]) for v in GOLDEN_VERTICES
+    )
+    first_id = default[0][1]
+    assert int(odf[odf["external_id"] == first_id]["position"].iloc[0]) == nv
+
+    # read() composes the ordering: the first-default vertex now sits at
+    # diag row nv-1
+    g = reader.read()
+    diag_rows = {e[1]: e for e in g["entries"] if e[0] == "v"}
+    assert (nv - 1) in diag_rows
+
+    # cache round trip
+    builds_before = b.builds
+    g1 = reader.read(use_cache=True)          # builds + saves
+    assert b.builds == builds_before + 1
+    g2 = reader.read(use_cache=True)          # cache hit → load, no build
+    assert b.loads == 1 and b.builds == builds_before + 1
+    assert g2 == g1
+
+    # hops change → metadata mismatch → rebuild (per-hops cache name)
+    r2 = RelationshipGraphReader(d, b, hops=2)
+    r2.read(use_cache=True)
+    assert b.builds == builds_before + 2
+
+    # touching the source invalidates freshness
+    _time.sleep(0.01)
+    os.utime(os.path.join(d, "hop=0", "log.json"))
+    assert not b.is_cache_valid(reader.cache_path(), reader._source_mtime_path())
+    reader.read(use_cache=True)
+    assert b.builds == builds_before + 3
