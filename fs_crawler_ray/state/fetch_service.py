@@ -1,14 +1,17 @@
-"""Persistent fetch-service actor pool.
+"""Fetch stages: partition-local direct fetch + persistent politeness
+actor pool.
 
-The first implementation recreated the fetcher actor pool every hop,
-which re-loaded the corpus index per actor per hop and paid actor
-startup latency × hops. This pool is created ONCE per crawl:
+Direct mode (:func:`make_partition_fetcher`) is a STATELESS map fn
+resolving ids against only the corpus row groups that own them — no
+corpus broadcast anywhere (see ``sources/doc_table.RangeStore``).
 
-- each of K actors holds the DocStore (corpus index), its share of the
-  per-host politeness token buckets, the robots gate and its request
-  counters — the durable analog of the reference's ``Session``
-  (``fscrawler/controller/session.py:24-33``), whose auth/counter state
-  also lives for the whole crawl;
+Politeness mode is a pool created ONCE per crawl:
+
+- each of K actors holds a lazy DocStore (row-group range index), its
+  share of the per-host politeness token buckets, the robots gate and
+  its request counters — the durable analog of the reference's
+  ``Session`` (``fscrawler/controller/session.py:24-33``), whose
+  auth/counter state also lives for the whole crawl;
 - ids are routed to actors BY HOST (``host % K``), so each synthetic
   host's token bucket lives on exactly one actor and per-host budgets
   hold under any parallelism (pool size == the politeness concurrency

@@ -240,12 +240,21 @@ def md5_lower64(values: np.ndarray) -> np.ndarray:
     return out
 
 
-def _md5_tokens(flat: np.ndarray) -> np.ndarray:
-    """md5_lower64 over a token stream via its unique vocabulary."""
+def _md5_tokens(flat) -> np.ndarray:
+    """md5_lower64 over a token stream via its unique vocabulary
+    (Arrow ``dictionary_encode`` — C++ hashing, no Python-string
+    sort)."""
+    import pyarrow.compute as pc
+
     if len(flat) == 0:
         return np.zeros(0, dtype=np.uint64)
-    uniq, inv = np.unique(flat, return_inverse=True)
-    return md5_lower64(uniq)[inv]
+    if not isinstance(flat, (pa.Array, pa.ChunkedArray)):
+        flat = pa.array(flat, type=pa.string())
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    return md5_lower64(enc.dictionary.to_pylist())[inv]
 
 
 class SimHasher:
@@ -354,12 +363,12 @@ def _tokenize_batch(texts: pa.Array | pa.ChunkedArray):
     n_docs = len(texts)
     toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern="[^a-z0-9]+")
     flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat_np = flat.to_numpy(zero_copy_only=False)[nonempty]
-    parent_np = parent[nonempty]
+    parent = pc.list_parent_indices(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat_ne = flat.filter(nonempty)  # stays Arrow — no Python strings
+    parent_np = parent.to_numpy(zero_copy_only=False)[nonempty.to_numpy(zero_copy_only=False)]
     n_tokens = np.bincount(parent_np, minlength=n_docs).astype(np.int64)
-    return flat_np, parent_np, n_tokens
+    return flat_ne, parent_np, n_tokens
 
 
 class TextAnalyzer:
@@ -397,7 +406,7 @@ class TextAnalyzer:
         flat, parent, n_tokens = _tokenize_batch(texts)
 
         # language scores: one is_in kernel + one bincount per language
-        flat_arr = pa.array(flat, type=pa.string())
+        flat_arr = flat if isinstance(flat, pa.Array) else pa.array(flat, type=pa.string())
         scores = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
             m = pc.is_in(flat_arr, value_set=self.stop_sets[lang]).to_numpy(zero_copy_only=False)
@@ -421,7 +430,7 @@ class TextAnalyzer:
         # rolling fingerprint: fp = Σ md5_64(tok_i) · P^(n-1-i)  mod 2^64
         fp = np.zeros(n_docs, dtype=np.uint64)
         if len(flat):
-            th = _md5_tokens(flat)
+            th = _md5_tokens(flat_arr)
             starts = np.concatenate([[0], np.cumsum(n_tokens)[:-1]])
             ends = np.cumsum(n_tokens)
             exp = (ends[parent] - 1) - np.arange(len(flat))
