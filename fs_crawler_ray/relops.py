@@ -179,6 +179,7 @@ def semi_anti_join(
     """Semi/anti join, broadcasting the right key set when it is small
     (the common case for filter sets like invalid children, frontier
     ids), shuffle-joining otherwise."""
+    right = right.materialize()  # sized AND reused — never execute twice
     n = right.count()
     if n <= BROADCAST_LIMIT:
         keys = [r[right_on] for r in right.select_columns([right_on]).take_all()]
@@ -204,6 +205,7 @@ def lookup_join(
 ) -> ray.data.Dataset:
     """Hash join that broadcasts a small right side (pandas merge per
     batch) and falls back to Dataset.join for large ones."""
+    right = right.materialize()  # sized AND reused — never execute twice
     n = right.count()
     if n <= BROADCAST_LIMIT:
         rdf = right.to_pandas()

@@ -23,7 +23,8 @@ Ray mapping: the per-source grouping shuffles by a HASH BUCKET of
 source (all rows of a source land in one bucket; vectorized pandas
 inside — no per-group Python call), classification/update application
 are size-aware joins (broadcast below ``BROADCAST_LIMIT``), and the
-resolve fetch resolves in-task against the broadcast relationship store.
+resolve fetch resolves in-task against the row-group range store
+(partition-local — the relationship table is never broadcast).
 """
 
 from __future__ import annotations
@@ -102,6 +103,7 @@ def _left_join_type_override(
     """edges ⟕ right; type := coalesce(right.value_col, type)."""
     import ray as _ray
 
+    right = right.materialize()  # sized AND reused — never execute twice
     n = right.count()
     if n == 0:
         return edges
