@@ -236,3 +236,77 @@ def lsh_topk(
     if len(parts) == 0:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
     return _topk_reduce(parts, k).reset_index(drop=True)
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 8, seed: int = 9) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a normalized sample (numpy only;
+    the coarse quantizer for IVF). Empty clusters re-seed from the
+    farthest points."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:
+                far = np.argmin(np.max(sample @ cent.T, axis=1))
+                cent[c] = sample[far]
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 4096,
+    seed: int = 9,
+) -> pd.DataFrame:
+    """IVF approximate top-k: a coarse k-means quantizer (trained once
+    on a driver-side sample — small, like the query matrix) is
+    broadcast; each batch assigns its vectors to their nearest centroid
+    and scores ONLY vectors falling in one of the ``n_probe`` probe
+    lists nearest to any query. The scale path next to
+    :func:`brute_force_topk` (exact) and :func:`lsh_topk` (hyperplane):
+    compute per batch is O(n·k_centroids + survivors·Q); recall < 1 by
+    design and should be reported against the exact baseline."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    sample = np.stack(
+        ds.select_columns(["embedding"]).limit(sample_size).to_pandas()["embedding"].to_numpy()
+    ).astype(np.float32)
+    cent = _kmeans(_normalize(sample.astype(np.float64)).astype(np.float32), n_centroids, seed=seed)
+    probe = np.unique(np.argsort(-(q @ cent.T), axis=1)[:, :n_probe])
+    qref = ray.put(q)
+    cref = ray.put(cent)
+    pref = ray.put(probe)
+    qids = list(query_ids)
+
+    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, cm, pr = ray.get(qref), ray.get(cref), ray.get(pref)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+        assign = np.argmax(m @ cm.T, axis=1)
+        keep = np.isin(assign, pr)
+        if not keep.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        m2 = m[keep]
+        vec_ids = batch["vec_id"].to_numpy()[keep]
+        scores = m2 @ qm.T
+        kk = min(k, len(m2))
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        out = []
+        for qi in range(scores.shape[1]):
+            for j in idx[:, qi]:
+                out.append((qids[qi], vec_ids[j], round(float(scores[j, qi]), 6)))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+
+    parts = ds.map_batches(score_fn, batch_format="pandas", batch_size=4096).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+    return _topk_reduce(parts, k).reset_index(drop=True)

@@ -125,3 +125,22 @@ def test_embedding_near_dups_buckets_are_the_scoring_unit():
     exact = embedding_near_dups(ds, threshold=thr, exact=True)
     epairs = {(int(a), int(b)) for a, b in zip(exact["vec_a"], exact["vec_b"])}
     assert (0, 1) in epairs         # the oracle mode does see it
+
+
+def test_ivf_topk_recall(emb):
+    from fs_crawler_ray.ann import ivf_topk
+
+    ds, df = emb
+    q = np.stack(df["embedding"].head(5).to_numpy()).astype(np.float32)
+    exact = brute_force_topk(ds, q, query_ids=list(range(5)), k=5, concurrency=2)
+    approx = ivf_topk(ds, q, query_ids=list(range(5)), k=5, n_centroids=16, n_probe=6)
+    hits = tot = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot > 0.5  # probing 6/16 lists keeps most of the top-5
+    # the self vector must survive (its list is always probed)
+    for qi in range(5):
+        assert int(df.iloc[qi]["vec_id"]) in set(approx[approx["query_id"] == qi]["vec_id"])
