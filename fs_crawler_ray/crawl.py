@@ -444,17 +444,24 @@ class Crawler:
             # groups / Lance fragments with NO extra sort here.
             proc_path = os.path.join(hop_dir, "processing.parquet")
             remainder = None
+            # The visited-filter is REDUNDANT for frontiers produced by
+            # a completed previous hop of this run: _branch_frontier
+            # already filtered the candidates against the same VISITED
+            # state (nothing registers into VISITED between the frontier
+            # write and this point), so only the PROCESSING registration
+            # remains. The first hop of a run (seeds, or a resumed
+            # checkpoint) keeps the full filter.
+            prefiltered = hop > start_hop
             if cfg.frontier_budget is None:
-                eligible = frontier.map_batches(
-                    FilterAndRegister(self.sm, [VISITED], PROCESSING, "id"),
-                    batch_format="pyarrow",
-                )
+                stage = (RegisterPassthrough(self.sm, PROCESSING, "id") if prefiltered
+                         else FilterAndRegister(self.sm, [VISITED], PROCESSING, "id"))
+                eligible = frontier.map_batches(stage, batch_format="pyarrow")
             else:
                 # sharded priority queue: take the best `budget` ids by
                 # (priority, id); carry the rest to the next frontier.
                 # Registration into PROCESSING happens on the head only,
                 # AFTER the split (no register/clear/re-register churn).
-                filtered = frontier.map_batches(
+                filtered = frontier if prefiltered else frontier.map_batches(
                     MembershipFilter(self.sm, [VISITED], "id"), batch_format="pyarrow"
                 )
                 ordered = filtered.sort(["priority", "id"]).materialize()

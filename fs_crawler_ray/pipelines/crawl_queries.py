@@ -43,7 +43,7 @@ def _tune_context() -> None:
         return
     ctx = DataContext.get_current()
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    width = max(8, cpus)
+    width = max(8, min(cpus, 16))  # >16-way exchanges only add contention here
     if ctx.min_parallelism > width:
         ctx.min_parallelism = width
         ctx.read_op_min_num_blocks = width
