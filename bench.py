@@ -47,6 +47,14 @@ def run_bench() -> dict:
     # about (wave + multi-hop crawl + CPU-bound text stage)
     scaling_child = os.environ.get("GRAFT_SCALING_CHILD") == "1"
 
+    if os.environ.get("GRAFT_AFFINITY") == "1":
+        # scaling children: pin the WHOLE Ray process tree (driver,
+        # raylet, workers, num_cpus=0 actors) to exactly num_cpus
+        # physical cores — ray.init(num_cpus=N) alone only caps task
+        # slots, letting actors/raylet spill onto extra cores and
+        # flattering the small cluster size. Affinity is inherited by
+        # children, so this IS the fixed-size-node simulation.
+        os.sched_setaffinity(0, set(range(num_cpus)))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              log_to_driver=False)  # keep stdout to exactly one JSON line
@@ -283,6 +291,7 @@ def run_scaling() -> dict:
         results[n] = _run_child({
             "RAY_GRAFT_CPUS": str(n),
             "GRAFT_SCALING_CHILD": "1",
+            "GRAFT_AFFINITY": "1",
             "GRAFT_CORPUS_SCALE": os.environ.get("GRAFT_CORPUS_SCALE", "100"),
             "GRAFT_WAVE_SEEDS": os.environ.get("GRAFT_WAVE_SEEDS", "500000"),
             "GRAFT_WAVE_REPS": os.environ.get("GRAFT_WAVE_REPS", "2"),

@@ -7,8 +7,13 @@ embedding: list<float>, label)``).
   parallel;
 - LSH-bucketed variant (random hyperplane signatures): candidates only
   from matching buckets (multi-probe over B tables), then exact rerank
-  — the scale path: each batch only scores vectors that share a bucket
-  with some query.
+  — a scale path: each batch only scores vectors that share a bucket
+  with some query;
+- IVF variant: a sampled k-means coarse quantizer broadcast once; each
+  batch scores only vectors assigned to a probe list near some query;
+- embedding near-dup pairs: LSH-cell-bucketed groupby with exact cosine
+  scored WITHIN cells only (O(Σ cell²)); ``exact=True`` all-pairs mode
+  is the small-scale conformance oracle.
 """
 
 from __future__ import annotations

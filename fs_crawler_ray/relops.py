@@ -40,6 +40,37 @@ def _add_bucket(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int) -> 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _keep_first_arrow(t: pa.Table, key_cols: list[str], order_cols: list[str],
+                      drop: list[str] | None = None) -> pa.Table:
+    """Arrow-native keep-first: sort by ``order_cols`` (Arrow's sort is
+    stable), keep the first occurrence of each key via
+    ``dictionary_encode`` + first-index — no pandas round trip on the
+    per-hop hot dedup path. Deterministic whenever the order tuple is
+    unique per key occurrence (true for every caller: edge
+    (hop, src_doc, offset), event (ts, event_id), full-row distinct)."""
+    if drop and len(t) == 0:
+        return t.drop_columns([c for c in drop if c in t.column_names])
+    if len(t) == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in order_cols])
+    t2 = t.take(idx)
+    if len(key_cols) == 1:
+        key = t2[key_cols[0]]
+        if not pa.types.is_string(key.type):
+            key = pc.cast(key, pa.string())
+    else:
+        parts = [pc.cast(t2[c], pa.string()) for c in key_cols]
+        key = pc.binary_join_element_wise(*parts, "\x1f")
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    codes = pc.dictionary_encode(key).indices.to_numpy(zero_copy_only=False)
+    first = np.sort(np.unique(codes, return_index=True)[1])
+    out = t2.take(pa.array(first))
+    if drop:
+        out = out.drop_columns([c for c in drop if c in out.column_names])
+    return out
+
+
 def dedup_keep_first(
     ds: ray.data.Dataset,
     key_cols: list[str],
@@ -55,19 +86,17 @@ def dedup_keep_first(
     (e.g. a hot-lineage parent mentioned by thousands of docs) ships at
     most one row per input batch instead of all of them — the
     skew-mitigation for hot lineages (keep-first is associative:
-    min-of-mins == global min)."""
+    min-of-mins == global min). Both passes are Arrow kernels."""
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, kind="stable")
-        return df.drop_duplicates(subset=key_cols, keep="first")
+    def pre(t: pa.Table) -> pa.Table:
+        return _keep_first_arrow(t, key_cols, order_cols)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="stable")
-        return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return _keep_first_arrow(t, key_cols, order_cols, drop=[_BUCKET_COL])
 
-    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
     return _add_bucket(pre_ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
 
 
@@ -93,22 +122,21 @@ def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64,
     row). Per-batch pre-dedup before the shuffle (hot-key mitigation,
     same argument as :func:`dedup_keep_first`). ``range_bucket=True``
     buckets by the first key column's RANGE, emitting range-clustered,
-    internally-sorted blocks."""
+    internally-sorted blocks. Both passes are Arrow kernels."""
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(list(df.columns), kind="stable")
-        return df.drop_duplicates(subset=key_cols, keep="first")
+    def pre(t: pa.Table) -> pa.Table:
+        return _keep_first_arrow(t, key_cols, list(t.column_names))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(g.columns), kind="stable")
-        return g.drop_duplicates(subset=key_cols, keep="first").drop(columns=[_BUCKET_COL])
+    def per_bucket(t: pa.Table) -> pa.Table:
+        order = [c for c in t.column_names if c != _BUCKET_COL]
+        return _keep_first_arrow(t, key_cols, order, drop=[_BUCKET_COL])
 
-    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
     if range_bucket:
         bucketed = _add_range_bucket(pre_ds, key_cols[0], num_buckets)
     else:
         bucketed = _add_bucket(pre_ds, key_cols, num_buckets)
-    return bucketed.groupby(_BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    return bucketed.groupby(_BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
 
 
 def broadcast_semi_join(
