@@ -270,6 +270,40 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
     offsets: list[int] = []
     span_lengths: list[int] = []
 
+    documents_path = os.path.join(out_dir, "documents.parquet")
+    relationships_path = os.path.join(out_dir, "relationships.parquet")
+    # Streamed chunked write: the document table is emitted in
+    # 128k-person chunks through one ParquetWriter (bounded memory AND
+    # no >2 GB Arrow string array — a 2M-person corpus carries ~1.4 GB
+    # of narrative per 2M docs; the all-at-once build fails on the
+    # ChunkedArray that pa.array returns past 2 GB). Chunk size is a
+    # multiple of the 4k row-group size, so the row-group layout — the
+    # RangeStore's partition unit — is identical to a single-shot write.
+    writer = pq.ParquetWriter(documents_path, DOCUMENT_SCHEMA)
+    n_docs_written = 0
+    FLUSH_DOCS = 128 * 1024
+
+    def _flush() -> None:
+        nonlocal doc_ids, kinds, texts, media_refs, offsets, span_lengths, n_docs_written
+        if not doc_ids:
+            return
+        flat = pa.StructArray.from_arrays(
+            [
+                pa.array(kinds, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(media_refs, pa.string()),
+                pa.array(offsets, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        offs = pa.array(np.concatenate([[0], np.cumsum(span_lengths)]), pa.int32())
+        spans = pa.ListArray.from_arrays(offs, flat)
+        tbl = pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": spans},
+                       schema=DOCUMENT_SCHEMA)
+        writer.write_table(tbl, row_group_size=4096)
+        n_docs_written += len(doc_ids)
+        doc_ids, kinds, texts, media_refs, offsets, span_lengths = [], [], [], [], [], []
+
     for p in range(n):
         if missing[p]:
             continue
@@ -304,28 +338,16 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
                 add("narrative", " ".join(words[i:i + 120]))
         doc_ids.append(pids[p])
         span_lengths.append(len(kinds) - start)
+        if len(doc_ids) >= FLUSH_DOCS:
+            _flush()
 
-    flat = pa.StructArray.from_arrays(
-        [
-            pa.array(kinds, pa.string()),
-            pa.array(texts, pa.string()),
-            pa.array(media_refs, pa.string()),
-            pa.array(offsets, pa.int32()),
-        ],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    offsets_arr = pa.array(np.concatenate([[0], np.cumsum(span_lengths)]), pa.int32())
-    spans = pa.ListArray.from_arrays(offsets_arr, flat)
-    doc_table = pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": spans}, schema=DOCUMENT_SCHEMA)
-
-    documents_path = os.path.join(out_dir, "documents.parquet")
-    relationships_path = os.path.join(out_dir, "relationships.parquet")
+    _flush()
+    writer.close()
     # Small row groups ARE the fetch partitioning: both tables are
     # globally sorted by their key (ids are creation-ordered), so each
     # row group is a contiguous key range that the RangeStore point
     # lookups resolve partition-locally (doc_table.py). ~4k rows ≈ a few
     # MB with narrative payloads — the Lance-fragment-sized unit.
-    pq.write_table(doc_table, documents_path, row_group_size=4096)
     pq.write_table(rel_table, relationships_path, row_group_size=4096)
 
     # seeds: late-generation persons (BFS walks up ancestors + across
@@ -338,7 +360,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
         documents_path=documents_path,
         relationships_path=relationships_path,
         seeds=seeds,
-        n_docs=len(doc_ids),
+        n_docs=n_docs_written,
     )
     info.save()
     return info
