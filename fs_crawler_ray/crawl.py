@@ -406,16 +406,21 @@ class Crawler:
                 if d.startswith("hop="):
                     shutil.rmtree(os.path.join(self.out_dir, d))
         if frontier is None:
-            frontier = ray.data.from_arrow(
-                pa.table(
-                    {
-                        "id": pa.array(sorted(set(seeds)), pa.string()),
-                        "priority": pa.array([0] * len(set(seeds)), pa.int64()),
-                        "hop": pa.array([0] * len(set(seeds)), pa.int32()),
-                    },
-                    schema=FRONTIER_SCHEMA,
-                )
+            uniq = sorted(set(seeds))
+            seed_tbl = pa.table(
+                {
+                    "id": pa.array(uniq, pa.string()),
+                    "priority": pa.array([0] * len(uniq), pa.int64()),
+                    "hop": pa.array([0] * len(uniq), pa.int32()),
+                },
+                schema=FRONTIER_SCHEMA,
             )
+            # chunk large seed lists: one Arrow block = one task for the
+            # whole eligibility filter otherwise (a 2M-seed wave spent
+            # 77 s in a single serial filter task)
+            chunk = 65536
+            chunks = [seed_tbl.slice(i, chunk) for i in range(0, max(1, len(seed_tbl)), chunk)]
+            frontier = ray.data.from_arrow(chunks)
         result = CrawlResult(out_dir=self.out_dir, hops_run=list(range(start_hop)), log=log)
 
         for hop in range(start_hop, cfg.hops):
@@ -485,7 +490,7 @@ class Crawler:
             # Measured on this VM: halving block count at 32 CPUs beat
             # doubling it (per-block overhead, not compute, bounds small
             # hops — see BASELINE.md).
-            rpb = max(4096, n_proc // (2 * cpus) + 1) if self.direct else 5_000
+            rpb = min(32_768, max(4096, n_proc // (2 * cpus) + 1)) if self.direct else 5_000
             records = (
                 _read_sized(proc_path, columns=["id"], rows_per_block=rpb)
                 .map_batches(
