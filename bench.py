@@ -135,6 +135,16 @@ def run_bench() -> dict:
     queries["crawl_wave"] = round(t_wave, 3)
     extras["wave_urls_per_sec"] = round(wave_n / t_wave, 2) if t_wave else 0.0
 
+    if os.environ.get("GRAFT_WAVE_ONLY") == "1":
+        # probe mode: just the single-wave metric (scale-holding checks
+        # at bigger inputs without paying the full suite)
+        ray.shutdown()
+        return {
+            "metric": "single-wave seconds", "value": queries["crawl_wave"],
+            "unit": "sec", "queries": queries, "sf": sf_dir,
+            "num_cpus": num_cpus, **extras,
+        }
+
     # -- corpus text analysis: per-document language-ID/quality/token/
     # fingerprint pass over the crawled documents' narrative text — the
     # CPU-bound stage of a training-data crawl (regex+hash per doc)

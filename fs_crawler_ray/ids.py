@@ -145,14 +145,38 @@ def shard_of(values, num_shards: int, seed: int = 7) -> np.ndarray:
     return (stable_hash64(values, seed=seed) % np.uint64(num_shards)).astype(np.uint32)
 
 
-def range_bucket_of(values, num_buckets: int) -> np.ndarray:
-    """RANGE-partition routing by the first two key characters (base36
-    ids are dense in their prefix, so buckets are near-uniform
-    contiguous id ranges). Used to write frontier/processing sets
-    range-clustered so each fetch task's batch maps to 1-2 corpus row
-    groups — the routing is folded into shuffles that already happen
-    (distinct), never a separate global sort. For non-uniform key
-    distributions swap in sampled boundaries."""
+def range_bucket_of(values, num_buckets: int,
+                    boundaries: np.ndarray | None = None) -> np.ndarray:
+    """RANGE-partition routing: key → contiguous-range bucket index.
+    Used to write frontier/processing sets range-clustered so each
+    fetch task's batch maps to 1-2 corpus row groups — the routing is
+    folded into shuffles that already happen (distinct), never a
+    separate global sort.
+
+    ``boundaries`` (sorted byte-string cut points, e.g. from
+    :func:`fs_crawler_ray.sources.doc_table.corpus_range_boundaries`)
+    gives buckets balanced against the REAL key density. Without them
+    the fallback buckets by the first two base36 characters — which
+    degenerates to ONE bucket when the key population occupies a dense
+    low prefix (sequential ids all start "00.."), serializing the
+    downstream per-bucket work; always pass boundaries when a corpus
+    footer is available."""
+    if boundaries is not None and len(boundaries) > 0:
+        keys = as_key_array(values)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=np.int64)
+        if keys.dtype.kind == "U":
+            keys = keys.astype("S")
+        b = np.asarray(boundaries)
+        # widen to a common byte width: numpy S-compare is bytewise
+        # lexicographic with NUL padding, order-preserving for these
+        # fixed-format ascii keys
+        w = max(keys.dtype.itemsize, b.dtype.itemsize)
+        if keys.dtype.itemsize != w:
+            keys = keys.astype(f"S{w}")
+        if b.dtype.itemsize != w:
+            b = b.astype(f"S{w}")
+        return np.searchsorted(b, keys, side="right").astype(np.int64)
     u32, lengths = _to_bytes_matrix(values)
     if len(u32) == 0:
         return np.zeros(0, dtype=np.int64)

@@ -100,24 +100,41 @@ def dedup_keep_first(
     )
 
 
-def _add_range_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int) -> ray.data.Dataset:
-    """Bucket by key RANGE (id prefix) instead of hash — output buckets
-    are contiguous key ranges, so a downstream consumer that wants
+def _add_range_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int,
+                      boundaries: np.ndarray | None = None) -> ray.data.Dataset:
+    """Bucket by key RANGE instead of hash — output buckets are
+    contiguous key ranges, so a downstream consumer that wants
     range-clustered blocks (e.g. the partition-local fetch) gets them
-    from THIS shuffle for free."""
+    from THIS shuffle for free. ``boundaries``: sorted cut points
+    sampled from the real key distribution (corpus row-group stats);
+    without them a first-two-chars prefix heuristic is used, which
+    degenerates for dense sequential ids — pass boundaries whenever
+    available."""
     from fs_crawler_ray.ids import range_bucket_of
+
+    if boundaries is not None and len(boundaries) + 1 > num_buckets >= 1:
+        # honor the caller's (data-proportional) bucket count: keep
+        # every num_buckets-th cut point so small hops don't pay a
+        # 64-group shuffle
+        n = len(boundaries) + 1
+        cut = (np.arange(1, num_buckets) * n) // num_buckets
+        boundaries = boundaries[cut - 1]
 
     def add(batch: pa.Table) -> pa.Table:
         from fs_crawler_ray.ids import as_key_array
 
-        b = range_bucket_of(as_key_array(batch[key_col]), num_buckets)
+        # boundaries is ≤ num_buckets-1 short byte strings — closure
+        # capture (task-spec inline), no object-store round trip
+        b = range_bucket_of(as_key_array(batch[key_col]), num_buckets,
+                            boundaries=boundaries)
         return batch.append_column(_BUCKET_COL, pa.array(b))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
 def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64,
-             range_bucket: bool = False) -> ray.data.Dataset:
+             range_bucket: bool = False,
+             range_boundaries: np.ndarray | None = None) -> ray.data.Dataset:
     """Distinct rows by key (deterministic representative: smallest full
     row). Per-batch pre-dedup before the shuffle (hot-key mitigation,
     same argument as :func:`dedup_keep_first`). ``range_bucket=True``
@@ -133,7 +150,8 @@ def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64,
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
     if range_bucket:
-        bucketed = _add_range_bucket(pre_ds, key_cols[0], num_buckets)
+        bucketed = _add_range_bucket(pre_ds, key_cols[0], num_buckets,
+                                     boundaries=range_boundaries)
     else:
         bucketed = _add_bucket(pre_ds, key_cols, num_buckets)
     return bucketed.groupby(_BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

@@ -40,6 +40,42 @@ def read_documents(path: str, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, **kwargs)
 
 
+def corpus_range_boundaries(path: str, key_col: str, num_buckets: int) -> np.ndarray:
+    """≤ ``num_buckets-1`` sorted byte-string cut points over the corpus
+    key space, from parquet row-group max statistics (footer bytes only
+    — no data read; the Lance analog is fragment manifests).
+
+    Range-bucketing ids by ``searchsorted`` over these boundaries gives
+    buckets that are (a) balanced against the corpus's REAL id density
+    (row groups are equal-row-count, and the file is key-sorted) and
+    (b) aligned to row-group edges, the fetch unit — a bucket's ids hit
+    whole row groups. Available bucket count grows with the corpus
+    (more row groups), exactly the scaling the frontier shuffle needs.
+    """
+    md = pq.ParquetFile(path, memory_map=True).metadata
+    if md.num_row_groups <= 1:
+        return np.zeros(0, dtype="S1")
+    leaf = None
+    rg0 = md.row_group(0)
+    for i in range(rg0.num_columns):
+        if rg0.column(i).path_in_schema == key_col:
+            leaf = i
+            break
+    if leaf is None:
+        return np.zeros(0, dtype="S1")
+    maxs = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(leaf).statistics
+        if st is None or not st.has_min_max:
+            return np.zeros(0, dtype="S1")
+        maxs.append(st.max if isinstance(st.max, bytes) else str(st.max).encode())
+    arr = np.sort(np.array(maxs, dtype="S"))
+    n = len(arr)
+    k = min(num_buckets, n)
+    idx = (np.arange(1, k) * n) // k
+    return arr[idx]
+
+
 class RangeStore:
     """Row-group-range-partitioned point lookup over a key-sorted
     parquet file. Holds the range index only; row groups load on demand

@@ -53,15 +53,21 @@ def test_shard_state_check_and_add(mode):
     assert not s.contains("visited", fresh).any() or mode == "probabilistic"
 
 
-def test_overflow_spill_preserves_correctness():
-    """A probabilistic set pushed past its cuckoo capacity spills to the
-    exact overflow set instead of failing; membership stays correct."""
+def test_overflow_grows_segments_preserves_correctness():
+    """A probabilistic set pushed past its cuckoo capacity GROWS (new
+    doubled segments, scalable-bloom shape) instead of degrading into
+    eviction chains; membership stays correct with no false negatives."""
     s = MembershipShardState(capacity=256, mode="probabilistic")
     keys = indices_to_pids(np.arange(4000))  # 15× capacity
     s.add("visited", keys)
     assert s.contains("visited", keys).all()  # no false negatives, ever
     st = s.stats()["visited"]
-    assert st["stash"] > 0  # the overload spilled into the stash
+    assert st["segments"] > 1            # the overload opened new segments
+    assert st["stash"] == 0              # no eviction-storm spill
+    # distinct-count estimate stays sane under cross-segment dedup
+    assert 3800 <= st["cuckoo_count"] <= 4200
+    s.add("visited", keys)               # re-add: idempotent, no drift
+    assert 3800 <= s.stats()["visited"]["cuckoo_count"] <= 4200
     # clear() restores ORIGINAL capacity (regression: it used to shrink
     # to the previous count, overflowing the next epoch)
     s.clear("visited")

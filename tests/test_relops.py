@@ -67,3 +67,35 @@ def test_broadcast_semi_join_strings():
     left = _ds(pd.DataFrame({"id": ["A", "B", "C"]}))
     out = broadcast_semi_join(left, ["B", "C"], "id").to_pandas()
     assert sorted(out["id"]) == ["B", "C"]
+
+
+def test_distinct_range_boundaries_balanced_and_exact(tmp_path):
+    """Dense sequential ids (all sharing a '00..' prefix) must spread
+    across range buckets when sampled boundaries are supplied — the
+    prefix fallback degenerates to one bucket — and distinct stays
+    exact and range-clustered."""
+    import pyarrow.parquet as pq
+
+    from fs_crawler_ray.ids import indices_to_pids, range_bucket_of
+    from fs_crawler_ray.sources.doc_table import corpus_range_boundaries
+
+    ids = indices_to_pids(np.arange(20_000))
+    corpus = pa.table({"doc_id": pa.array(np.sort(ids))})
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(corpus, path, row_group_size=1000)
+
+    bounds = corpus_range_boundaries(path, "doc_id", 8)
+    assert 1 <= len(bounds) <= 7
+    buckets = range_bucket_of(ids, 8, boundaries=bounds)
+    counts = np.bincount(buckets)
+    assert (counts > 0).sum() >= 4, counts            # spread, not serialized
+    assert counts.max() <= 2 * counts[counts > 0].min()  # roughly balanced
+    # fallback (no boundaries) degenerates for this id population
+    assert (np.bincount(range_bucket_of(ids, 8)) > 0).sum() == 1
+
+    rng = np.random.RandomState(1)
+    mentions = rng.choice(ids, 60_000)                # duplicated candidates
+    df = pd.DataFrame({"cand_id": mentions, "priority": np.int64(1)})
+    out = distinct(_ds(df), ["cand_id"], 8, range_bucket=True,
+                   range_boundaries=bounds).to_pandas()
+    assert sorted(out["cand_id"]) == sorted(set(mentions))
