@@ -36,6 +36,7 @@ Checkpoint layout (one directory per hop — partitioned, resumable output):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -263,15 +264,59 @@ def _parquet_rows(dir_path: str) -> int:
     return total
 
 
-def _safe_write(ds: ray.data.Dataset, path: str, schema: pa.Schema) -> None:
-    """write_parquet that always leaves a readable (possibly empty)
-    parquet directory — Ray writes nothing for an empty dataset."""
-    ds.write_parquet(path)
+def _ensure_nonempty(path: str, schema: pa.Schema) -> None:
+    """Leave a readable (possibly empty) parquet directory behind — a
+    zero-row write produces no part files otherwise."""
     if _parquet_rows(path) == 0:
         os.makedirs(path, exist_ok=True)
         for f in os.listdir(path):
             os.remove(os.path.join(path, f))
         pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
+def _safe_write(ds: ray.data.Dataset, path: str, schema: pa.Schema) -> None:
+    """write_parquet that always leaves a readable (possibly empty)
+    parquet directory — Ray writes nothing for an empty dataset."""
+    ds.write_parquet(path)
+    _ensure_nonempty(path, schema)
+
+
+class BranchCheckpoint:
+    """1:1 passthrough map_batches stage that persists (a projection of)
+    each batch as a parquet part file while the execution continues
+    downstream — fusing a checkpoint write into a longer pipeline so a
+    hop pays ONE streaming execution where write + re-read + second
+    execution used to sit (each extra Dataset execution costs a fixed
+    ~0.2-0.5 s floor; a 4-hop crawl paid it 8 extra times).
+
+    Part names are derived from the batch CONTENT (first/last key + row
+    count), so a task retried after its write lands overwrites the same
+    file instead of duplicating rows — the same idempotence contract as
+    Ray's own write tasks. Optionally registers the projected keys into
+    a membership set in the same pass (retry-safe: adds are idempotent).
+    """
+
+    def __init__(self, path: str, schema: pa.Schema, extract=None,
+                 sm: ShardedMembership | None = None, register: str | None = None,
+                 key_col: str = "id"):
+        self.path = path
+        self.schema = schema
+        self.extract = extract
+        self.sm = sm
+        self.register = register
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = self.extract(batch) if self.extract is not None else batch
+        if len(rows):
+            rows = rows.select(self.schema.names).cast(self.schema)
+            if self.sm is not None:
+                self.sm.add(self.register, as_key_array(rows[self.key_col]))
+            key = rows.column(self.key_col)
+            tag = f"{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
+            name = hashlib.md5(tag.encode()).hexdigest()
+            pq.write_table(rows, os.path.join(self.path, f"part-{name}.parquet"))
+        return batch
 
 
 def _rec_filter(kind: str):
@@ -377,7 +422,7 @@ class Crawler:
                        "corpus": self.corpus.documents_path}, f, indent=1)
 
     # -- resume --------------------------------------------------------
-    def _resume_state(self) -> tuple[int, ray.data.Dataset | None, list[dict]]:
+    def _resume_state(self) -> tuple[int, str | None, list[dict]]:
         """Rebuild shard state from checkpointed tables (SURVEY §7.5:
         filter state must be reconstructable, never snapshotted ad hoc)."""
         done = self._complete_hops()
@@ -399,8 +444,7 @@ class Crawler:
             MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
         ).sum("n")
         last = done[-1]
-        frontier = ray.data.read_parquet(os.path.join(self._hop_dir(last), "frontier.parquet"))
-        return last + 1, frontier, log
+        return last + 1, os.path.join(self._hop_dir(last), "frontier.parquet"), log
 
     # -- main loop -----------------------------------------------------
     def crawl(self, seeds: list[str], resume: bool = False) -> CrawlResult:
@@ -410,16 +454,17 @@ class Crawler:
             raise ValueError(f"invalid seed ids: {bad}")
         self._write_settings(seeds)
 
-        start_hop, frontier, log = 0, None, []
+        start_hop, frontier_path, log = 0, None, []
         if resume:
-            start_hop, frontier, log = self._resume_state()
+            start_hop, frontier_path, log = self._resume_state()
         else:
             # fresh run: clear any stale hop dirs so _complete_hops /
             # resume never sees leftovers from a longer previous run
             for d in os.listdir(self.out_dir):
                 if d.startswith("hop="):
                     shutil.rmtree(os.path.join(self.out_dir, d))
-        if frontier is None:
+        seed_frontier, n_frontier_est = None, 0
+        if frontier_path is None:
             uniq = sorted(set(seeds))
             seed_tbl = pa.table(
                 {
@@ -430,11 +475,16 @@ class Crawler:
                 schema=FRONTIER_SCHEMA,
             )
             # chunk large seed lists: one Arrow block = one task for the
-            # whole eligibility filter otherwise (a 2M-seed wave spent
-            # 77 s in a single serial filter task)
-            chunk = 65536
+            # whole fused filter+fetch chain otherwise (a 2M-seed wave
+            # spent 77 s in a single serial filter task). Chunks use the
+            # fetch block sizing so the fused execution's fetch tasks
+            # are the same granularity as re-read frontiers get.
+            n_frontier_est = len(seed_tbl)
+            _cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            chunk = (min(32_768, max(4096, n_frontier_est // (2 * _cpus) + 1))
+                     if self.direct else 5_000)
             chunks = [seed_tbl.slice(i, chunk) for i in range(0, max(1, len(seed_tbl)), chunk)]
-            frontier = ray.data.from_arrow(chunks)
+            seed_frontier = ray.data.from_arrow(chunks)
         result = CrawlResult(out_dir=self.out_dir, hops_run=list(range(start_hop)), log=log)
 
         for hop in range(start_hop, cfg.hops):
@@ -454,15 +504,22 @@ class Crawler:
 
             tick = [time.time()]
 
-            # 1. visited-filter + processing registration (fused) →
-            # checkpoint. The frontier arrives RANGE-CLUSTERED (seeds
-            # are sorted; each later frontier is written range-bucketed
-            # by the distinct shuffle in _branch_frontier), and the
-            # 1:1 filter stage preserves that — so each fetch task's
-            # batch is a contiguous id range hitting 1-2 corpus row
-            # groups / Lance fragments with NO extra sort here.
+            # 1.+2. visited-filter + PROCESSING registration + checkpoint
+            # side-write + fetch + parse + vertex side-write, all ONE
+            # streaming execution (each extra Dataset execution costs a
+            # ~0.2-0.5 s fixed floor; the old write→re-read→write shape
+            # paid it 3× per hop). The frontier arrives RANGE-CLUSTERED
+            # (seeds are sorted; each later frontier is written
+            # range-bucketed by the distinct shuffle in
+            # _branch_frontier) and every stage here is 1:1, so each
+            # fetch task's batch is a contiguous id range hitting 1-2
+            # corpus row groups / Lance fragments with NO extra sort.
             proc_path = os.path.join(hop_dir, "processing.parquet")
+            vert_path = os.path.join(hop_dir, "vertices.parquet")
+            os.makedirs(proc_path)
+            os.makedirs(vert_path)
             remainder = None
+            cpus = int(ray.cluster_resources().get("CPU", 8))
             # The visited-filter is REDUNDANT for frontiers produced by
             # a completed previous hop of this run: _branch_frontier
             # already filtered the candidates against the same VISITED
@@ -471,15 +528,58 @@ class Crawler:
             # remains. The first hop of a run (seeds, or a resumed
             # checkpoint) keeps the full filter.
             prefiltered = hop > start_hop
+
+            # fetch blocks sized to amortize per-block fixed costs (task
+            # dispatch + membership-shard RPC fan-out): ≥4k ids per
+            # fetch task, ~2 tasks/CPU when the hop is large enough.
+            # Measured on this VM: halving block count at 32 CPUs beat
+            # doubling it (per-block overhead, not compute, bounds small
+            # hops — see BASELINE.md).
+            def _fetch_rpb(n: int) -> int:
+                return min(32_768, max(4096, n // (2 * cpus) + 1)) if self.direct else 5_000
+
+            # the stage chain downstream of the eligible frontier:
+            # fetch → parse → vertex checkpoint (VISITED registration
+            # fused in). Vertex rows are a pure 1:1 projection of the
+            # parsed records, so persisting them inside this execution
+            # replaces the whole former vertices branch.
+            def _fetch_parse_chain(src: ray.data.Dataset) -> ray.data.Dataset:
+                return (
+                    src.map_batches(
+                        self._fetch_stage(hop),
+                        batch_size=None if self.direct else cfg.fetch_batch_size,
+                        batch_format="pyarrow",
+                    )
+                    .map_batches(parse_documents, batch_format="pyarrow")
+                    .map_batches(
+                        BranchCheckpoint(vert_path, VERTEX_SCHEMA,
+                                         extract=_rec_filter("vertex"),
+                                         sm=self.sm, register=VISITED),
+                        batch_format="pyarrow",
+                    )
+                )
+
             if cfg.frontier_budget is None:
+                if frontier_path is not None:
+                    n_frontier_est = _parquet_rows(frontier_path)
+                    src = _read_sized(frontier_path, rows_per_block=_fetch_rpb(n_frontier_est))
+                else:
+                    src = seed_frontier
                 stage = (RegisterPassthrough(self.sm, PROCESSING, "id") if prefiltered
                          else FilterAndRegister(self.sm, [VISITED], PROCESSING, "id"))
-                eligible = frontier.map_batches(stage, batch_format="pyarrow")
+                eligible = src.map_batches(stage, batch_format="pyarrow").map_batches(
+                    BranchCheckpoint(proc_path, FRONTIER_SCHEMA), batch_format="pyarrow"
+                )
+                records = _fetch_parse_chain(eligible).materialize()
             else:
                 # sharded priority queue: take the best `budget` ids by
                 # (priority, id); carry the rest to the next frontier.
                 # Registration into PROCESSING happens on the head only,
                 # AFTER the split (no register/clear/re-register churn).
+                # The sort is a materialization barrier, so this path
+                # keeps the write→sized-re-read shape for the fetch.
+                frontier = (_read_sized(frontier_path) if frontier_path is not None
+                            else seed_frontier)
                 filtered = frontier if prefiltered else frontier.map_batches(
                     MembershipFilter(self.sm, [VISITED], "id"), batch_format="pyarrow"
                 )
@@ -489,58 +589,33 @@ class Crawler:
                     RegisterPassthrough(self.sm, PROCESSING, "id"), batch_format="pyarrow"
                 )
                 remainder = tail
-            _safe_write(eligible, proc_path, FRONTIER_SCHEMA)
-            _mark("frontier_filter", tick)
-
-            # 2. fetch (persistent pool: politeness + robots) → parse
-            # direct mode: whole-block batches (one corpus lookup per
-            # block) + CPU-aware block count; politeness mode keeps the
-            # MAX_PERSONS request granularity (fsapi.py:23)
-            n_proc = _parquet_rows(proc_path)
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            # blocks sized to amortize per-block fixed costs (task
-            # dispatch + membership-shard RPC fan-out): ≥4k ids per
-            # fetch task, ~2 tasks/CPU when the hop is large enough.
-            # Measured on this VM: halving block count at 32 CPUs beat
-            # doubling it (per-block overhead, not compute, bounds small
-            # hops — see BASELINE.md).
-            rpb = min(32_768, max(4096, n_proc // (2 * cpus) + 1)) if self.direct else 5_000
-            records = (
-                _read_sized(proc_path, columns=["id"], rows_per_block=rpb)
-                .map_batches(
-                    self._fetch_stage(hop),
-                    batch_size=None if self.direct else cfg.fetch_batch_size,
-                    batch_format="pyarrow",
-                )
-                .map_batches(parse_documents, batch_format="pyarrow")
-                .materialize()
-            )
+                _safe_write(eligible, proc_path, FRONTIER_SCHEMA)
+                n_proc = _parquet_rows(proc_path)
+                records = _fetch_parse_chain(
+                    _read_sized(proc_path, columns=["id"], rows_per_block=_fetch_rpb(n_proc))
+                ).materialize()
+            _ensure_nonempty(proc_path, FRONTIER_SCHEMA)
+            _ensure_nonempty(vert_path, VERTEX_SCHEMA)
             _mark("fetch_parse", tick)
             # shuffle width scaled to this hop's data: a few-hundred-row
             # hop must not pay a 64-partition shuffle's fixed cost
             n_records = records.count()
             eff_buckets = int(max(2, min(cfg.num_buckets, n_records // 5000 + 1)))
 
-            # 3. three independent consumers of the materialized
-            # records run SEQUENTIALLY — each is a short, wide Dataset
-            # execution. (Running them on 3 driver threads was measured
-            # 2-4× SLOWER at 32 CPUs: concurrent streaming executions
-            # contend for the same task slots and object store, and the
-            # per-execution fixed costs triple. Sequential keeps each
-            # execution wide enough to saturate the cluster on large
-            # hops and pays the floor once per branch on small ones.)
-            # Ordering analysis: vertex visited-adds are timing-free
-            # (vertices ⊆ processing, which the candidate filter also
-            # checks) and the edge-seen adds are deferred to the commit
-            # below — so branch order is irrelevant for correctness.
-            def _branch_vertices() -> None:
-                t0b = time.time()
-                verts = records.map_batches(_rec_filter("vertex"), batch_format="pyarrow").select_columns(
-                    ["id", "color", "surname", "given_name", "iteration", "lifespan", "living"]
-                ).map_batches(RegisterPassthrough(self.sm, VISITED, "id"), batch_format="pyarrow")
-                _safe_write(verts, os.path.join(hop_dir, "vertices.parquet"), VERTEX_SCHEMA)
-                stage_t["vertices"] = round(time.time() - t0b, 3)
-
+            # 3. the two shuffle consumers of the materialized records
+            # run SEQUENTIALLY — each is a short, wide Dataset
+            # execution. (Running branches on driver threads was
+            # measured 2-4× SLOWER at 32 CPUs: concurrent streaming
+            # executions contend for the same task slots and object
+            # store, and the per-execution fixed costs multiply.
+            # Sequential keeps each execution wide enough to saturate
+            # the cluster on large hops and pays the floor once per
+            # branch on small ones.) Ordering analysis: vertex
+            # visited-adds (fused into the fetch execution above) are
+            # timing-free (vertices ⊆ processing, which the candidate
+            # filter also checks) and the edge-seen adds are deferred to
+            # the commit below — so branch order is irrelevant for
+            # correctness.
             def _finish_edge(batch: pa.Table) -> pa.Table:
                 n = len(batch)
                 return pa.table(
@@ -624,7 +699,7 @@ class Crawler:
                 )
                 stage_t["frontier_out"] = round(time.time() - t0b, 3)
 
-            for f in (_branch_vertices, _branch_edges, _branch_frontier):
+            for f in (_branch_edges, _branch_frontier):
                 f()
             self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
             _mark("branches_wall", tick)
@@ -665,7 +740,7 @@ class Crawler:
             os.replace(tmp, os.path.join(hop_dir, "log.json"))
 
             result.hops_run.append(hop)
-            frontier = _read_sized(os.path.join(hop_dir, "frontier.parquet"))
+            frontier_path, seed_frontier = os.path.join(hop_dir, "frontier.parquet"), None
 
         result.log = log
         return result
