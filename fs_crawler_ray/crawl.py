@@ -767,13 +767,14 @@ class Crawler:
                 }
             )
 
-        agg = ds.map_batches(classify, batch_format="pyarrow").sum(["within", "spanning", "frontier"])
-        if not agg:  # empty edge set → Dataset.sum returns None
-            return {"within": 0, "spanning": 0, "frontier": 0}
+        # per-batch partial counts summed on the driver: three scalars
+        # per task, so a shuffle Aggregate here only adds an all-to-all
+        # operator's fixed cost (~1.5 s) to every crawl
+        parts = ds.map_batches(classify, batch_format="pyarrow").take_all()
         return {
-            "within": int(agg.get("sum(within)") or 0),
-            "spanning": int(agg.get("sum(spanning)") or 0),
-            "frontier": int(agg.get("sum(frontier)") or 0),
+            "within": int(sum(r["within"] for r in parts)),
+            "spanning": int(sum(r["spanning"] for r in parts)),
+            "frontier": int(sum(r["frontier"] for r in parts)),
         }
 
 

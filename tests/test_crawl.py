@@ -180,3 +180,33 @@ def test_politeness_budget_preserves_results(small_corpus, tmp_path_factory):
     oracle = oracle_crawl(small_corpus.documents_path, small_corpus.seeds, 2)
     verts, _, _ = _ray_tables(result)
     assert set(verts) == set(oracle.vertices)  # politeness changes timing, not results
+
+
+def test_branch_checkpoint_retry_idempotent(tmp_path):
+    """A task retried after its side-write landed must overwrite the
+    same part file (content-derived name), not duplicate rows."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from fs_crawler_ray.crawl import BranchCheckpoint
+    from fs_crawler_ray.model import FRONTIER_SCHEMA
+
+    d = str(tmp_path / "proc")
+    os.makedirs(d)
+    ckpt = BranchCheckpoint(d, FRONTIER_SCHEMA)
+    batch = pa.table(
+        {"id": ["A", "B", "C"], "priority": [0, 0, 0], "hop": [0, 0, 0]},
+        schema=FRONTIER_SCHEMA,
+    )
+    out1 = ckpt(batch)
+    out2 = ckpt(batch)  # simulated retry of the same task
+    assert out1 == batch and out2 == batch  # pure passthrough
+    parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(parts) == 1  # overwrote, not duplicated
+    assert pads.dataset(d).to_table().num_rows == 3
+    # a DIFFERENT batch lands in its own part
+    batch2 = pa.table(
+        {"id": ["D"], "priority": [1], "hop": [1]}, schema=FRONTIER_SCHEMA
+    )
+    ckpt(batch2)
+    assert pads.dataset(d).to_table().num_rows == 4
