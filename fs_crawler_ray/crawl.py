@@ -1,23 +1,23 @@
 """The BFS frontier crawl: one Ray Data pipeline per hop.
 
 Re-creates the reference's superstep loop (``fscrawler/crawler.py:44-46``
-→ ``fsapi.py:194-222`` → graph-store mutations) as FIVE fused Dataset
+→ ``fsapi.py:194-222`` → graph-store mutations) as THREE fused Dataset
 executions per hop:
 
 1. frontier → fused visited-filter + processing-registration
-   (membership shards via ``map_batches``; optional priority-queue
-   budget takes the best ``(priority, id)`` ids and carries the rest)
-   → ``processing.parquet`` checkpoint;
-2. processing → persistent fetch pool (politeness token buckets +
-   robots, ids routed by host) → vectorized span parser → materialized
-   per-hop record set (adaptive shuffle width derives from its size);
-3. vertices written + registered into ``visited`` in the same pass
-   (safe: this hop's vertices ⊆ processing, which the candidate filter
-   also checks);
-4. edges: in-hop keep-first dedup (``(hop, src_doc, offset)`` under the
+   (membership shards via ``map_batches``) → ``processing.parquet``
+   checkpoint side-write → fetch (politeness token buckets + robots,
+   ids routed by host; or partition-local row-group lookup in direct
+   mode) → vectorized span parser → vertices checkpoint side-write +
+   ``visited`` registration (safe: this hop's vertices ⊆ processing,
+   which the candidate filter also checks) → materialized per-hop
+   record set (adaptive shuffle width derives from its size). An
+   optional priority-queue budget takes the best ``(priority, id)``
+   ids and carries the rest, at the cost of a sort barrier;
+2. edges: in-hop keep-first dedup (``(hop, src_doc, offset)`` under the
    canonical visit order = sorted id per hop) → cross-hop edge-seen
    filter with DEFERRED adds committed after the write (retry-safe);
-5. frontier candidates filtered against ``visited ∪ processing``
+3. frontier candidates filtered against ``visited ∪ processing``
    (the ``add_to_frontier`` guard, ``graph_memory_impl.py:60-63``),
    unioned with any budget remainder, dedup'd → next frontier.
 
