@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_pairs": rel.q_distinct_pairs,
         "q_union_orders": rel.q_union_orders,
         "q_orders_lineitem_join": rel.q_orders_lineitem_join,
+        "q_events_sessions": rel.q_events_sessions,
+        "q_events_asof_purchase_click": rel.q_events_asof_purchase_click,
+        "q_events_rolling_hour": rel.q_events_rolling_hour,
+        "q_top_orders_per_segment": rel.q_top_orders_per_segment,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
@@ -172,7 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_analysis": _docs_analysis,
         "ann_topk": _ann_topk,
         "embedding_near_dups": _embedding_near_dups,
-        "media_features": _media_features,                     # rows-only
+        "media_features": _media_features,
     }
 
 
@@ -208,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "span_vertices": osql.span_vertices(d),
         "span_edges": osql.span_edges(d),
         "span_media": osql.span_media(d),
+        "media_features": osql.media_features(d),
         "living_filtered_vertices": osql.living_filtered_vertices(d, s, h),
         "primary_edges": osql.primary_edges(d, r, s, h),
         "rels_to_resolve": osql.rels_to_resolve(d, s, h),
@@ -277,6 +282,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderstatus
+        """,
+        "q_events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "q_events_asof_purchase_click": """
+            SELECT l.user_id, l.event_id AS purchase_id, l.ts AS purchase_ts,
+                   r.ts AS click_ts, ROUND(r.value, 2) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.user_id, purchase_id
+        """,
+        "q_events_rolling_hour": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS n_window,
+                   ROUND(SUM(value) OVER w, 2) AS sum_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "q_top_orders_per_segment": """
+            SELECT c_mktsegment, rank, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            ) WHERE rank <= 3
+            ORDER BY c_mktsegment, rank
         """,
         "docs_exact_dedup": """
             SELECT doc_id, md5(text) AS content_hash FROM documents

@@ -463,6 +463,28 @@ WHERE u.kind = 'media'
 """
 
 
+def media_features(docs: str) -> str:
+    """Multimodal decode-plumbing oracle: ``media_type`` and
+    ``decoded_len`` are pure functions of ``md5(media_ref)``
+    (multimodal.synthesize_media_payloads seeds numpy with
+    ``int(md5(ref)[:8], 16)``; type = [image,audio,video][seed%3],
+    payload/decoded length = 64 + seed%192) — so the actor-pool decode
+    pipeline's full output is SQL-checkable even though the byte-level
+    decode itself is the sandbox's deterministic fake."""
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, u.media_ref AS media_ref,
+         CAST(concat('0x', substr(md5(u.media_ref), 1, 8)) AS BIGINT) AS seed
+  FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+  WHERE u.kind = 'media'
+)
+SELECT doc_id, media_ref,
+       CASE seed % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       64 + (seed % 192) AS decoded_len
+FROM seeded
+"""
+
+
 def _edge_category_sql(docs: str, seeds: list[str], hops: int, pred: str) -> str:
     return _base(docs, seeds, hops) + f"""
 SELECT e.source, e.destination, e.rel_id

@@ -188,6 +188,80 @@ def q_union_orders(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (12 h inactivity gap) per user — the
+    windows.sessionize operator, oracled by DuckDB LAG/SUM windows."""
+    from fs_crawler_ray.windows import sessionize
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = sessionize(
+        ev, key="user_id", ts_col="ts", gap=pd.Timedelta(hours=12),
+        value_col="value", order_cols=["ts", "event_id"],
+    ).to_pandas()
+    return _round2(out, ["sum_value"]).sort_values(
+        ["user_id", "session_id"]
+    ).reset_index(drop=True)
+
+
+def q_events_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase paired with the same user's most
+    recent click at-or-before it (windows.asof_join; DuckDB ASOF JOIN
+    oracle)."""
+    from fs_crawler_ray.windows import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")), batch_format="pyarrow"
+    ).select_columns(["ts", "user_id", "value"])
+    out = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        left_cols=["event_id"], right_cols=["value"],
+    ).to_pandas()
+    out = out.rename(columns={
+        "event_id": "purchase_id", "ts": "purchase_ts",
+        "ts_r": "click_ts", "value": "click_value",
+    })
+    out = _round2(out, ["click_value"])
+    return out[["user_id", "purchase_id", "purchase_ts", "click_ts", "click_value"]].sort_values(
+        ["user_id", "purchase_id"]
+    ).reset_index(drop=True)
+
+
+def q_events_rolling_hour(sf_dir: str):
+    """Sliding 1-hour window aggregate per user (windows.
+    rolling_time_window; DuckDB RANGE-frame window oracle)."""
+    from fs_crawler_ray.windows import rolling_time_window
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_time_window(
+        ev, key="user_id", ts_col="ts", window=pd.Timedelta(hours=1), value_col="value"
+    ).to_pandas()
+    return _round2(out, ["sum_window"])[
+        ["event_id", "user_id", "n_window", "sum_window"]
+    ].sort_values("event_id").reset_index(drop=True)
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Per-group top-k (window row_number ≤ k) with block-local
+    pre-pruning before the shuffle (windows.topk_per_group)."""
+    from fs_crawler_ray.windows import topk_per_group
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_lookup_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    out = topk_per_group(
+        joined, group_col="c_mktsegment",
+        order_cols=["o_totalprice", "o_orderkey"], descending=[True, False], k=k,
+    ).to_pandas()
+    out = _round2(out, ["o_totalprice"])
+    return out[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]].sort_values(
+        ["c_mktsegment", "rank"]
+    ).reset_index(drop=True)
+
+
 def q_orders_lineitem_join(sf_dir: str):
     """Large-large shuffle hash join (Dataset.join) + aggregate:
     revenue per order status."""

@@ -1,0 +1,221 @@
+"""Unit tests for the temporal/windowed operators (windows.py):
+sessionize, asof_join, rolling_time_window, topk_per_group — the
+custom operators the reference lacks (SURVEY.md §2.5 notes the
+reference has no windows/as-of), each also strictly oracled against
+DuckDB in __ray_entry__."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from fs_crawler_ray.windows import (
+    asof_join,
+    rolling_time_window,
+    sessionize,
+    topk_per_group,
+)
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def _ts(*minutes):
+    return [T0 + pd.Timedelta(minutes=m) for m in minutes]
+
+
+def test_sessionize_gap_boundaries():
+    # gaps: 10 (same), 30 (same: NOT strictly greater), 31 (new), then
+    # a second user with a single event
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [10, 11, 12, 13, 20],
+            "ts": _ts(0, 10, 40, 71, 5),
+            "value": [1.0, 2.0, 3.0, 4.0, 9.0],
+        }
+    )
+    out = (
+        sessionize(
+            ray.data.from_pandas(df), key="user_id", ts_col="ts",
+            gap=pd.Timedelta(minutes=30), value_col="value",
+            order_cols=["ts", "event_id"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [1, 2, 1]
+    # 30-min gap exactly stays in-session (strictly-greater rule)
+    assert out["n_events"].tolist() == [3, 1, 1]
+    assert out["sum_value"].tolist() == [6.0, 4.0, 9.0]
+    assert out.loc[0, "start_ts"] == T0 and out.loc[0, "end_ts"] == T0 + pd.Timedelta(minutes=40)
+
+
+def test_asof_join_matches_most_recent_at_or_before():
+    left = pd.DataFrame(
+        {"user_id": [1, 1, 1, 2], "ts": _ts(5, 20, 100, 1), "event_id": [1, 2, 3, 4]}
+    )
+    right = pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": _ts(5, 30, 50), "value": [10.0, 20.0, 30.0]}
+    )
+    out = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="user_id", ts_col="ts", left_cols=["event_id"], right_cols=["value"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1: equal ts matches (at-or-before inclusive); event 2: only
+    # the t=5 click precedes; event 3: latest prior is t=30; event 4:
+    # user 2 has no click at-or-before t=1 -> dropped (inner)
+    assert out["event_id"].tolist() == [1, 2, 3]
+    assert out["value"].tolist() == [10.0, 10.0, 20.0]
+    assert out["ts_r"].tolist() == _ts(5, 5, 30)
+
+
+def test_asof_join_empty_side_groups():
+    left = pd.DataFrame({"user_id": [7], "ts": _ts(1), "event_id": [1]})
+    right = pd.DataFrame({"user_id": [8], "ts": _ts(0), "value": [1.0]})
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="user_id", ts_col="ts", left_cols=["event_id"], right_cols=["value"],
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_rolling_time_window_inclusive_bounds():
+    # window=60min: row at t=60 includes t=0 (boundary inclusive);
+    # row at t=121 excludes t=60 (121-60=61 > 60)
+    df = pd.DataFrame(
+        {"user_id": [1, 1, 1], "event_id": [1, 2, 3], "ts": _ts(0, 60, 121),
+         "value": [1.0, 2.0, 4.0]}
+    )
+    out = (
+        rolling_time_window(
+            ray.data.from_pandas(df), key="user_id", ts_col="ts",
+            window=pd.Timedelta(hours=1), value_col="value",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_window"].tolist() == [1, 2, 1]
+    assert out["sum_window"].tolist() == [1.0, 3.0, 4.0]
+
+
+def test_topk_per_group_ranks_and_block_prune():
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "seg": rng.choice(["a", "b"], 400),
+            "key": np.arange(400, dtype=np.int64),
+            "score": rng.rand(400).round(6),
+        }
+    )
+    # many blocks so the block-local prune path is exercised
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        topk_per_group(ds, group_col="seg", order_cols=["score", "key"],
+                       descending=[True, False], k=5)
+        .to_pandas()
+        .sort_values(["seg", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["score", "key"], ascending=[False, True])
+        .groupby("seg", sort=False)
+        .head(5)
+        .sort_values(["seg", "score"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert out["key"].tolist() == exp["key"].tolist()
+    assert out.groupby("seg")["rank"].apply(list).tolist() == [[1, 2, 3, 4, 5]] * 2
+
+
+def test_windows_match_duckdb_on_random_events():
+    """Property-style cross-check of all three temporal operators
+    against DuckDB window/ASOF SQL on a random events table."""
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 12, n).astype(np.int64),
+            "ts": T0 + pd.to_timedelta(rng.randint(0, 6 * 24 * 3600, n), unit="s"),
+            "kind": rng.choice(["p", "c"], n),
+            "value": rng.rand(n).round(3),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("ev", ev)
+    ds = ray.data.from_pandas(ev)
+
+    sess = (
+        sessionize(ds, key="user_id", ts_col="ts", gap=pd.Timedelta(hours=2),
+                   value_col="value", order_cols=["ts", "event_id"])
+        .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    sess_sql = con.execute(
+        """
+        WITH o AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR
+                        THEN 1 ELSE 0 END AS ns
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts, ROUND(SUM(value), 3) AS sum_value
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchdf()
+    sess["sum_value"] = sess["sum_value"].round(3)
+    pd.testing.assert_frame_equal(
+        sess[["user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value"]],
+        sess_sql, check_dtype=False,
+    )
+
+    roll = (
+        rolling_time_window(ds, key="user_id", ts_col="ts",
+                            window=pd.Timedelta(hours=3), value_col="value")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    roll_sql = con.execute(
+        """
+        SELECT event_id, COUNT(*) OVER w AS n_window, ROUND(SUM(value) OVER w, 3) AS sum_window
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).fetchdf()
+    assert roll["n_window"].tolist() == roll_sql["n_window"].tolist()
+    assert np.allclose(roll["sum_window"].round(3), roll_sql["sum_window"], atol=1e-9)
+
+    aj = (
+        asof_join(
+            ds.filter(lambda r: r["kind"] == "p"), ds.filter(lambda r: r["kind"] == "c"),
+            key="user_id", ts_col="ts", left_cols=["event_id"], right_cols=["value"],
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    aj_sql = con.execute(
+        """
+        SELECT l.event_id, r.ts AS ts_r, r.value
+        FROM (SELECT * FROM ev WHERE kind = 'p') l
+        ASOF JOIN (SELECT * FROM ev WHERE kind = 'c') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+        """
+    ).fetchdf()
+    assert aj["event_id"].tolist() == aj_sql["event_id"].tolist()
+    assert aj["ts_r"].tolist() == aj_sql["ts_r"].tolist()
+    assert np.allclose(aj["value"], aj_sql["value"])
