@@ -277,10 +277,35 @@ def run_bench() -> dict:
                      concurrency=max(4, num_cpus // 2))
     queries["ann_topk"] = round(time.time() - t0, 3)
 
+    # -- temporal/windowed operators over events ------------------------
+    import pandas as _pd
+
+    from fs_crawler_ray.windows import asof_join, rolling_time_window, sessionize
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    t0 = time.time()
+    n_sessions = sessionize(ev, key="user_id", ts_col="ts", gap=_pd.Timedelta(hours=12),
+                            value_col="value", order_cols=["ts", "event_id"]).count()
+    rolling_time_window(ev, key="user_id", ts_col="ts", window=_pd.Timedelta(hours=1),
+                        value_col="value").count()
+    import pyarrow.compute as _pc
+
+    n_asof = asof_join(
+        ev.map_batches(lambda t: t.filter(_pc.equal(t["event_type"], "purchase")),
+                       batch_format="pyarrow"),
+        ev.map_batches(lambda t: t.filter(_pc.equal(t["event_type"], "click")),
+                       batch_format="pyarrow"),
+        key="user_id", ts_col="ts", left_cols=["event_id"], right_cols=["value"],
+    ).count()
+    queries["temporal_windows"] = round(time.time() - t0, 3)
+    extras["sessions"] = int(n_sessions)
+    extras["asof_matches"] = int(n_asof)
+
     ray.shutdown()
     total = round(sum(queries.values()), 3)
     return {
-        "metric": "headline suite seconds (crawl fetch+dedupe+edge-extract, resolve, adjacency, dedup, minhash, text, ann)",
+        "metric": "headline suite seconds (crawl fetch+dedupe+edge-extract, resolve, adjacency, dedup, minhash, text, ann, windows)",
         "value": total,
         "unit": "sec",
         "queries": queries,
