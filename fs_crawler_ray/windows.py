@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 
@@ -85,6 +86,22 @@ def asof_join(
     """
     l_sel = left.select_columns(list(dict.fromkeys([key, ts_col, *left_cols])))
     r_sel = right.select_columns(list(dict.fromkeys([key, ts_col, *right_cols])))
+    # the union below NaN-fills each side's missing columns, upcasting
+    # ints to float64 — record which columns are integral so per_key can
+    # restore exact dtypes (inner semantics: outputs are never null)
+    import pyarrow.types as pat
+
+    def _is_int(t) -> bool:
+        if isinstance(t, pa.DataType):
+            return pat.is_integer(t)
+        return getattr(np.dtype(t), "kind", "") in ("i", "u")
+
+    int_cols = {
+        n
+        for ds_ in (l_sel, r_sel)
+        for n, t in zip(ds_.schema().names, ds_.schema().types)
+        if _is_int(t)
+    }
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -111,12 +128,16 @@ def asof_join(
         hit = idx >= 0
         l = l[hit]
         matched = r.iloc[idx[hit]]
-        out = {key: l[key].to_numpy(), ts_col: l[ts_col].to_numpy()}
+        def col(series, name):
+            v = series.to_numpy()
+            return v.astype(np.int64) if name in int_cols and v.dtype.kind == "f" else v
+
+        out = {key: col(l[key], key), ts_col: l[ts_col].to_numpy()}
         for c in left_cols:
-            out[c] = l[c].to_numpy()
+            out[c] = col(l[c], c)
         out[out_right_ts] = matched[ts_col].to_numpy()
         for c, oc in zip(right_cols, out_right):
-            out[oc] = matched[c].to_numpy()
+            out[oc] = col(matched[c], c)
         return pd.DataFrame(out)
 
     return both.groupby(key).map_groups(per_key, batch_format="pandas")
