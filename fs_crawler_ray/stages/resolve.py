@@ -174,27 +174,24 @@ def fetch_resolve_updates(
     rel_docs = to_resolve.map_batches(rel_fetch_fn, batch_format="pyarrow", batch_size=4096)
 
     def expand(t: pa.Table) -> pa.Table:
-        srcs, dsts, types, rids = [], [], [], []
-        child = t["child"].to_pylist()
-        rel = t["rel_id"].to_pylist()
+        # vectorized: per parent slot, keep rows with both endpoints
+        # present (fsapi.py:108-110 warns and skips) and default the
+        # missing fact type (fsapi.py:87-97) — no per-row Python
+        parts = []
         for pk, tk in (("parent1", "parent1_type"), ("parent2", "parent2_type")):
-            par = t[pk].to_pylist()
-            ptype = t[tk].to_pylist()
-            for c, p, ty, r in zip(child, par, ptype, rel):
-                if c is None or p is None:
-                    continue  # fsapi.py:108-110 warns and skips
-                srcs.append(c)
-                dsts.append(p)
-                types.append(ty if ty is not None else UNSPECIFIED)
-                rids.append(r)
-        return pa.table(
-            {
-                "__us": pa.array(srcs, pa.string()),
-                "__ud": pa.array(dsts, pa.string()),
-                "new_type": pa.array(types, pa.string()),
-                "__ur": pa.array(rids, pa.string()),
-            }
-        )
+            mask = pc.and_(pc.is_valid(t["child"]), pc.is_valid(t[pk]))
+            sub = t.filter(mask)
+            parts.append(
+                pa.table(
+                    {
+                        "__us": sub["child"].cast(pa.string()),
+                        "__ud": sub[pk].cast(pa.string()),
+                        "new_type": pc.fill_null(sub[tk].cast(pa.string()), UNSPECIFIED),
+                        "__ur": sub["rel_id"].cast(pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     updates = rel_docs.map_batches(expand, batch_format="pyarrow")
 
