@@ -2,19 +2,26 @@
 compositions (brief: "custom operators" — as-of join, windowed
 aggregate, sessionization, per-group top-k).
 
-Every operator here is ONE hash shuffle by its key followed by a
-vectorized per-group kernel (`groupby(key).map_groups` over pandas
-groups — numpy searchsorted / cumsum, no per-row Python). Partitioning
-assumption, stated once for all of them: a single key's rows must fit
-in one worker's heap. Keys are user/customer-grained (millions of
-small groups at deployment scale), the same assumption the crawl makes
-for hot lineages; a pathologically hot key gets the same remedy
-(salt + re-merge) as the crawl's salted repartition.
+Shape shared by all of them: ONE hash shuffle into key-hash BUCKETS
+(``relops._add_bucket`` — all rows of a key land in one bucket, many
+keys per bucket) followed by a per-bucket kernel that is vectorized
+ACROSS keys (numpy sort/searchsorted/cumsum over the whole bucket —
+no per-key Python call, unlike a naive ``groupby(key).map_groups``
+which at deployment scale would make one Python call per user).
+Partitioning assumption, stated once: a bucket must fit in one
+worker's heap — tune ``num_buckets`` to the data; a pathologically hot
+key gets the same remedy (salt + re-merge) as the crawl's salted
+repartition of hot lineages.
 
-These have no reference analog (the reference has no windows/as-of —
-SURVEY.md §2.5 "no windows, no as-of/range joins"); they are part of
-the beyond-reference training-data/ETL surface and are each strictly
-oracled against DuckDB window/ASOF SQL in ``__ray_entry__``.
+The timeline kernels (rolling window, as-of) linearize (key, ts) into
+one sortable int64 axis via per-key offsets; when ``n_keys × span``
+would overflow int64 they fall back to a per-key-segment numpy loop
+(same results, still no pandas-groupby overhead).
+
+These have no reference analog (SURVEY.md §2.5: "no windows, no
+as-of/range joins"); they are part of the beyond-reference
+training-data/ETL surface and are each strictly oracled against DuckDB
+window/ASOF SQL in ``__ray_entry__``.
 """
 
 from __future__ import annotations
@@ -24,6 +31,14 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
+
+
+def _bucketed(ds: ray.data.Dataset, key: str, num_buckets: int, fn) -> ray.data.Dataset:
+    return _add_bucket(ds, [key], num_buckets).groupby(_BUCKET_COL).map_groups(
+        lambda g: fn(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+    )
+
 
 def sessionize(
     ds: ray.data.Dataset,
@@ -32,6 +47,7 @@ def sessionize(
     gap: pd.Timedelta,
     value_col: str | None = None,
     order_cols: list[str] | None = None,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Gap-based sessionization: within each ``key``, a new session
     starts when the time since the previous row exceeds ``gap``
@@ -40,20 +56,26 @@ def sessionize(
     with ``session_id`` numbered 1.. in time order per key.
     """
     order_cols = order_cols or [ts_col]
+    gap64 = gap.to_timedelta64()
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, kind="stable")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="stable")
+        k = df[key].to_numpy()
         ts = df[ts_col].to_numpy()
-        new_sess = np.ones(len(df), dtype=np.int64)
-        if len(df) > 1:
-            new_sess[1:] = (np.diff(ts) > gap.to_timedelta64()).astype(np.int64)
-        sess = np.cumsum(new_sess)
-        # per-session reduction via boundary indices (no second groupby)
+        n = len(df)
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        new_sess = key_change.copy()
+        if n > 1:
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap64
+        gsid = np.cumsum(new_sess)  # global segment id, 1-based
+        # per-key session id = gsid − gsid at the key's first session + 1
+        key_base = np.maximum.accumulate(np.where(key_change, gsid, 0))
         starts = np.flatnonzero(new_sess)
-        ends = np.r_[starts[1:], len(df)]
+        ends = np.r_[starts[1:], n]
         out = {
-            key: df[key].to_numpy()[starts],
-            "session_id": sess[starts],
+            key: k[starts],
+            "session_id": (gsid - key_base + 1)[starts],
             "n_events": ends - starts,
             "start_ts": ts[starts],
             "end_ts": ts[ends - 1],
@@ -63,7 +85,11 @@ def sessionize(
             out["sum_value"] = csum[ends] - csum[starts]
         return pd.DataFrame(out)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucketed(ds, key, num_buckets, per_bucket)
+
+
+def _ts_us(values: np.ndarray) -> np.ndarray:
+    return values.astype("datetime64[us]").astype(np.int64)
 
 
 def asof_join(
@@ -74,21 +100,23 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     right_suffix: str = "_r",
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """As-of join: each left row is paired with the right row of the
     same ``key`` having the greatest ``ts_col`` <= the left row's
     (inner semantics — left rows with no prior right row are dropped).
     Matches DuckDB ``ASOF JOIN r ON l.key = r.key AND l.ts >= r.ts``.
 
-    Shape: both sides are tagged and unioned so the key shuffle
-    co-locates them, then a per-key searchsorted picks matches —
-    one all-to-all, no broadcast of either side.
+    Both sides are tagged and unioned so the ONE key-bucket shuffle
+    co-locates them — no broadcast of either side. Within a bucket the
+    match is a single searchsorted over a (key, ts)-linearized axis
+    across all keys at once.
     """
     l_sel = left.select_columns(list(dict.fromkeys([key, ts_col, *left_cols])))
     r_sel = right.select_columns(list(dict.fromkeys([key, ts_col, *right_cols])))
     # the union below NaN-fills each side's missing columns, upcasting
-    # ints to float64 — record which columns are integral so per_key can
-    # restore exact dtypes (inner semantics: outputs are never null)
+    # ints to float64 — record which columns are integral so the kernel
+    # can restore exact dtypes (inner semantics: outputs are never null)
     import pyarrow.types as pat
 
     def _is_int(t) -> bool:
@@ -116,18 +144,43 @@ def asof_join(
     )
     out_right = [f"{c}{right_suffix}" if c in set(left_cols) | {ts_col} else c for c in right_cols]
     out_right_ts = f"{ts_col}{right_suffix}"
+    empty_cols = list(dict.fromkeys([key, ts_col, *left_cols, out_right_ts, *out_right]))
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1].sort_values(ts_col, kind="stable")
+        r = df[df["__side"] == 1].sort_values([key, ts_col], kind="stable")
         if len(l) == 0 or len(r) == 0:
-            cols = [key, ts_col, *left_cols, out_right_ts, *out_right]
-            return pd.DataFrame({c: [] for c in dict.fromkeys(cols)})
-        r_ts = r[ts_col].to_numpy()
-        idx = np.searchsorted(r_ts, l[ts_col].to_numpy(), side="right") - 1
-        hit = idx >= 0
+            return pd.DataFrame({c: [] for c in empty_cols})
+        l_keys, r_keys = l[key].to_numpy(), r[key].to_numpy()
+        l_ts, r_ts = _ts_us(l[ts_col].to_numpy()), _ts_us(r[ts_col].to_numpy())
+        uk = np.unique(np.concatenate([l_keys, r_keys]))
+        t0 = min(l_ts.min(), r_ts.min())
+        span = int(max(l_ts.max(), r_ts.max())) - int(t0) + 1
+        if len(uk) * span < 2**62:
+            # linearized axis: rank(key) · span + (ts − t0)
+            l_adj = np.searchsorted(uk, l_keys) * span + (l_ts - t0)
+            r_adj = np.searchsorted(uk, r_keys) * span + (r_ts - t0)
+            idx = np.searchsorted(r_adj, l_adj, side="right") - 1
+            hit = idx >= 0
+            hit[hit] &= r_keys[idx[hit]] == l_keys[hit]
+        else:  # per-key-segment fallback (numpy slices, no pandas groupby)
+            idx = np.full(len(l), -1, dtype=np.int64)
+            order = np.argsort(l_keys, kind="stable")
+            seg_l = np.searchsorted(l_keys[order], uk)
+            seg_r0 = np.searchsorted(r_keys, uk, side="left")
+            seg_r1 = np.searchsorted(r_keys, uk, side="right")
+            bounds_l = np.r_[seg_l, len(l)]
+            for s in range(len(uk)):
+                li = order[bounds_l[s]:bounds_l[s + 1]]
+                r0, r1 = seg_r0[s], seg_r1[s]
+                if len(li) == 0 or r0 == r1:
+                    continue
+                idx[li] = r0 + np.searchsorted(r_ts[r0:r1], l_ts[li], side="right") - 1
+                idx[li[idx[li] < r0]] = -1
+            hit = idx >= 0
         l = l[hit]
         matched = r.iloc[idx[hit]]
+
         def col(series, name):
             v = series.to_numpy()
             return v.astype(np.int64) if name in int_cols and v.dtype.kind == "f" else v
@@ -140,7 +193,9 @@ def asof_join(
             out[oc] = col(matched[c], c)
         return pd.DataFrame(out)
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _add_bucket(both, [key], num_buckets).groupby(_BUCKET_COL).map_groups(
+        lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+    )
 
 
 def rolling_time_window(
@@ -151,27 +206,47 @@ def rolling_time_window(
     value_col: str,
     count_name: str = "n_window",
     sum_name: str = "sum_window",
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Sliding time-window aggregate: for every row, the count and sum
     of ``value_col`` over same-key rows with ``ts`` in
     ``[ts - window, ts]`` (both ends inclusive, ties included — the
     SQL ``RANGE BETWEEN window PRECEDING AND CURRENT ROW`` frame).
-    Vectorized per key: two searchsorteds against the sorted ts array
-    plus a prefix-sum, O(n log n) per group.
+    Per bucket: one sort by (key, ts), two searchsorteds over the
+    (key, ts)-linearized axis, one prefix sum — O(n log n), all keys
+    at once.
     """
+    win_us = int(window.to_timedelta64().astype("timedelta64[us]").astype(np.int64))
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="stable")
-        ts = df[ts_col].to_numpy()
-        lo = np.searchsorted(ts, ts - window.to_timedelta64(), side="left")
-        hi = np.searchsorted(ts, ts, side="right")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="stable")
+        n = len(df)
+        k = df[key].to_numpy()
+        t_us = _ts_us(df[ts_col].to_numpy())
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        rank = np.cumsum(key_change) - 1
+        t0 = int(t_us.min())
+        span = int(t_us.max()) - t0 + win_us + 1
         csum = np.r_[0.0, np.cumsum(df[value_col].to_numpy(dtype=np.float64))]
+        if int(rank[-1] + 1) * span < 2**62:
+            adj = rank * span + (t_us - t0)
+            lo = np.searchsorted(adj, adj - win_us, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:  # per-key-segment fallback
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            seg = np.r_[np.flatnonzero(key_change), n]
+            for s in range(len(seg) - 1):
+                a, b = seg[s], seg[s + 1]
+                lo[a:b] = a + np.searchsorted(t_us[a:b], t_us[a:b] - win_us, side="left")
+                hi[a:b] = a + np.searchsorted(t_us[a:b], t_us[a:b], side="right")
         df = df.copy()
         df[count_name] = (hi - lo).astype(np.int64)
         df[sum_name] = csum[hi] - csum[lo]
         return df
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucketed(ds, key, num_buckets, per_bucket)
 
 
 def topk_per_group(
@@ -181,12 +256,14 @@ def topk_per_group(
     descending: list[bool],
     k: int,
     rank_name: str = "rank",
+    num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Per-group top-k (window ``row_number() <= k``): within each
     group, rows ranked by ``order_cols`` (deterministic — callers must
     include a tiebreak column), keep the first ``k``. Pre-prunes each
     map_batches block to its local top-k per group before the shuffle,
-    so the exchanged volume is O(groups × k) per block, not the table.
+    so the exchanged volume is O(groups × k) per block, not the table;
+    the final rank pass is one vectorized kernel per bucket of groups.
     """
     ascending = [not d for d in descending]
 
@@ -194,11 +271,20 @@ def topk_per_group(
         df = df.sort_values(order_cols, ascending=ascending, kind="stable")
         return df.groupby(group_col, sort=False).head(k)
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, ascending=ascending, kind="stable").head(k)
-        df = df.copy()
-        df[rank_name] = np.arange(1, len(df) + 1, dtype=np.int64)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, *order_cols],
+                            ascending=[True, *ascending], kind="stable")
+        g = df[group_col].to_numpy()
+        n = len(df)
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = g[1:] != g[:-1]
+        # rank within group = position − position of group's first row
+        pos = np.arange(n, dtype=np.int64)
+        base = np.maximum.accumulate(np.where(key_change, pos, 0))
+        rank = pos - base + 1
+        df = df[rank <= k].copy()
+        df[rank_name] = rank[rank <= k]
         return df
 
     pruned = ds.map_batches(local_prune, batch_format="pandas")
-    return pruned.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return _bucketed(pruned, group_col, num_buckets, per_bucket)
