@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": rel.q_events_sessions,
         "q_events_asof_purchase_click": rel.q_events_asof_purchase_click,
         "q_events_rolling_hour": rel.q_events_rolling_hour,
+        "q_events_error_sessions": rel.q_events_error_sessions,
         "q_top_orders_per_segment": rel.q_top_orders_per_segment,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
@@ -318,6 +319,29 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "q_events_error_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            ), sess AS (
+                SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT e.user_id, e.event_id, sess.session_id
+            FROM events e JOIN sess ON sess.user_id = e.user_id
+                 AND e.ts BETWEEN sess.start_ts AND sess.end_ts
+            WHERE e.event_type = 'error'
+            ORDER BY e.user_id, e.event_id
         """,
         "q_top_orders_per_segment": """
             SELECT c_mktsegment, rank, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice

@@ -244,6 +244,30 @@ def q_events_rolling_hour(sf_dir: str):
     ].sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_error_sessions(sf_dir: str):
+    """Range (interval-containment) join: each error event joined to
+    the 12 h-gap session that contains it (windows.range_join over
+    sessionize intervals; DuckDB BETWEEN-join oracle)."""
+    from fs_crawler_ray.windows import range_join, sessionize
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    sessions = sessionize(
+        ev, key="user_id", ts_col="ts", gap=pd.Timedelta(hours=12),
+        order_cols=["ts", "event_id"],
+    )
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")), batch_format="pyarrow"
+    ).select_columns(["event_id", "ts", "user_id"])
+    out = range_join(
+        errors, sessions, key="user_id", ts_col="ts",
+        start_col="start_ts", end_col="end_ts",
+        left_cols=["event_id"], interval_cols=["session_id"],
+    ).to_pandas()
+    return out[["user_id", "event_id", "session_id"]].sort_values(
+        ["user_id", "event_id"]
+    ).reset_index(drop=True)
+
+
 def q_top_orders_per_segment(sf_dir: str, k: int = 3):
     """Per-group top-k (window row_number ≤ k) with block-local
     pre-pruning before the shuffle (windows.topk_per_group)."""

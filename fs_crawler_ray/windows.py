@@ -147,10 +147,14 @@ def asof_join(
     empty_cols = list(dict.fromkeys([key, ts_col, *left_cols, out_right_ts, *out_right]))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # split BEFORE sorting: a bucket fed by only one side lacks the
+        # other side's columns entirely (Ray doesn't NaN-fill a group
+        # whose blocks all came from one union branch)
         l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1].sort_values([key, ts_col], kind="stable")
+        r = df[df["__side"] == 1]
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame({c: [] for c in empty_cols})
+        r = r.sort_values([key, ts_col], kind="stable")
         l_keys, r_keys = l[key].to_numpy(), r[key].to_numpy()
         l_ts, r_ts = _ts_us(l[ts_col].to_numpy()), _ts_us(r[ts_col].to_numpy())
         uk = np.unique(np.concatenate([l_keys, r_keys]))
@@ -247,6 +251,115 @@ def rolling_time_window(
         return df
 
     return _bucketed(ds, key, num_buckets, per_bucket)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    left_cols: list[str],
+    interval_cols: list[str],
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Range (interval-containment) join: each left row pairs with the
+    same-key interval where ``start <= ts <= end`` (inner semantics —
+    rows in no interval are dropped). Matches the SQL inequality join
+    ``ON l.key = r.key AND l.ts BETWEEN r.start AND r.end``.
+
+    Assumes intervals are NON-OVERLAPPING per key (sessions, shifts,
+    validity windows) so the containing interval is unique — found with
+    one searchsorted over the (key, start)-linearized axis. Both sides
+    ride the one key-bucket shuffle, same as :func:`asof_join`.
+    """
+    l_sel = left.select_columns(list(dict.fromkeys([key, ts_col, *left_cols])))
+    r_sel = intervals.select_columns(
+        list(dict.fromkeys([key, start_col, end_col, *interval_cols]))
+    )
+    import pyarrow.types as pat
+
+    def _is_int(t) -> bool:
+        if isinstance(t, pa.DataType):
+            return pat.is_integer(t)
+        return getattr(np.dtype(t), "kind", "") in ("i", "u")
+
+    int_cols = {
+        n
+        for ds_ in (l_sel, r_sel)
+        for n, t in zip(ds_.schema().names, ds_.schema().types)
+        if _is_int(t)
+    }
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.int8(side)
+            return df
+
+        return fn
+
+    both = l_sel.map_batches(tag(0), batch_format="pandas").union(
+        r_sel.map_batches(tag(1), batch_format="pandas")
+    )
+    out_cols = list(dict.fromkeys([key, ts_col, *left_cols, start_col, end_col, *interval_cols]))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # split BEFORE sorting (one-sided buckets lack the other side's
+        # columns — see asof_join.per_bucket)
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        r = r.sort_values([key, start_col], kind="stable")
+        l_keys, r_keys = l[key].to_numpy(), r[key].to_numpy()
+        l_ts = _ts_us(l[ts_col].to_numpy())
+        r_start = _ts_us(r[start_col].to_numpy())
+        r_end = _ts_us(r[end_col].to_numpy())
+        uk = np.unique(np.concatenate([l_keys, r_keys]))
+        t0 = min(int(l_ts.min()), int(r_start.min()))
+        span = max(int(l_ts.max()), int(r_start.max())) - t0 + 1
+        if len(uk) * span < 2**62:
+            l_adj = np.searchsorted(uk, l_keys) * span + (l_ts - t0)
+            r_adj = np.searchsorted(uk, r_keys) * span + (r_start - t0)
+            idx = np.searchsorted(r_adj, l_adj, side="right") - 1
+            hit = idx >= 0
+            hit[hit] &= (r_keys[idx[hit]] == l_keys[hit]) & (r_end[idx[hit]] >= l_ts[hit])
+        else:  # per-key-segment fallback
+            idx = np.full(len(l), -1, dtype=np.int64)
+            order = np.argsort(l_keys, kind="stable")
+            bounds_l = np.r_[np.searchsorted(l_keys[order], uk), len(l)]
+            seg_r0 = np.searchsorted(r_keys, uk, side="left")
+            seg_r1 = np.searchsorted(r_keys, uk, side="right")
+            for s in range(len(uk)):
+                li = order[bounds_l[s]:bounds_l[s + 1]]
+                r0, r1 = seg_r0[s], seg_r1[s]
+                if len(li) == 0 or r0 == r1:
+                    continue
+                cand = r0 + np.searchsorted(r_start[r0:r1], l_ts[li], side="right") - 1
+                ok = (cand >= r0) & (r_end[np.clip(cand, r0, r1 - 1)] >= l_ts[li])
+                idx[li[ok]] = cand[ok]
+            hit = idx >= 0
+        l = l[hit]
+        matched = r.iloc[idx[hit]]
+
+        def col(series, name):
+            v = series.to_numpy()
+            return v.astype(np.int64) if name in int_cols and v.dtype.kind == "f" else v
+
+        out = {key: col(l[key], key), ts_col: l[ts_col].to_numpy()}
+        for c in left_cols:
+            out[c] = col(l[c], c)
+        out[start_col] = matched[start_col].to_numpy()
+        out[end_col] = matched[end_col].to_numpy()
+        for c in interval_cols:
+            out[c] = col(matched[c], c)
+        return pd.DataFrame(out)
+
+    return _add_bucket(both, [key], num_buckets).groupby(_BUCKET_COL).map_groups(
+        lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+    )
 
 
 def topk_per_group(

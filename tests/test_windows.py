@@ -10,6 +10,7 @@ import ray.data
 
 from fs_crawler_ray.windows import (
     asof_join,
+    range_join,
     rolling_time_window,
     sessionize,
     topk_per_group,
@@ -103,6 +104,33 @@ def test_rolling_time_window_inclusive_bounds():
     )
     assert out["n_window"].tolist() == [1, 2, 1]
     assert out["sum_window"].tolist() == [1.0, 3.0, 4.0]
+
+
+def test_range_join_containment_bounds():
+    left = pd.DataFrame(
+        {"user_id": [1, 1, 1, 1, 2], "ts": _ts(0, 10, 20, 30, 5),
+         "event_id": [1, 2, 3, 4, 5]}
+    )
+    # user 1: intervals [0,10] and [20,25]; user 2 has no interval
+    intervals = pd.DataFrame(
+        {"user_id": [1, 1], "start_ts": _ts(0, 20), "end_ts": _ts(10, 25),
+         "session_id": np.array([1, 2], dtype=np.int64)}
+    )
+    out = (
+        range_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(intervals),
+            key="user_id", ts_col="ts", start_col="start_ts", end_col="end_ts",
+            left_cols=["event_id"], interval_cols=["session_id"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # t=0 (start bound) and t=10 (end bound) inclusive; t=30 outside;
+    # user 2 dropped (no interval)
+    assert out["event_id"].tolist() == [1, 2, 3]
+    assert out["session_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].dtype == np.int64
 
 
 def test_topk_per_group_ranks_and_block_prune():
