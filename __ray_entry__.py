@@ -118,6 +118,43 @@ def _embedding_near_dups(sf_dir: str):
     return out[["vec_a", "vec_b"]].astype({"vec_a": np.int64, "vec_b": np.int64})
 
 
+def _docs_dup_clusters(sf_dir: str):
+    """Fuzzy-dedup clustering: near-dup pairs → distributed connected
+    components (hash-min label propagation), oracled by a recursive-CTE
+    reachability closure over the same pair graph."""
+    import ray.data
+
+    from fs_crawler_ray.components import near_dup_clusters
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = near_dup_clusters(ds).to_pandas()
+    return out[["doc_id", "cluster_id"]].astype({"doc_id": np.int64, "cluster_id": np.int64})
+
+
+def _docs_dedup_survivors(sf_dir: str):
+    """Canonical fuzzy dedup: the corpus minus non-representative
+    near-dup cluster members (min doc_id per cluster survives)."""
+    import ray.data
+
+    from fs_crawler_ray.components import near_dup_clusters, near_dup_survivors
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = near_dup_survivors(ds, near_dup_clusters(ds)).to_pandas()
+    return out[["doc_id"]].astype({"doc_id": np.int64})
+
+
+def _docs_hash_sample(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import hash_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = hash_sample(ds, denom=20).to_pandas()
+    return out[["doc_id", "source"]].astype({"doc_id": np.int64})
+
+
 def _media_features(sf_dir: str):
     from fs_crawler_ray.multimodal import media_feature_pipeline
 
@@ -173,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
         "docs_near_dup_pairs": _docs_near_dup_pairs,
+        "docs_dup_clusters": _docs_dup_clusters,
+        "docs_dedup_survivors": _docs_dedup_survivors,
+        "docs_hash_sample": _docs_hash_sample,
+        "q_lineitem_quantiles": rel.q_lineitem_quantiles,
         "docs_simhash": _docs_simhash,
         "docs_analysis": _docs_analysis,
         "ann_topk": _ann_topk,
@@ -200,6 +241,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_analysis": osql.docs_analysis(),
         "docs_simhash": osql.docs_simhash(shingle_k=2),
         "docs_near_dup_pairs": osql.docs_near_dup_pairs(threshold=0.8, shingle_k=3),
+        "docs_dup_clusters": osql.docs_dup_clusters(threshold=0.8, shingle_k=3),
+        "docs_dedup_survivors": osql.docs_dedup_survivors(threshold=0.8, shingle_k=3),
+        "docs_hash_sample": osql.docs_hash_sample(denom=20, keep=0),
         "resolution_classification": osql.resolution_classification(d, s, h),
         "resolved_edge_types": osql.resolved_edge_types(d, r, s, h),
         "adjacency_triples": osql.adjacency_triples(d, r, s, h),
@@ -360,6 +404,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_counts": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "q_lineitem_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5) AS p50,
+                   quantile_disc(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

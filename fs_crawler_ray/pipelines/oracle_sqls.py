@@ -508,3 +508,39 @@ def frontier_edges(docs: str, seeds: list[str], hops: int) -> str:
     return _edge_category_sql(
         docs, seeds, hops,
         "vs.id IS NULL AND vd.id IS NULL")
+
+
+def docs_dup_clusters(threshold: float = 0.8, shingle_k: int = 3) -> str:
+    """Oracle for near-dup clustering: connected components of the
+    true-Jaccard pair graph as a recursive-CTE reachability closure,
+    component id = min reachable doc_id."""
+    return f"""
+WITH RECURSIVE p AS ({docs_near_dup_pairs(threshold, shingle_k)}),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+r(v, l) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.d, r.l FROM r JOIN e ON e.s = r.v
+)
+SELECT v AS doc_id, MIN(l) AS cluster_id FROM r GROUP BY v
+"""
+
+
+def docs_dedup_survivors(threshold: float = 0.8, shingle_k: int = 3) -> str:
+    """Oracle for the canonical-dedup output: all docs except non-
+    representative near-dup cluster members."""
+    return f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({docs_dup_clusters(threshold, shingle_k)})
+  WHERE cluster_id <> doc_id)
+"""
+
+
+def docs_hash_sample(denom: int = 20, keep: int = 0) -> str:
+    """Oracle for deterministic md5 sampling (md5_number_lower is the
+    DuckDB builtin that text.md5_lower64 mirrors bit-for-bit)."""
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % {denom} = {keep}
+"""

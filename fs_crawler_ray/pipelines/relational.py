@@ -303,3 +303,17 @@ def q_orders_lineitem_join(sf_dir: str):
         Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
     ).to_pandas()
     return _round2(out, ["revenue"])
+
+
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (windows.group_quantiles):
+    one key-bucket shuffle + an across-key sort/gather kernel; values
+    are actual elements of the group so the oracle comparison is exact
+    (no float rounding needed)."""
+    from fs_crawler_ray.windows import group_quantiles
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = group_quantiles(
+        ds, "l_returnflag", "l_extendedprice", {"p50": 0.5, "p95": 0.95}
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)

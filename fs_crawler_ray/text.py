@@ -511,3 +511,25 @@ def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n_tokens})
 
     return ds.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    denom: int = 20,
+    keep: int = 0,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic content-addressed sampling: keep rows where
+    ``md5_lower64(str(id)) % denom == keep`` (~``1/denom`` of the corpus,
+    the same rows on every run, machine and cluster size — the property
+    a training-data pipeline needs for reproducible eval holdouts).
+    Pure per-batch filter: no shuffle, no RNG state, embarrassingly
+    parallel; the SQL oracle is ``md5_number_lower(CAST(id AS VARCHAR))
+    % denom``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = md5_lower64(np.char.mod("%d", ids.astype(np.int64)))
+        return t.filter(pa.array(h % np.uint64(denom) == np.uint64(keep)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -401,3 +401,44 @@ def topk_per_group(
 
     pruned = ds.map_batches(local_prune, batch_format="pandas")
     return _bucketed(pruned, group_col, num_buckets, per_bucket)
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact per-group discrete quantiles (``quantile_disc`` semantics:
+    the smallest 1-based rank ``i`` with ``i/n >= q``, i.e. element
+    ``ceil(q*n) - 1`` of the group's sorted values). One hash shuffle
+    into key buckets, then a kernel vectorized ACROSS keys: one sort of
+    the whole bucket by ``(key, value)``, group offsets from the key
+    change-points, and a single fancy-index gather per requested
+    quantile. Emits one row per group: ``(group_col, *qs.keys())``.
+
+    Exact (not sketched) — the partitioning assumption is the module-wide
+    one: a bucket of groups must fit in a worker's heap. For groups too
+    large for that, pre-aggregate into a fixed-width histogram per batch
+    first; this operator targets the grouped-analytics case.
+    """
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, value_col], kind="stable")
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy()
+        n = len(df)
+        change = np.ones(n, dtype=bool)
+        change[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        out = {group_col: g[starts]}
+        for name, q in qs.items():
+            # ceil(q*n) with a tolerance so exact multiples (q*n integral
+            # in decimal) are not bumped up by float error
+            idx = np.ceil(q * counts - 1e-9).astype(np.int64) - 1
+            out[name] = v[starts + np.clip(idx, 0, counts - 1)]
+        return pd.DataFrame(out)
+
+    return _bucketed(ds, group_col, num_buckets, per_bucket)
