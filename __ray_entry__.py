@@ -155,6 +155,30 @@ def _docs_hash_sample(sf_dir: str):
     return out[["doc_id", "source"]].astype({"doc_id": np.int64})
 
 
+def _docs_token_df(sf_dir: str):
+    """TF-IDF document-frequency pass: per-batch (doc, token) dedup +
+    partial counts, vocabulary-sized shuffle, top-100 by (df, tok)."""
+    import ray.data
+
+    from fs_crawler_ray.text import token_doc_frequency
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = token_doc_frequency(ds, top_n=100).to_pandas()
+    return out[["tok", "df"]].astype({"df": np.int64})
+
+
+def _embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids: zero-copy (n, dim) reshape per
+    batch, scatter-add partial sums, O(groups × dim) shuffle."""
+    import ray.data
+
+    from fs_crawler_ray.ann import group_centroids
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = group_centroids(ds).to_pandas().sort_values(["label", "i"]).reset_index(drop=True)
+    return out[["label", "i", "centroid"]].astype({"label": np.int64, "i": np.int64})
+
+
 def _media_features(sf_dir: str):
     from fs_crawler_ray.multimodal import media_feature_pipeline
 
@@ -213,7 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_clusters": _docs_dup_clusters,
         "docs_dedup_survivors": _docs_dedup_survivors,
         "docs_hash_sample": _docs_hash_sample,
+        "docs_token_df": _docs_token_df,
         "q_lineitem_quantiles": rel.q_lineitem_quantiles,
+        "q_embedding_centroids": _embedding_centroids,
         "docs_simhash": _docs_simhash,
         "docs_analysis": _docs_analysis,
         "ann_topk": _ann_topk,
@@ -410,6 +436,22 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_extendedprice, 0.5) AS p50,
                    quantile_disc(l_extendedprice, 0.95) AS p95
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_token_df": """
+            WITH toks AS (
+              SELECT doc_id, list_distinct(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tk
+              FROM documents
+            ), ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks)
+            SELECT tok, COUNT(*) AS df FROM ex
+            GROUP BY tok ORDER BY df DESC, tok LIMIT 100
+        """,
+        "q_embedding_centroids": """
+            SELECT label, i, ROUND(AVG(x), 6) AS centroid FROM (
+              SELECT label, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS x
+              FROM embeddings)
+            GROUP BY label, i ORDER BY label, i
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -315,3 +317,68 @@ def ivf_topk(
     if len(parts) == 0:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
     return _topk_reduce(parts, k).reset_index(drop=True)
+
+
+def group_centroids(
+    ds: ray.data.Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> ray.data.Dataset:
+    """Per-group element-wise mean of an embedding column (class
+    centroids — the reduce step of k-means / nearest-centroid
+    classification / per-class quality probes). Long output:
+    ``(group_col, i, centroid)`` with ``i`` 1-based.
+
+    Pre-aggregated: each batch reshapes the list<float> column's flat
+    value buffer zero-copy into an (n, dim) matrix and scatter-adds one
+    partial-sum row per group — the shuffle carries O(groups × dim)
+    per batch, never the vectors. Rounded so the float64 reassociation
+    between partial orders is below the comparison epsilon."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lv = t[vec_col].combine_chunks() if isinstance(t[vec_col], pa.ChunkedArray) else t[vec_col]
+        if len(g) == 0:
+            return pa.table({group_col: pa.array([], type=pa.int64()),
+                             "i": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        if hasattr(lv, "offsets"):  # plain list<float> (the parquet layout)
+            offs = lv.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            dim = int(widths[0])
+            assert (widths == dim).all(), "ragged embedding column"
+            flat = lv.values.to_numpy(zero_copy_only=False)
+            mat = flat[offs[0]: offs[0] + len(g) * dim].reshape(len(g), dim).astype(np.float64)
+        else:  # Ray tensor extension array (in-memory from_pandas path)
+            mat = np.asarray(lv.to_numpy(zero_copy_only=False), dtype=np.float64)
+            dim = mat.shape[1]
+        ug, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(ug), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            group_col: np.repeat(ug, dim),
+            "i": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ug)),
+            "s": sums.ravel(),
+            "n": np.repeat(counts, dim),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.select_columns([group_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "i"])
+        .aggregate(Sum("s"), Sum("n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            group_col: t[group_col], "i": t["i"],
+            "centroid": pc.round(
+                pc.divide(t["sum(s)"], pc.cast(t["sum(n)"], pa.float64())),
+                ndigits=round_dp),
+        }),
+        batch_format="pyarrow",
+    )

@@ -533,3 +533,42 @@ def hash_sample(
         return t.filter(pa.array(h % np.uint64(denom) == np.uint64(keep)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def token_doc_frequency(ds: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
+    """Per-token DOCUMENT frequency (the DF half of TF-IDF, the
+    vocabulary-statistics pass every corpus pipeline runs): number of
+    documents containing each token, top ``top_n`` by ``(df DESC, tok)``.
+
+    Pre-aggregated: each batch tokenizes vectorized (Arrow RE2), dedups
+    (doc, token) pairs with one np.unique over packed int64 codes, and
+    emits per-batch partial counts — so the shuffle moves one row per
+    (batch, distinct token), O(vocabulary) not O(token stream). The
+    final groupby-sum + sort is over the vocabulary only."""
+    import pyarrow.compute as pc
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "df_part": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        v = len(vocab)
+        uniq = np.unique(parent.astype(np.int64) * v + codes)
+        cnt = np.bincount(uniq % v, minlength=v)
+        return pa.table({"tok": vocab, "df_part": cnt.astype(np.int64)})
+
+    agg = (
+        ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("tok").sum("df_part")
+    )
+    out = agg.map_batches(
+        lambda t: pa.table({"tok": t["tok"], "df": t["sum(df_part)"]}),
+        batch_format="pyarrow",
+    )
+    return out.sort(["df", "tok"], descending=[True, False]).limit(top_n)

@@ -144,3 +144,21 @@ def test_ivf_topk_recall(emb):
     # the self vector must survive (its list is always probed)
     for qi in range(5):
         assert int(df.iloc[qi]["vec_id"]) in set(approx[approx["query_id"] == qi]["vec_id"])
+
+
+def test_group_centroids_exact_means():
+    import ray.data
+
+    from fs_crawler_ray.ann import group_centroids
+
+    df = pd.DataFrame({
+        "label": [0, 0, 1],
+        "embedding": [np.array([1.0, 2.0], dtype=np.float32),
+                      np.array([3.0, 4.0], dtype=np.float32),
+                      np.array([10.0, -10.0], dtype=np.float32)],
+    })
+    out = (group_centroids(ray.data.from_pandas(df))
+           .to_pandas().sort_values(["label", "i"]).reset_index(drop=True))
+    assert out["label"].tolist() == [0, 0, 1, 1]
+    assert out["i"].tolist() == [1, 2, 1, 2]
+    assert out["centroid"].tolist() == [2.0, 3.0, 10.0, -10.0]

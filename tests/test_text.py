@@ -150,3 +150,18 @@ def test_minhash_hot_bucket_salted_and_counted():
     # the counter is plausible: skipped < bands * C(n,2))
     assert counters["minhash_skipped_pairs"] < 8 * (n * (n - 1) // 2)
     _ray.kill(metrics)
+
+
+def test_token_doc_frequency_counts_docs_not_occurrences():
+    import ray.data
+
+    from fs_crawler_ray.text import token_doc_frequency
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["cat cat cat dog", "dog! DOG, bird", "CAT", ""],
+    })
+    out = token_doc_frequency(ray.data.from_pandas(df), top_n=2).to_pandas()
+    # df counts DOCUMENTS (dedup within doc), case-folded; ties break by token
+    assert out["tok"].tolist() == ["cat", "dog"]
+    assert out["df"].tolist() == [2, 2]
