@@ -185,6 +185,68 @@ def _media_features(sf_dir: str):
     return media_feature_pipeline(sf_dir)
 
 
+def _docs_dup_passages(sf_dir: str):
+    """Duplicate-passage detection: Horner-fingerprinted 16-token
+    chunks at stride 8, kept where a fingerprint spans ≥2 docs (the
+    passage-granular analog of exact substring dedup)."""
+    import ray.data
+
+    from fs_crawler_ray.text import dup_passages
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dup_passages(ds, window=16, stride=8).to_pandas()
+    return out[["doc_id", "pos", "chunk_hash"]].astype(
+        {"doc_id": np.int64, "pos": np.int64, "chunk_hash": np.int64})
+
+
+def _docs_tfidf_top(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (integer score = tf*1e6 // df,
+    so ranking is bit-identical to the SQL oracle)."""
+    import ray.data
+
+    from fs_crawler_ray.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tfidf_top_terms(ds, top_n=3).to_pandas()
+    return out.astype({"doc_id": np.int64, "tf": np.int64, "df": np.int64, "score": np.int64})
+
+
+def _docs_stopword_filtered(sf_dir: str):
+    """Stopword-removal normalization pass (Arrow RE2 + is_in + one
+    binary_join per batch — no Python string loop)."""
+    import ray.data
+
+    from fs_crawler_ray.text import stopword_filter
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = stopword_filter(ds, lang="en").to_pandas()
+    return out.astype({"doc_id": np.int64, "n_removed": np.int64})
+
+
+def _docs_stratified_sample(sf_dir: str):
+    """Deterministic per-source sampling quota: smallest-5
+    md5-lower64(doc_id) rows per source."""
+    import ray.data
+
+    from fs_crawler_ray.text import stratified_sample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = stratified_sample(ds, group_col="source", n=5).to_pandas()
+    return out[["doc_id", "source"]].astype({"doc_id": np.int64})
+
+
+def _ann_knn_join(sf_dir: str):
+    """KNN self-join (exact conformance mode; knn_join(exact=False) is
+    the IVF-bucketed scale path, recall-tested in pytest)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import knn_join
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_join(ds, k=3, exact=True).to_pandas()
+    return out.astype({"vec_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -242,7 +304,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_centroids": _embedding_centroids,
         "docs_simhash": _docs_simhash,
         "docs_analysis": _docs_analysis,
+        "docs_dup_passages": _docs_dup_passages,
+        "docs_tfidf_top": _docs_tfidf_top,
+        "docs_stopword_filtered": _docs_stopword_filtered,
+        "docs_stratified_sample": _docs_stratified_sample,
+        "q_events_lag": rel.q_events_lag,
         "ann_topk": _ann_topk,
+        "ann_knn_join": _ann_knn_join,
         "embedding_near_dups": _embedding_near_dups,
         "media_features": _media_features,
     }
@@ -270,6 +338,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": osql.docs_dup_clusters(threshold=0.8, shingle_k=3),
         "docs_dedup_survivors": osql.docs_dedup_survivors(threshold=0.8, shingle_k=3),
         "docs_hash_sample": osql.docs_hash_sample(denom=20, keep=0),
+        "docs_dup_passages": osql.docs_dup_passages(window=16, stride=8),
+        "docs_tfidf_top": osql.docs_tfidf_top(top_n=3),
+        "docs_stopword_filtered": osql.docs_stopword_filtered(lang="en"),
+        "docs_stratified_sample": osql.docs_stratified_sample(n=5),
         "resolution_classification": osql.resolution_classification(d, s, h),
         "resolved_edge_types": osql.resolved_edge_types(d, r, s, h),
         "adjacency_triples": osql.adjacency_triples(d, r, s, h),
@@ -457,6 +529,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "q_events_lag": """
+            SELECT user_id, event_id,
+                   COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us
+            FROM events ORDER BY user_id, event_id
+        """,
+        "ann_knn_join": """
+            SELECT vec_id, neighbor_id, rank FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id) AS rank
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            ) WHERE rank <= 3
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

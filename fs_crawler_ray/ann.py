@@ -382,3 +382,135 @@ def group_centroids(
         }),
         batch_format="pyarrow",
     )
+
+
+def knn_join(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 4096,
+    seed: int = 9,
+) -> ray.data.Dataset:
+    """KNN self-join: every vector's top-``k`` nearest neighbors by
+    cosine (self excluded), ranked ``(score DESC, neighbor_id)`` —
+    the all-pairs similarity-search primitive behind near-dup mining,
+    hard-negative sampling and diversity filtering.
+
+    ``exact=True`` (the conformance-oracle baseline, like
+    ``embedding_near_dups``'s exact mode): the normalized matrix is
+    broadcast ONCE via ``ray.put`` and each batch does a single matmul
+    against it — O(N²) compute but embarrassingly parallel; small-scale
+    only.
+
+    ``exact=False`` is the scale path: an IVF coarse quantizer (sampled
+    k-means, broadcast once) routes each vector to its home cell as an
+    INDEX row and to its ``n_probe`` nearest cells as QUERY rows; one
+    hash shuffle on the cell id co-locates them, each cell scores only
+    its own members (O(Σ cell_q × cell_i)), and a per-query top-k
+    reduce merges the probe partials. A (query, neighbor) pair can
+    surface in at most one cell (the neighbor's single home cell), so
+    no dedup pass is needed. Exchanged volume is O(N × n_probe × dim);
+    recall < 1 by design — report it against ``exact=True``.
+
+    Output: ``(id_col, neighbor_id, rank)`` — integers only, so the
+    DuckDB ``list_cosine_similarity`` window oracle matches exactly.
+    """
+    if exact:
+        tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+        ids = tbl[id_col].to_numpy()
+        m = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float64))
+        mref = ray.put((ids, m))
+
+        def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            all_ids, am = ray.get(mref)
+            bm = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            bids = batch[id_col].to_numpy()
+            scores = bm @ am.T                       # (n, N)
+            scores[bids[:, None] == all_ids[None, :]] = -np.inf
+            kk = min(k, scores.shape[1] - 1)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(bm)), kk)
+            cand_scores = scores[rows, part.ravel()]
+            # rank within each row by (score desc, neighbor_id asc)
+            order = np.lexsort((all_ids[part.ravel()], -cand_scores, rows))
+            return pd.DataFrame({
+                id_col: bids[rows],
+                "neighbor_id": all_ids[part.ravel()[order]],
+                "rank": np.tile(np.arange(1, kk + 1), len(bm)),
+            })
+
+        return ds.map_batches(score_fn, batch_format="pandas", batch_size=4096)
+
+    from fs_crawler_ray.relops import _BUCKET_COL
+    from fs_crawler_ray.windows import topk_per_group
+
+    sample = np.stack(
+        ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float32)
+    cent = _kmeans(_normalize(sample.astype(np.float64)).astype(np.float32), n_centroids, seed=seed)
+    cref = ray.put(cent)
+
+    def explode_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cref)
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        sims = m.astype(np.float32) @ cm.T
+        home = np.argmax(sims, axis=1).astype(np.int64)
+        probes = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
+        n, d = m.shape
+        out_cell = np.concatenate([home, probes.ravel()])
+        out_role = np.concatenate([np.zeros(n, np.int8), np.ones(n * n_probe, np.int8)])
+        out_id = np.concatenate([ids, np.repeat(ids, n_probe)])
+        out_vec = np.concatenate([m, np.repeat(m, n_probe, axis=0)])
+        return pd.DataFrame({"cell": out_cell, "role": out_role,
+                             id_col: out_id, "vec": list(out_vec)})
+
+    exploded = ds.select_columns([id_col, vec_col]).map_batches(
+        explode_fn, batch_format="pandas", batch_size=4096)
+
+    def cell_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        # a hash bucket holds SEVERAL cells; score strictly within each
+        # cell (the per-cell loop is over coarse quantizer cells — at
+        # most n_centroids iterations across the whole job, each one a
+        # single vectorized matmul)
+        outs = []
+        for _, g in bucket.groupby("cell", sort=False):
+            idx = g[g["role"] == 0]
+            qry = g[g["role"] == 1]
+            if len(idx) == 0 or len(qry) == 0:
+                continue
+            im = np.stack(idx["vec"].to_numpy())
+            qm = np.stack(qry["vec"].to_numpy())
+            iids = idx[id_col].to_numpy()
+            qids = qry[id_col].to_numpy()
+            scores = qm @ im.T
+            scores[qids[:, None] == iids[None, :]] = -np.inf
+            kk = min(k, scores.shape[1])
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk] if kk < scores.shape[1] \
+                else np.tile(np.arange(scores.shape[1]), (len(qm), 1))
+            rows = np.repeat(np.arange(len(qm)), part.shape[1])
+            s = scores[rows, part.ravel()]
+            keep = s > -np.inf
+            outs.append(pd.DataFrame({id_col: qids[rows][keep],
+                                      "neighbor_id": iids[part.ravel()][keep],
+                                      "score": s[keep]}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "neighbor_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    from fs_crawler_ray.relops import _add_bucket
+
+    partials = _add_bucket(exploded, ["cell"], 64).groupby(_BUCKET_COL).map_groups(
+        lambda g: cell_topk(g.drop(columns=[_BUCKET_COL])), batch_format="pandas")
+    ranked = topk_per_group(partials, id_col, ["score", "neighbor_id"],
+                            descending=[True, False], k=k)
+    return ranked.map_batches(
+        lambda t: pa.table({id_col: t[id_col], "neighbor_id": t["neighbor_id"],
+                            "rank": t["rank"]}),
+        batch_format="pyarrow")

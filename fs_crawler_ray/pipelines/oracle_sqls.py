@@ -544,3 +544,69 @@ def docs_hash_sample(denom: int = 20, keep: int = 0) -> str:
 SELECT doc_id, source FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % {denom} = {keep}
 """
+
+
+def _signed64(expr: str) -> str:
+    """uint64 expression → its int64 reinterpretation (two's complement),
+    matching numpy ``.view(np.int64)``."""
+    return (f"CAST(CASE WHEN {expr} >= CAST(9223372036854775808 AS HUGEINT) "
+            f"THEN CAST({expr} AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT) "
+            f"ELSE CAST({expr} AS HUGEINT) END AS BIGINT)")
+
+
+def docs_dup_passages(window: int = 16, stride: int = 8) -> str:
+    """Oracle for duplicate-passage detection: the identical Horner
+    fingerprint (md5_number_lower token hashes, FNV prime, mod 2^64)
+    over every window-token slice at stride offsets, kept where the
+    fingerprint spans ≥2 distinct documents."""
+    w, s = int(window), int(stride)
+    return _TOKS_CTE + f"""
+, win AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_reduce(list_transform(list_slice(tk, i, i + {w - 1}), t -> md5_number_lower(t)),
+           (a, h) -> CAST((CAST(a AS HUGEINT) * 1099511628211 + CAST(h AS HUGEINT))
+                          % 18446744073709551616 AS UBIGINT)) AS ch
+  FROM toks, unnest(CASE WHEN len(tk) >= {w}
+                         THEN generate_series(1, len(tk) - {w} + 1, {s})
+                         ELSE CAST([] AS BIGINT[]) END) u(i)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, {_signed64('ch')} AS chunk_hash
+FROM win QUALIFY COUNT(DISTINCT doc_id) OVER (PARTITION BY ch) > 1
+"""
+
+
+def docs_tfidf_top(top_n: int = 3) -> str:
+    """Oracle for per-document top TF-IDF terms; the score is INTEGER
+    (tf * 1_000_000 // df) so ranking has no float-ordering hazard."""
+    return _TOKS_CTE + f"""
+, ex AS (SELECT doc_id, t.t AS tok FROM toks, unnest(tk) t(t)),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),
+dfs AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY tok)
+SELECT doc_id, tok, tf, df, score FROM (
+  SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+         CAST(CAST(tf.tf AS HUGEINT) * 1000000 // d.df AS BIGINT) AS score
+  FROM tf JOIN dfs d USING (tok)
+) QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= {int(top_n)}
+"""
+
+
+def docs_stopword_filtered(lang: str = "en") -> str:
+    """Oracle for stopword removal: the lowercased token stream minus
+    the language's stopword list, space-rejoined."""
+    stop = _stop_list(lang)
+    return _TOKS_CTE + f"""
+SELECT doc_id,
+       array_to_string(list_filter(tk, t -> NOT list_contains([{stop}], t)), ' ') AS clean_text,
+       CAST(len(tk) - len(list_filter(tk, t -> NOT list_contains([{stop}], t))) AS BIGINT) AS n_removed
+FROM toks
+"""
+
+
+def docs_stratified_sample(n: int = 5) -> str:
+    """Oracle for deterministic stratified sampling: smallest-n
+    md5_number_lower(id) rows per source."""
+    return f"""
+SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= {int(n)}
+"""

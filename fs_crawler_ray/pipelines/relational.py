@@ -317,3 +317,20 @@ def q_lineitem_quantiles(sf_dir: str):
         ds, "l_returnflag", "l_extendedprice", {"p50": 0.5, "p95": 0.95}
     ).to_pandas()
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_events_lag(sf_dir: str):
+    """Per-user inter-event gap (windows.lag_deltas: LAG window as one
+    key-bucket shuffle + an across-key vectorized diff kernel); gaps in
+    integer microseconds, -1 for each user's first event, so the DuckDB
+    LAG oracle matches bit-for-bit."""
+    from fs_crawler_ray.windows import lag_deltas
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = lag_deltas(
+        ev, key="user_id", ts_col="ts",
+        order_cols=["event_id"], carry_cols=["event_id"],
+    ).to_pandas()
+    return out[["user_id", "event_id", "delta_us"]].astype(
+        {"user_id": "int64", "event_id": "int64", "delta_us": "int64"}
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)

@@ -571,4 +571,198 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int = 100) -> ray.data.Data
         lambda t: pa.table({"tok": t["tok"], "df": t["sum(df_part)"]}),
         batch_format="pyarrow",
     )
+    if top_n is None:
+        return out
     return out.sort(["df", "tok"], descending=[True, False]).limit(top_n)
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top-``top_n`` TF-IDF terms — the salient-term
+    extraction pass of a corpus pipeline. Two stages:
+
+    1. A vocabulary-sized DF pass (:func:`token_doc_frequency` with no
+       limit: per-batch (doc, token) dedup + partial counts, so the
+       shuffle is O(vocabulary), then the small result is broadcast
+       once with ``ray.put`` — the "small-side lookup" pattern, never
+       re-shipped per batch).
+    2. A pure per-batch TF + rank stage: term frequency from one
+       np.unique over packed (doc, token-code) int64s, score =
+       ``tf * 1_000_000 // df`` (INTEGER arithmetic, so ranking is
+       bit-identical to the DuckDB oracle with no float-ordering
+       hazard), top ``top_n`` per document by ``(score DESC, tok)``.
+
+    Documents never span batches, so the rank stage needs no shuffle.
+    Output: ``(doc_id, tok, tf, df, score)``.
+    """
+    import pyarrow.compute as pc
+
+    df_tbl = token_doc_frequency(ds, top_n=None).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["tok"], df_tbl["df"].astype(np.int64))))
+
+    def score_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df_map = ray.get(df_ref)
+        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "tok": pd.Series(dtype=object),
+                                 "tf": pd.Series(dtype=np.int64),
+                                 "df": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.int64)})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        v = len(vocab)
+        packed, tf = np.unique(parent.astype(np.int64) * v + codes, return_counts=True)
+        doc_idx, code = packed // v, packed % v
+        dfs = np.fromiter((df_map[t] for t in vocab[code]), dtype=np.int64, count=len(code))
+        score = (tf.astype(np.int64) * 1_000_000) // dfs
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[doc_idx],
+            "tok": vocab[code],
+            "tf": tf.astype(np.int64),
+            "df": dfs,
+            "score": score,
+        })
+        out = out.sort_values([id_col, "score", "tok"],
+                              ascending=[True, False, True], kind="stable")
+        return out.groupby(id_col, sort=False).head(top_n)
+
+    return ds.select_columns([id_col, "text"]).map_batches(score_fn, batch_format="pandas")
+
+
+def dup_passages(
+    ds: ray.data.Dataset,
+    window: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Duplicate-passage detection (the passage-granular analog of
+    exact substring dedup): every ``window``-token chunk at ``stride``
+    offsets is fingerprinted with a Horner polynomial over md5-lower64
+    token hashes (mod 2^64 — numpy uint64 wraparound IS the modulus,
+    and the identical expression is SQL-reproducible via
+    ``md5_number_lower`` + ``list_reduce``); chunks whose fingerprint
+    appears in ≥2 DISTINCT documents are emitted as
+    ``(doc_id, pos, chunk_hash)``.
+
+    Scale shape: fingerprints are computed fully vectorized per batch
+    (one gather + one uint64 matvec per block, no per-token Python),
+    then ONE hash shuffle on ``chunk_hash`` buckets; each bucket keeps
+    only fingerprints spanning multiple docs. The exchanged volume is
+    one 24-byte row per chunk — O(token stream / stride), never the
+    text itself.
+    """
+    from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
+
+    w, s = int(window), int(stride)
+    pw = _FP_PRIME ** np.arange(w - 1, -1, -1, dtype=np.uint64)  # P^(w-1) .. P^0
+
+    def chunk_fn(df: pd.DataFrame) -> pd.DataFrame:
+        flat, parent, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        n_win = np.where(n_tokens >= w, (n_tokens - w) // s + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64),
+                                 "chunk_hash": pd.Series(dtype=np.int64)})
+        h = _md5_tokens(flat)
+        doc_starts = np.concatenate([[0], np.cumsum(n_tokens)[:-1]])
+        # local window offsets: per doc d, 0, s, 2s, ... (n_win[d]-1)*s
+        doc_of_win = np.repeat(np.arange(len(n_tokens)), n_win)
+        first = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        local = (np.arange(total) - first[doc_of_win]) * s
+        g = doc_starts[doc_of_win] + local  # global window starts
+        fp = (h[g[:, None] + np.arange(w)[None, :]] * pw).sum(axis=1, dtype=np.uint64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[doc_of_win],
+            "pos": local.astype(np.int64),
+            "chunk_hash": fp.view(np.int64),
+        })
+
+    chunks = ds.select_columns([id_col, "text"]).map_batches(chunk_fn, batch_format="pandas")
+
+    def multi_doc(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("chunk_hash")[id_col].transform("nunique") > 1
+        return g[keep].drop(columns=[_BUCKET_COL])
+
+    return _add_bucket(chunks, ["chunk_hash"], num_buckets).groupby(_BUCKET_COL).map_groups(
+        multi_doc, batch_format="pandas"
+    )
+
+
+def stopword_filter(
+    ds: ray.data.Dataset,
+    lang: str = "en",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Text normalization / stopword removal: re-emit each document as
+    its lowercased token stream minus the ``lang`` stopword list,
+    space-joined, plus the removed-token count. Fully vectorized and
+    embarrassingly parallel: Arrow RE2 tokenization, one ``pc.is_in``
+    per batch, and the cleaned strings are rebuilt with a single
+    ``pc.binary_join_element_wise``-free ListArray + ``pc.binary_join``
+    (no Python string loop). Output: ``(doc_id, clean_text,
+    n_removed)``."""
+    import pyarrow.compute as pc
+
+    stop = pa.array(sorted(_STOPWORDS[lang]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        flat, parent, n_tokens = _tokenize_batch(texts)
+        keep = pc.invert(pc.is_in(flat, value_set=stop))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept_flat = flat.filter(keep)
+        kept_parent = parent[keep_np]
+        kept_counts = np.bincount(kept_parent, minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets), kept_flat.combine_chunks()
+                                         if isinstance(kept_flat, pa.ChunkedArray) else kept_flat)
+        clean = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: t[id_col],
+            "clean_text": clean,
+            "n_removed": pa.array((n_tokens - kept_counts).astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    n: int = 10,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic stratified sampling: the ``n`` rows per group with
+    the smallest ``md5_lower64(str(id))`` — a content-addressed
+    per-stratum quota (equal-sized eval holdouts per source/domain)
+    that is identical on every run and cluster size, unlike RNG
+    sampling. Composition of existing primitives: one per-batch hash
+    column + :func:`fs_crawler_ray.windows.topk_per_group` (local
+    prune to n per group per block, then one O(groups × n) shuffle).
+    Output: ``(id_col, group_col)``."""
+    from fs_crawler_ray.windows import topk_per_group
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = md5_lower64(np.char.mod("%d", ids.astype(np.int64)))
+        return t.append_column("__h", pa.array(h))
+
+    hashed = ds.select_columns([id_col, group_col]).map_batches(add_hash, batch_format="pyarrow")
+    top = topk_per_group(hashed, group_col, ["__h", id_col],
+                         descending=[False, False], k=n)
+    return top.map_batches(
+        lambda t: pa.table({id_col: t[id_col], group_col: t[group_col]}),
+        batch_format="pyarrow")

@@ -442,3 +442,45 @@ def group_quantiles(
         return pd.DataFrame(out)
 
     return _bucketed(ds, group_col, num_buckets, per_bucket)
+
+
+def lag_deltas(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+    first_value: int = -1,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key LAG delta (``ts − lag(ts) OVER (PARTITION BY key ORDER BY
+    ts, *order_cols)``): the inter-event-gap feature every behavioral /
+    session pipeline computes. Emits one row per input row:
+    ``(key, *carry_cols, delta_us)`` with the gap in integer
+    microseconds and ``first_value`` (default −1) for each key's first
+    event — integers only, so the DuckDB window oracle matches
+    bit-for-bit.
+
+    Same shape as the other window kernels: one hash shuffle into key
+    buckets, then a kernel vectorized ACROSS keys (one bucket-wide sort,
+    one diff, one key-change mask — no per-key Python).
+    """
+    order_cols = order_cols or []
+    carry_cols = carry_cols or []
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, *order_cols], kind="stable")
+        k = df[key].to_numpy()
+        ts = _ts_us(df[ts_col].to_numpy())
+        n = len(df)
+        delta = np.full(n, np.int64(first_value), dtype=np.int64)
+        if n > 1:
+            same = k[1:] == k[:-1]
+            delta[1:][same] = (ts[1:] - ts[:-1])[same]
+        out = {key: k}
+        for c in carry_cols:
+            out[c] = df[c].to_numpy()
+        out["delta_us"] = delta
+        return pd.DataFrame(out)
+
+    return _bucketed(ds, key, num_buckets, per_bucket)

@@ -162,3 +162,36 @@ def test_group_centroids_exact_means():
     assert out["label"].tolist() == [0, 0, 1, 1]
     assert out["i"].tolist() == [1, 2, 1, 2]
     assert out["centroid"].tolist() == [2.0, 3.0, 10.0, -10.0]
+
+
+def test_knn_join_exact_matches_numpy(emb):
+    from fs_crawler_ray.ann import knn_join
+
+    ds, df = emb
+    out = knn_join(ds, k=3, exact=True).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    np.fill_diagonal(s, -np.inf)
+    for row in [0, len(ids) // 2, len(ids) - 1]:
+        order = np.lexsort((ids, -s[row]))[:3]
+        got = out[out.vec_id == ids[row]].sort_values("rank")["neighbor_id"].tolist()
+        assert got == [int(ids[j]) for j in order]
+    # every vector gets exactly k ranked neighbors
+    assert out.groupby("vec_id").size().eq(3).all()
+    assert sorted(out["rank"].unique()) == [1, 2, 3]
+
+
+def test_knn_join_ivf_recall(emb):
+    from fs_crawler_ray.ann import knn_join
+
+    ds, _ = emb
+    ex = knn_join(ds, k=3, exact=True).to_pandas()
+    iv = knn_join(ds, k=3, exact=False, n_centroids=8, n_probe=6).to_pandas()
+    pe = set(zip(ex.vec_id.astype(int), ex.neighbor_id.astype(int)))
+    pi = set(zip(iv.vec_id.astype(int), iv.neighbor_id.astype(int)))
+    # probing 6/8 cells must recover the bulk of true neighbors
+    assert len(pe & pi) / len(pe) >= 0.7
+    # a (query, neighbor) pair can surface in at most one cell → no dups
+    assert not iv.duplicated(["vec_id", "neighbor_id"]).any()

@@ -165,3 +165,84 @@ def test_token_doc_frequency_counts_docs_not_occurrences():
     # df counts DOCUMENTS (dedup within doc), case-folded; ties break by token
     assert out["tok"].tolist() == ["cat", "dog"]
     assert out["df"].tolist() == [2, 2]
+
+
+def test_dup_passages_flags_shared_chunks():
+    # docs 1 and 2 share a 16-token run; doc 3 is disjoint; doc 4 too short
+    shared = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        {"doc_id": 1, "text": shared + " tail one two three four five six seven eight"},
+        {"doc_id": 2, "text": "prefix a b c d e f g " + shared},  # 8-token prefix → aligned at pos 8
+        {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(30))},
+        {"doc_id": 4, "text": "short text"},
+    ]
+    from fs_crawler_ray.text import dup_passages
+
+    out = (dup_passages(ray.data.from_pandas(pd.DataFrame(rows)), window=16, stride=8)
+           .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    assert set(out["doc_id"]) == {1, 2}
+    assert out[out.doc_id == 1]["pos"].tolist() == [0]
+    assert out[out.doc_id == 2]["pos"].tolist() == [8]
+    # the shared chunk carries the SAME fingerprint in both docs
+    assert out["chunk_hash"].nunique() == 1
+    # doc 3's chunks (unique) and doc 4 (< window tokens) emit nothing
+
+
+def test_dup_passages_within_doc_repeat_not_flagged():
+    # a chunk repeated within ONE doc is not a cross-doc duplicate
+    chunk = " ".join(f"w{i}" for i in range(8))
+    rows = [{"doc_id": 1, "text": chunk + " " + chunk},
+            {"doc_id": 2, "text": " ".join(f"z{i}" for i in range(20))}]
+    from fs_crawler_ray.text import dup_passages
+
+    out = dup_passages(ray.data.from_pandas(pd.DataFrame(rows)), window=8, stride=8).to_pandas()
+    assert len(out) == 0
+
+
+def test_tfidf_top_terms_ranking():
+    # "rare" appears only in doc 1 (df=1), "common" in all (df=3);
+    # doc 1's top term must be the rare one despite equal tf
+    rows = [
+        {"doc_id": 1, "text": "common rare common rare"},
+        {"doc_id": 2, "text": "common common"},
+        {"doc_id": 3, "text": "common filler"},
+    ]
+    from fs_crawler_ray.text import tfidf_top_terms
+
+    out = tfidf_top_terms(ray.data.from_pandas(pd.DataFrame(rows)), top_n=1).to_pandas()
+    d1 = out[out.doc_id == 1].iloc[0]
+    assert d1["tok"] == "rare" and d1["tf"] == 2 and d1["df"] == 1
+    assert d1["score"] == 2_000_000
+    # integer score: tf * 1e6 // df = 2_000_000 // 3
+    d2 = out[out.doc_id == 2].iloc[0]
+    assert d2["tok"] == "common" and d2["score"] == 666_666
+
+
+def test_stopword_filter_removes_and_counts():
+    rows = [{"doc_id": 1, "text": "The cat and THE dog in a house"},
+            {"doc_id": 2, "text": "the and of to a in is that it for"},   # all stopwords
+            {"doc_id": 3, "text": ""}]
+    from fs_crawler_ray.text import stopword_filter
+
+    out = (stopword_filter(ray.data.from_pandas(pd.DataFrame(rows)), "en")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "clean_text"] == "cat dog house"
+    assert out.loc[0, "n_removed"] == 5  # the, and, the, in, a
+    assert out.loc[1, "clean_text"] == "" and out.loc[1, "n_removed"] == 10
+    assert out.loc[2, "clean_text"] == "" and out.loc[2, "n_removed"] == 0
+
+
+def test_stratified_sample_deterministic_quota():
+    from fs_crawler_ray.text import md5_lower64, stratified_sample
+
+    df = pd.DataFrame({"doc_id": range(100), "source": ["a"] * 60 + ["b"] * 40})
+    out = stratified_sample(ray.data.from_pandas(df), "source", n=7).to_pandas()
+    assert out.groupby("source").size().to_dict() == {"a": 7, "b": 7}
+    # matches the hash-order oracle exactly
+    h = md5_lower64(np.char.mod("%d", np.arange(100, dtype=np.int64)))
+    for src, grp in df.groupby("source"):
+        want = set(grp["doc_id"].to_numpy()[np.argsort(h[grp.index], kind="stable")][:7])
+        assert set(out[out.source == src]["doc_id"]) == want
+    # rerun → identical rows
+    out2 = stratified_sample(ray.data.from_pandas(df), "source", n=7).to_pandas()
+    assert set(map(tuple, out.values)) == set(map(tuple, out2.values))

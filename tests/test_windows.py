@@ -247,3 +247,18 @@ def test_windows_match_duckdb_on_random_events():
     assert aj["event_id"].tolist() == aj_sql["event_id"].tolist()
     assert aj["ts_r"].tolist() == aj_sql["ts_r"].tolist()
     assert np.allclose(aj["value"], aj_sql["value"])
+
+
+def test_lag_deltas_per_key():
+    from fs_crawler_ray.windows import lag_deltas
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_id": [10, 11, 12, 20, 21],
+        "ts": _ts(0, 5, 5, 3, 60),   # tie at minute 5 broken by event_id
+    })
+    out = (lag_deltas(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                      order_cols=["event_id"], carry_cols=["event_id"])
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    us = 60_000_000
+    assert out["delta_us"].tolist() == [-1, 5 * us, 0, -1, 57 * us]
