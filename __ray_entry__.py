@@ -235,6 +235,32 @@ def _docs_stratified_sample(sf_dir: str):
     return out[["doc_id", "source"]].astype({"doc_id": np.int64})
 
 
+def _docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole 16-bit
+    quarter bucketing; oracled by all-pairs bit_count(xor) SQL over
+    the same fingerprints."""
+    import ray.data
+
+    from fs_crawler_ray.text import simhash_near_dups
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = simhash_near_dups(ds, max_hamming=3, shingle_k=2).to_pandas()
+    return out[["doc_a", "doc_b", "hamming"]].astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+
+
+def _docs_bigram_freq(sf_dir: str):
+    """Corpus-wide top-50 bigrams: per-batch packed-code np.unique
+    partials, O(distinct grams) shuffle."""
+    import ray.data
+
+    from fs_crawler_ray.text import ngram_frequency
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = ngram_frequency(ds, n=2, top_n=50).to_pandas()
+    return out.astype({"cnt": np.int64})
+
+
 def _ann_knn_join(sf_dir: str):
     """KNN self-join (exact conformance mode; knn_join(exact=False) is
     the IVF-bucketed scale path, recall-tested in pytest)."""
@@ -304,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_centroids": _embedding_centroids,
         "docs_simhash": _docs_simhash,
         "docs_analysis": _docs_analysis,
+        "docs_simhash_pairs": _docs_simhash_pairs,
+        "docs_bigram_freq": _docs_bigram_freq,
         "docs_dup_passages": _docs_dup_passages,
         "docs_tfidf_top": _docs_tfidf_top,
         "docs_stopword_filtered": _docs_stopword_filtered,
@@ -339,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_survivors": osql.docs_dedup_survivors(threshold=0.8, shingle_k=3),
         "docs_hash_sample": osql.docs_hash_sample(denom=20, keep=0),
         "docs_dup_passages": osql.docs_dup_passages(window=16, stride=8),
+        "docs_simhash_pairs": osql.docs_simhash_pairs(max_hamming=3, shingle_k=2),
+        "docs_bigram_freq": osql.docs_bigram_freq(top_n=50),
         "docs_tfidf_top": osql.docs_tfidf_top(top_n=3),
         "docs_stopword_filtered": osql.docs_stopword_filtered(lang="en"),
         "docs_stratified_sample": osql.docs_stratified_sample(n=5),

@@ -268,6 +268,15 @@ def run_bench() -> dict:
     analyze_text(docs, concurrency=max(4, num_cpus // 2)).count()
     queries["text_analysis"] = round(time.time() - t0, 3)
 
+    # passage-granular dedup + salient terms (r2 wave-2 operators)
+    from fs_crawler_ray.text import dup_passages, tfidf_top_terms
+
+    t0 = time.time()
+    n_passages = dup_passages(docs, window=16, stride=8, num_buckets=doc_buckets).count()
+    tfidf_top_terms(docs, top_n=3).count()
+    queries["passage_tfidf"] = round(time.time() - t0, 3)
+    extras["dup_passage_rows"] = int(n_passages)
+
     # -- ANN over embeddings -------------------------------------------
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     head = emb.sort("vec_id").limit(16).to_pandas()
@@ -276,6 +285,13 @@ def run_bench() -> dict:
     brute_force_topk(emb, q, query_ids=head["vec_id"].tolist(), k=10,
                      concurrency=max(4, num_cpus // 2))
     queries["ann_topk"] = round(time.time() - t0, 3)
+
+    # KNN self-join, IVF-bucketed scale path (exact mode is the oracle)
+    from fs_crawler_ray.ann import knn_join
+
+    t0 = time.time()
+    knn_join(emb, k=10, exact=False, n_centroids=32, n_probe=8).count()
+    queries["knn_join_ivf"] = round(time.time() - t0, 3)
 
     # -- temporal/windowed operators over events ------------------------
     import pandas as _pd
@@ -298,6 +314,10 @@ def run_bench() -> dict:
                        batch_format="pyarrow"),
         key="user_id", ts_col="ts", left_cols=["event_id"], right_cols=["value"],
     ).count()
+    from fs_crawler_ray.windows import lag_deltas
+
+    lag_deltas(ev.select_columns(["event_id", "ts", "user_id"]), key="user_id",
+               ts_col="ts", order_cols=["event_id"], carry_cols=["event_id"]).count()
     queries["temporal_windows"] = round(time.time() - t0, 3)
     extras["sessions"] = int(n_sessions)
     extras["asof_matches"] = int(n_asof)

@@ -610,3 +610,29 @@ SELECT doc_id, source FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY source
     ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= {int(n)}
 """
+
+
+def docs_simhash_pairs(max_hamming: int = 3, shingle_k: int = 2) -> str:
+    """Oracle for simhash near-dup pairs: all-pairs Hamming distance
+    over the (already strictly-oracled) simhash fingerprints."""
+    return f"""
+WITH sims AS ({docs_simhash(shingle_k)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}
+"""
+
+
+def docs_bigram_freq(top_n: int = 50) -> str:
+    """Oracle for corpus-wide top bigrams by count (ties by gram)."""
+    return _TOKS_CTE + f"""
+, grams AS (
+  SELECT tk[i] || ' ' || tk[i + 1] AS gram
+  FROM toks, unnest(CASE WHEN len(tk) >= 2
+                         THEN generate_series(1, len(tk) - 1)
+                         ELSE CAST([] AS BIGINT[]) END) u(i)
+)
+SELECT gram, COUNT(*) AS cnt FROM grams
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT {int(top_n)}
+"""

@@ -766,3 +766,66 @@ def stratified_sample(
     return top.map_batches(
         lambda t: pa.table({id_col: t[id_col], group_col: t[group_col]}),
         batch_format="pyarrow")
+
+
+def ngram_frequency(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    top_n: int = 50,
+) -> ray.data.Dataset:
+    """Corpus-wide top-``top_n`` word n-grams by occurrence count (the
+    phrase-statistics pass behind boilerplate detection and contamination
+    screening). Pre-aggregated like :func:`token_doc_frequency`: each
+    batch packs consecutive token-code tuples into one int64 per gram
+    (codes are per-batch dictionary indices, so ``v**n`` stays far below
+    2^63), counts them with a single ``np.unique``, and materializes the
+    gram STRING only for the batch's unique grams — the shuffle moves
+    one ``(gram, count)`` row per distinct gram per batch, never the
+    token stream. Final groupby-sum + sort is O(distinct grams).
+    Ties rank ``(count DESC, gram ASC)`` — deterministic vs the SQL
+    oracle. Output: ``(gram, cnt)``."""
+    import pyarrow.compute as pc
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        empty = pa.table({"gram": pa.array([], type=pa.string()),
+                          "cnt_part": pa.array([], type=pa.int64())})
+        if len(flat) < n:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        v = np.int64(len(vocab))
+        # n-gram windows fully inside one document
+        ok = parent[: len(parent) - n + 1] == parent[n - 1:]
+        if not ok.any():
+            return empty
+        packed = np.zeros(int(ok.sum()), dtype=np.int64)
+        starts = np.flatnonzero(ok)
+        for j in range(n):
+            packed = packed * v + codes[starts + j]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        # decode unique grams back to code tuples → strings
+        cols = []
+        rem = uniq.copy()
+        for _ in range(n):
+            cols.append(rem % v)
+            rem //= v
+        cols.reverse()
+        grams = np.array([" ".join(t) for t in zip(*(vocab[c] for c in cols))],
+                         dtype=object)
+        return pa.table({"gram": pa.array(grams, type=pa.string()),
+                         "cnt_part": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("gram").sum("cnt_part")
+    )
+    out = agg.map_batches(
+        lambda t: pa.table({"gram": t["gram"], "cnt": t["sum(cnt_part)"]}),
+        batch_format="pyarrow",
+    )
+    return out.sort(["cnt", "gram"], descending=[True, False]).limit(top_n)

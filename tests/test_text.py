@@ -246,3 +246,21 @@ def test_stratified_sample_deterministic_quota():
     # rerun → identical rows
     out2 = stratified_sample(ray.data.from_pandas(df), "source", n=7).to_pandas()
     assert set(map(tuple, out.values)) == set(map(tuple, out2.values))
+
+
+def test_ngram_frequency_counts_and_order():
+    from fs_crawler_ray.text import ngram_frequency
+
+    rows = [
+        {"doc_id": 1, "text": "a b a b c"},     # "a b" ×2, "b a", "b c"
+        {"doc_id": 2, "text": "a b"},           # "a b" ×1 — crosses no doc boundary
+        {"doc_id": 3, "text": "solo"},          # too short, no grams
+    ]
+    out = ngram_frequency(ray.data.from_pandas(pd.DataFrame(rows)), n=2, top_n=10).to_pandas()
+    got = dict(zip(out["gram"], out["cnt"]))
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    # ranking: count desc, gram asc
+    assert out["gram"].tolist() == ["a b", "b a", "b c"]
+    # trigrams: windows never span documents
+    out3 = ngram_frequency(ray.data.from_pandas(pd.DataFrame(rows)), n=3, top_n=10).to_pandas()
+    assert dict(zip(out3["gram"], out3["cnt"])) == {"a b a": 1, "b a b": 1, "a b c": 1}
