@@ -130,7 +130,9 @@ def embedding_near_dups(
 
     from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, distinct
 
-    cells = _add_bucket(exploded, ["tbl", "sig"], num_buckets).groupby(_BUCKET_COL).map_groups(
+    cells = _add_bucket(exploded, ["tbl", "sig"], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         lambda g: cell_pairs(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
     parts = distinct(cells, ["vec_a", "vec_b"], max(8, num_buckets // 4)).to_pandas()
@@ -370,7 +372,7 @@ def group_centroids(
     agg = (
         ds.select_columns([group_col, vec_col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "i"])
+        .groupby([group_col, "i"], num_partitions=8)
         .aggregate(Sum("s"), Sum("n"))
     )
     return agg.map_batches(
@@ -506,7 +508,9 @@ def knn_join(
 
     from fs_crawler_ray.relops import _add_bucket
 
-    partials = _add_bucket(exploded, ["cell"], 64).groupby(_BUCKET_COL).map_groups(
+    partials = _add_bucket(exploded, ["cell"], 64).groupby(
+        _BUCKET_COL, num_partitions=64
+    ).map_groups(
         lambda g: cell_topk(g.drop(columns=[_BUCKET_COL])), batch_format="pandas")
     ranked = topk_per_group(partials, id_col, ["score", "neighbor_id"],
                             descending=[True, False], k=k)

@@ -74,7 +74,7 @@ def connected_components(
             lambda t: pa.table({"v": t["d"], "component": t["component"]}),
             batch_format="pyarrow",
         )
-        merged = msgs.union(labels).groupby("v").min("component")
+        merged = msgs.union(labels).groupby("v", num_partitions=num_partitions).min("component")
         labels = merged.map_batches(
             lambda t: pa.table({"v": t["v"], "component": t["min(component)"]}),
             batch_format="pyarrow",

@@ -95,7 +95,9 @@ def dedup_keep_first(
         return _keep_first_arrow(t, key_cols, order_cols, drop=[_BUCKET_COL])
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
-    return _add_bucket(pre_ds, key_cols, num_buckets).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(pre_ds, key_cols, num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         per_bucket, batch_format="pyarrow"
     )
 
@@ -154,7 +156,8 @@ def distinct(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 64,
                                      boundaries=range_boundaries)
     else:
         bucketed = _add_bucket(pre_ds, key_cols, num_buckets)
-    return bucketed.groupby(_BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+    return bucketed.groupby(_BUCKET_COL, num_partitions=num_buckets).map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def broadcast_semi_join(

@@ -79,7 +79,9 @@ def classify_resolution(candidates: ray.data.Dataset, num_buckets: int = 64) -> 
         out = pd.DataFrame({"rel_id": df["rel_id"], "rtype": rtype})
         return out.drop_duplicates("rel_id")
 
-    return _add_bucket(candidates, ["source"], num_buckets).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(candidates, ["source"], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
 
@@ -205,7 +207,7 @@ def fetch_resolve_updates(
 
     from fs_crawler_ray.relops import _BUCKET_COL as _B, _add_bucket as _ab
 
-    return _ab(updates, ["__us", "__ud"], 32).groupby(_B).map_groups(
+    return _ab(updates, ["__us", "__ud"], 32).groupby(_B, num_partitions=32).map_groups(
         lambda g: keep_max_rel(g.drop(columns=[_B])), batch_format="pandas"
     ).drop_columns(["__ur"])
 

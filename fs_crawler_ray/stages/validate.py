@@ -113,7 +113,9 @@ def _per_child_table(
         agg = g.drop(columns=[_BUCKET_COL]).groupby("source", as_index=False).sum()
         return agg
 
-    return _add_bucket(counted, ["source"], 64).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(counted, ["source"], 64).groupby(
+        _BUCKET_COL, num_partitions=64
+    ).map_groups(
         per_bucket, batch_format="pandas"
     )
 

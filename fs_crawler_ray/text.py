@@ -212,7 +212,9 @@ def minhash_lsh_candidates(
             return pd.DataFrame({"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)})
         return pd.concat(out, ignore_index=True)
 
-    cand = _add_bucket(exploded, ["band", "bh"], 64).groupby(_BUCKET_COL).map_groups(
+    cand = _add_bucket(exploded, ["band", "bh"], 64).groupby(
+        _BUCKET_COL, num_partitions=64
+    ).map_groups(
         lambda g: pairs(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
     from fs_crawler_ray.relops import distinct
@@ -370,7 +372,9 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3, shingle_k: int
 
     from fs_crawler_ray.relops import distinct
 
-    cand = _add_bucket(ex, ["q", "qv"], 32).groupby(_BUCKET_COL).map_groups(
+    cand = _add_bucket(ex, ["q", "qv"], 32).groupby(
+        _BUCKET_COL, num_partitions=32
+    ).map_groups(
         lambda g: pairs(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
     return distinct(cand, ["doc_a", "doc_b"], 16)
@@ -535,7 +539,8 @@ def hash_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def token_doc_frequency(ds: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
+def token_doc_frequency(ds: ray.data.Dataset, top_n: int | None = 100,
+                        agg_partitions: int = 8) -> ray.data.Dataset:
     """Per-token DOCUMENT frequency (the DF half of TF-IDF, the
     vocabulary-statistics pass every corpus pipeline runs): number of
     documents containing each token, top ``top_n`` by ``(df DESC, tok)``.
@@ -565,7 +570,7 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int = 100) -> ray.data.Data
     agg = (
         ds.select_columns(["text"])
         .map_batches(partial, batch_format="pandas")
-        .groupby("tok").sum("df_part")
+        .groupby("tok", num_partitions=agg_partitions).sum("df_part")
     )
     out = agg.map_batches(
         lambda t: pa.table({"tok": t["tok"], "df": t["sum(df_part)"]}),
@@ -692,7 +697,9 @@ def dup_passages(
         keep = g.groupby("chunk_hash")[id_col].transform("nunique") > 1
         return g[keep].drop(columns=[_BUCKET_COL])
 
-    return _add_bucket(chunks, ["chunk_hash"], num_buckets).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(chunks, ["chunk_hash"], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         multi_doc, batch_format="pandas"
     )
 
@@ -772,6 +779,7 @@ def ngram_frequency(
     ds: ray.data.Dataset,
     n: int = 2,
     top_n: int = 50,
+    agg_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Corpus-wide top-``top_n`` word n-grams by occurrence count (the
     phrase-statistics pass behind boilerplate detection and contamination
@@ -822,7 +830,7 @@ def ngram_frequency(
     agg = (
         ds.select_columns(["text"])
         .map_batches(partial, batch_format="pandas")
-        .groupby("gram").sum("cnt_part")
+        .groupby("gram", num_partitions=agg_partitions).sum("cnt_part")
     )
     out = agg.map_batches(
         lambda t: pa.table({"gram": t["gram"], "cnt": t["sum(cnt_part)"]}),

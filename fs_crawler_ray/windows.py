@@ -35,7 +35,9 @@ from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
 
 
 def _bucketed(ds: ray.data.Dataset, key: str, num_buckets: int, fn) -> ray.data.Dataset:
-    return _add_bucket(ds, [key], num_buckets).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(ds, [key], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         lambda g: fn(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
 
@@ -197,7 +199,9 @@ def asof_join(
             out[oc] = col(matched[c], c)
         return pd.DataFrame(out)
 
-    return _add_bucket(both, [key], num_buckets).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(both, [key], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
 
@@ -357,7 +361,9 @@ def range_join(
             out[c] = col(matched[c], c)
         return pd.DataFrame(out)
 
-    return _add_bucket(both, [key], num_buckets).groupby(_BUCKET_COL).map_groups(
+    return _add_bucket(both, [key], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
         lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
     )
 
