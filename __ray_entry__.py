@@ -235,6 +235,15 @@ def _docs_stratified_sample(sf_dir: str):
     return out[["doc_id", "source"]].astype({"doc_id": np.int64})
 
 
+def _media_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (actor-pool flat-map over wide
+    binary rows); the sampled frame-index set is md5-derivable, so
+    strictly oracled."""
+    from fs_crawler_ray.multimodal import media_frame_sample_pipeline
+
+    return media_frame_sample_pipeline(sf_dir, stride=4)
+
+
 def _docs_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole 16-bit
     quarter bucketing; oracled by all-pairs bit_count(xor) SQL over
@@ -341,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_knn_join": _ann_knn_join,
         "embedding_near_dups": _embedding_near_dups,
         "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
     }
 
 
@@ -386,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "span_edges": osql.span_edges(d),
         "span_media": osql.span_media(d),
         "media_features": osql.media_features(d),
+        "media_frame_sample": osql.media_frame_sample(d, stride=4, frame_bytes=16),
         "living_filtered_vertices": osql.living_filtered_vertices(d, s, h),
         "primary_edges": osql.primary_edges(d, r, s, h),
         "rels_to_resolve": osql.rels_to_resolve(d, s, h),

@@ -135,3 +135,112 @@ def media_feature_pipeline(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "media_ref", "media_type", "decoded_len"]].sort_values(
         ["doc_id", "media_ref"]
     ).reset_index(drop=True)
+
+
+FRAME_BYTES = 16  # fake-decode frame width (bytes per "frame")
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video rows: split the decoded
+    byte stream into fixed-width frames and keep every ``stride``-th one
+    (the sampled-frame extraction step of a video training pipeline).
+    One input row fans out to ``ceil(n_frames / stride)`` output rows —
+    real flat-map plumbing over wide binary rows (keep batches small).
+    The per-frame decode is the container's deterministic fake (frame =
+    FRAME_BYTES consecutive payload bytes), so the sampled (doc_id,
+    media_ref, frame_idx) set is exactly SQL-reproducible from
+    md5(media_ref); a real deployment swaps in ffmpeg keyframe decode
+    behind the same signature."""
+
+    def __init__(self, stride: int = 4, frame_bytes: int = FRAME_BYTES):
+        self.stride = int(stride)
+        self.frame_bytes = int(frame_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, refs, idxs, means = [], [], [], []
+        for doc_id, ref, payload, mtype in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist(),
+        ):
+            if mtype != "video":
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n_frames = len(arr) // self.frame_bytes
+            for i in range(0, n_frames, self.stride):
+                frame = arr[i * self.frame_bytes:(i + 1) * self.frame_bytes]
+                doc_ids.append(doc_id)
+                refs.append(ref)
+                idxs.append(i)
+                means.append(round(float(frame.mean()), 4))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_mean": pa.array(means, pa.float32()),
+        })
+
+
+def sample_frames(
+    media: ray.data.Dataset, stride: int = 4, concurrency: int = 4, batch_size: int = 128
+) -> ray.data.Dataset:
+    return media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+class MediaResizer:
+    """Actor-pool resize stage: every payload is resampled to a fixed
+    ``target_len`` feature vector (np.interp over the byte stream — the
+    deterministic stand-in for bilinear image resize / audio resample;
+    the real kernel slots into ``_resize_real`` behind the import-try,
+    same contract). Output rows are fixed-width ``list<float32>`` —
+    the layout a downstream embedding/training stage consumes."""
+
+    def __init__(self, target_len: int = 64):
+        self.target_len = int(target_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        xs = np.arange(self.target_len, dtype=np.float64)
+        for payload in batch["payload"].to_pylist():
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            if len(arr) == 0:
+                out.append(np.zeros(self.target_len, dtype=np.float32))
+                continue
+            src_x = xs * (len(arr) - 1) / max(self.target_len - 1, 1)
+            out.append(np.interp(src_x, np.arange(len(arr)), arr).astype(np.float32))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "media_type": batch["media_type"],
+            "resized": pa.array([list(map(float, o)) for o in out], pa.list_(pa.float32())),
+        })
+
+
+def resize_media(
+    media: ray.data.Dataset, target_len: int = 64, concurrency: int = 4, batch_size: int = 128
+) -> ray.data.Dataset:
+    return media.map_batches(
+        MediaResizer, fn_constructor_kwargs={"target_len": target_len},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def media_frame_sample_pipeline(sf_dir: str, stride: int = 4) -> pd.DataFrame:
+    """End-to-end: corpus media spans → payload table → actor-pool frame
+    sampling over video rows. Strictly oracled: payload length (and so
+    the sampled frame-index set) is a pure function of md5(media_ref)."""
+    from fs_crawler_ray.pipelines.crawl_queries import span_media
+
+    refs = span_media(sf_dir)
+    if len(refs) == 0:
+        return pd.DataFrame({"doc_id": [], "media_ref": [], "frame_idx": []})
+    payloads = synthesize_media_payloads(refs)
+    ds = ray.data.from_arrow(payloads)
+    out = sample_frames(ds, stride=stride).to_pandas()
+    return out[["doc_id", "media_ref", "frame_idx"]].sort_values(
+        ["doc_id", "media_ref", "frame_idx"]
+    ).reset_index(drop=True)

@@ -636,3 +636,26 @@ def docs_bigram_freq(top_n: int = 50) -> str:
 SELECT gram, COUNT(*) AS cnt FROM grams
 GROUP BY gram ORDER BY cnt DESC, gram LIMIT {int(top_n)}
 """
+
+
+def media_frame_sample(docs: str, stride: int = 4, frame_bytes: int = 16) -> str:
+    """Oracle for the video frame-sampling stage: payload length is
+    64 + (md5-seed % 192) and type 'video' is seed % 3 == 2
+    (synthesize_media_payloads), so the sampled frame-index set is a
+    pure function of md5(media_ref)."""
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, u.media_ref AS media_ref,
+         CAST(concat('0x', substr(md5(u.media_ref), 1, 8)) AS BIGINT) AS seed
+  FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+  WHERE u.kind = 'media'
+),
+vids AS (
+  SELECT doc_id, media_ref, (64 + (seed % 192)) // {int(frame_bytes)} AS n_frames
+  FROM seeded WHERE seed % 3 = 2
+)
+SELECT doc_id, media_ref, CAST(i AS BIGINT) AS frame_idx
+FROM vids, unnest(CASE WHEN n_frames > 0
+                       THEN generate_series(0, n_frames - 1, {int(stride)})
+                       ELSE CAST([] AS BIGINT[]) END) u(i)
+"""
