@@ -380,7 +380,13 @@ def run_scaling() -> dict:
             "GRAFT_AFFINITY": "1",
             "GRAFT_CORPUS_SCALE": os.environ.get("GRAFT_CORPUS_SCALE", "100"),
             "GRAFT_WAVE_SEEDS": os.environ.get("GRAFT_WAVE_SEEDS", "500000"),
-            "GRAFT_WAVE_REPS": os.environ.get("GRAFT_WAVE_REPS", "2"),
+            # best-of-3 reps per side: the VM's ±2x speed drift produces
+            # slow outlier reps at BOTH sizes; taking each side's best
+            # filters them symmetrically (measured: reps=2 pairs ranged
+            # 0.39-0.86 wave efficiency on identical code, reps=3 gave
+            # 0.78/1.05 — the outliers, not the pipeline, were the
+            # spread)
+            "GRAFT_WAVE_REPS": os.environ.get("GRAFT_WAVE_REPS", "3"),
             # deep frontiers for the multi-hop row: with 2048 seeds the
             # 4-hop crawl averages ~6k URLs/hop and per-hop floors
             # dominate (eff 0.42); at 8192 seeds (~42k URLs/hop) the
