@@ -378,9 +378,12 @@ def group_centroids(
     return agg.map_batches(
         lambda t: pa.table({
             group_col: t[group_col], "i": t["i"],
+            # half_towards_infinity == DuckDB ROUND()'s half-away-from-
+            # zero; pc.round's default half_to_even would drift on
+            # exact .5 boundaries.
             "centroid": pc.round(
                 pc.divide(t["sum(s)"], pc.cast(t["sum(n)"], pa.float64())),
-                ndigits=round_dp),
+                ndigits=round_dp, round_mode="half_towards_infinity"),
         }),
         batch_format="pyarrow",
     )
@@ -434,14 +437,17 @@ def knn_join(
             scores = bm @ am.T                       # (n, N)
             scores[bids[:, None] == all_ids[None, :]] = -np.inf
             kk = min(k, scores.shape[1] - 1)
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # Full per-row lexsort by (score DESC, neighbor_id ASC) so
+            # score ties straddling the k-th position (exact-duplicate
+            # embeddings) break exactly like the oracle's ROW_NUMBER
+            # ... ORDER BY sim DESC, vec_id. Exact mode is the
+            # small-scale conformance path, so O(N log N)/row is fine.
+            ids_b = np.broadcast_to(all_ids[None, :], scores.shape)
+            order = np.lexsort((ids_b, -scores), axis=1)[:, :kk]
             rows = np.repeat(np.arange(len(bm)), kk)
-            cand_scores = scores[rows, part.ravel()]
-            # rank within each row by (score desc, neighbor_id asc)
-            order = np.lexsort((all_ids[part.ravel()], -cand_scores, rows))
             return pd.DataFrame({
                 id_col: bids[rows],
-                "neighbor_id": all_ids[part.ravel()[order]],
+                "neighbor_id": all_ids[order.ravel()],
                 "rank": np.tile(np.arange(1, kk + 1), len(bm)),
             })
 

@@ -1,25 +1,34 @@
-"""The BFS frontier crawl: one Ray Data pipeline per hop.
+"""The BFS frontier crawl: ONE fused Ray Data execution per hop.
 
 Re-creates the reference's superstep loop (``fscrawler/crawler.py:44-46``
-→ ``fsapi.py:194-222`` → graph-store mutations) as THREE fused Dataset
-executions per hop:
+→ ``fsapi.py:194-222`` → graph-store mutations) as a single streaming
+Dataset execution per hop:
 
-1. frontier → fused visited-filter + processing-registration
-   (membership shards via ``map_batches``) → ``processing.parquet``
-   checkpoint side-write → fetch (politeness token buckets + robots,
-   ids routed by host; or partition-local row-group lookup in direct
-   mode) → vectorized span parser → vertices checkpoint side-write +
-   ``visited`` registration (safe: this hop's vertices ⊆ processing,
-   which the candidate filter also checks) → materialized per-hop
-   record set (adaptive shuffle width derives from its size). An
-   optional priority-queue budget takes the best ``(priority, id)``
-   ids and carries the rest, at the cost of a sort barrier;
-2. edges: in-hop keep-first dedup (``(hop, src_doc, offset)`` under the
-   canonical visit order = sorted id per hop) → cross-hop edge-seen
-   filter with DEFERRED adds committed after the write (retry-safe);
-3. frontier candidates filtered against ``visited ∪ processing``
-   (the ``add_to_frontier`` guard, ``graph_memory_impl.py:60-63``),
-   unioned with any budget remainder, dedup'd → next frontier.
+frontier → fused visited-filter + processing-registration (membership
+shards via ``map_batches``) → ``processing.parquet`` checkpoint
+side-write → fetch (politeness token buckets + robots, ids routed by
+host; or partition-local row-group lookup in direct mode) → vectorized
+span parser → vertices checkpoint side-write + ``visited`` registration
+(safe: this hop's vertices ⊆ processing, which the candidate filter
+also checks) → record tagger (per-batch pre-combine of edge rows and
+frontier-candidate rows; disjoint bucket-id ranges) → ONE combined
+groupby shuffle → per-group ``_HopSink``:
+
+- edge buckets: in-hop keep-first dedup (``(hop, src_doc, offset)``
+  under the canonical visit order = sorted id per hop) → cross-hop
+  edge-seen filter with DEFERRED adds committed after the execution
+  (retry-safe) → ``edges.parquet`` part side-write;
+- candidate buckets: distinct → filtered against
+  ``visited ∪ processing`` (the ``add_to_frontier`` guard,
+  ``graph_memory_impl.py:60-63``), unioned with any budget remainder →
+  range-clustered ``frontier.parquet`` part side-write.
+
+The groupby is an all-to-all barrier, so every membership registration
+upstream completes before any sink group consults the shards — the same
+ordering guarantee the round-2 shape bought with a per-hop
+``materialize()`` and two extra Dataset executions. An optional
+priority-queue budget takes the best ``(priority, id)`` ids and carries
+the rest, at the cost of a sort-barrier execution.
 
 All in-hop membership mutations are idempotent or deferred-committed,
 so task retries and resume can never corrupt state. The LOG row
@@ -53,7 +62,7 @@ import ray.data
 from fs_crawler_ray.corpus import CorpusInfo
 from fs_crawler_ray.ids import as_key_array, is_valid_pid
 from fs_crawler_ray.model import EDGE_SCHEMA, FRONTIER_SCHEMA, VERTEX_SCHEMA, RelationshipType
-from fs_crawler_ray.relops import dedup_keep_first, distinct
+from fs_crawler_ray.relops import distinct
 from fs_crawler_ray.stages.fetch import PolitenessBudget
 from fs_crawler_ray.state.fetch_service import FetchPool, FetchStage
 from fs_crawler_ray.stages.parse import parse_documents
@@ -331,6 +340,209 @@ def _edge_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("edge_key", key)
 
 
+# Unified row layout for the hop's single combined shuffle: edge rows and
+# frontier-candidate rows ride the SAME exchange (disjoint bucket-id
+# ranges route each kind to its own sink groups), so a hop pays ONE
+# all-to-all instead of two sequential Dataset executions.
+_TAGGED_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("destination", pa.string()),
+        ("rel_id", pa.string()),
+        ("src_doc", pa.string()),
+        ("offset", pa.int32()),
+        ("hop", pa.int32()),
+        ("cand_id", pa.string()),
+        ("priority", pa.int64()),
+        ("__bucket", pa.int64()),
+    ]
+)
+
+_SINK_COUNT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("bucket", pa.int64()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+    ]
+)
+
+
+def _tagged(n: int, bucket: np.ndarray, **cols) -> pa.Table:
+    arrays = []
+    for f in _TAGGED_SCHEMA:
+        if f.name == "__bucket":
+            arrays.append(pa.array(np.asarray(bucket, dtype=np.int64)))
+        elif f.name in cols:
+            v = cols[f.name]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if not isinstance(v, pa.Array):
+                v = pa.array(v)
+            if v.type != f.type:
+                v = pc.cast(v, f.type)
+            arrays.append(v)
+        else:
+            arrays.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(arrays, schema=_TAGGED_SCHEMA)
+
+
+def _thin_boundaries(boundaries: np.ndarray | None, num_buckets: int) -> np.ndarray | None:
+    """Reduce sampled range cut points to the hop's (data-proportional)
+    bucket count — same rule as relops._add_range_bucket."""
+    if boundaries is None or len(boundaries) + 1 <= num_buckets or num_buckets < 1:
+        return boundaries
+    n = len(boundaries) + 1
+    cut = (np.arange(1, num_buckets) * n) // num_buckets
+    return boundaries[cut - 1]
+
+
+def _make_record_tagger(hop: int, n_cand_buckets: int, n_edge_buckets: int,
+                        boundaries: np.ndarray | None):
+    """1:1 batch stage: split a parsed record batch into its edge rows
+    and frontier-candidate rows, pre-combine each (the same per-batch
+    keep-first that dedup_keep_first/distinct ran before their separate
+    shuffles — hot-key mitigation is preserved), and emit ONE tagged
+    table whose ``__bucket`` routes candidates to range buckets
+    ``[0, n_cand_buckets)`` (range-clustered next frontier == next hop's
+    fetch routing) and edges to hash buckets
+    ``[n_cand_buckets, n_cand_buckets + n_edge_buckets)``."""
+    from fs_crawler_ray.ids import range_bucket_of, stable_hash64
+    from fs_crawler_ray.relops import _keep_first_arrow
+
+    bnd = _thin_boundaries(boundaries, n_cand_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        parts = []
+        e = batch.filter(pc.equal(batch["rec_kind"], "edge")).select(
+            ["source", "destination", "rel_id", "src_doc", "offset", "hop"]
+        )
+        if len(e):
+            e = _keep_first_arrow(e, ["source", "destination"], ["hop", "src_doc", "offset"])
+            h = np.zeros(len(e), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for i, c in enumerate(["source", "destination"]):
+                    h = h * np.uint64(0x9E3779B97F4A7C15) + stable_hash64(e[c], seed=31 + i)
+            b = (h % np.uint64(n_edge_buckets)).astype(np.int64) + n_cand_buckets
+            parts.append(_tagged(
+                len(e), b, source=e["source"], destination=e["destination"],
+                rel_id=e["rel_id"], src_doc=e["src_doc"], offset=e["offset"],
+                hop=e["hop"],
+            ))
+        c = batch.filter(pc.equal(batch["rec_kind"], "cand")).select(["cand_id"])
+        if len(c):
+            c = _keep_first_arrow(c, ["cand_id"], ["cand_id"])
+            prio = pa.array(np.full(len(c), hop + 1, dtype=np.int64))
+            b = range_bucket_of(as_key_array(c["cand_id"]), n_cand_buckets, boundaries=bnd)
+            parts.append(_tagged(len(c), b, cand_id=c["cand_id"], priority=prio))
+        if not parts:
+            return _TAGGED_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    return tag
+
+
+def _make_carryover_tagger(n_cand_buckets: int, boundaries: np.ndarray | None):
+    """Tag a budget-remainder frontier batch (id, priority) as candidate
+    rows carrying their ORIGINAL priority."""
+    from fs_crawler_ray.ids import range_bucket_of
+
+    bnd = _thin_boundaries(boundaries, n_cand_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _TAGGED_SCHEMA.empty_table()
+        b = range_bucket_of(as_key_array(batch["id"]), n_cand_buckets, boundaries=bnd)
+        return _tagged(len(batch), b, cand_id=batch["id"],
+                       priority=pc.cast(batch["priority"], pa.int64()))
+
+    return tag
+
+
+class _HopSink:
+    """Per-bucket terminal of the hop's combined shuffle. Each group is
+    purely one kind (bucket-id ranges are disjoint): candidate buckets
+    run distinct-keep-first → ``visited ∪ processing`` membership filter
+    → frontier rows; edge buckets run keep-first dedup → cross-hop
+    edge-seen filter (deferred adds) → edge rows. Both side-write their
+    group's output as a content-named parquet part (same retry-safe
+    idempotence contract as BranchCheckpoint) and return only a count
+    row — the hop's frontier AND edges land on disk in the SAME
+    execution that fetched and parsed the records.
+
+    Correctness of the fusion: the groupby upstream is an all-to-all
+    barrier, so every PROCESSING/VISITED registration (they happen in
+    the pre-fetch and post-parse stages of this same execution) has
+    completed before any sink group runs — identical visibility to the
+    old 3-execution shape."""
+
+    def __init__(self, sm: ShardedMembership, n_cand_buckets: int,
+                 frontier_path: str, edges_path: str):
+        self.sm = sm
+        self.n_cand_buckets = n_cand_buckets
+        self.frontier_path = frontier_path
+        self.edges_path = edges_path
+
+    def _write(self, rows: pa.Table, path: str, schema: pa.Schema, bucket: int) -> None:
+        rows = rows.select(schema.names).cast(schema)
+        key = rows.column(0)
+        tag = f"{bucket}|{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
+        name = hashlib.md5(tag.encode()).hexdigest()
+        pq.write_table(rows, os.path.join(path, f"part-{name}.parquet"))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from fs_crawler_ray.relops import _keep_first_arrow
+
+        if len(t) == 0:
+            return _SINK_COUNT_SCHEMA.empty_table()
+        bucket = t["__bucket"][0].as_py()
+        n_in = len(t)
+        if bucket < self.n_cand_buckets:
+            c = t.select(["cand_id", "priority"])
+            c = _keep_first_arrow(c, ["cand_id"], ["cand_id", "priority"])
+            present = self.sm.contains_any([VISITED, PROCESSING], as_key_array(c["cand_id"]))
+            c = c.filter(pa.array(~present))
+            out = pa.table(
+                {
+                    "id": c["cand_id"],
+                    "priority": c["priority"],
+                    "hop": pc.cast(c["priority"], pa.int32()),
+                },
+                schema=FRONTIER_SCHEMA,
+            )
+            if len(out):
+                self._write(out, self.frontier_path, FRONTIER_SCHEMA, bucket)
+            kind = "frontier"
+        else:
+            e = t.select(["source", "destination", "rel_id", "src_doc", "offset", "hop"])
+            e = _keep_first_arrow(e, ["source", "destination"], ["hop", "src_doc", "offset"])
+            e = _edge_key(e)
+            present = self.sm.check_and_add_deferred(EDGES, as_key_array(e["edge_key"]))
+            e = e.filter(pa.array(~present))
+            n = len(e)
+            out = pa.table(
+                {
+                    "source": e["source"],
+                    "destination": e["destination"],
+                    "type": pa.array([RelationshipType.UNTYPED_PARENT.value] * n, pa.string()),
+                    "id": e["rel_id"],
+                    "hop": e["hop"],
+                },
+            )
+            if len(out):
+                self._write(out, self.edges_path, EDGE_SCHEMA, bucket)
+            kind = "edges"
+        return pa.table(
+            {
+                "kind": pa.array([kind], pa.string()),
+                "bucket": pa.array([bucket], pa.int64()),
+                "rows_in": pa.array([n_in], pa.int64()),
+                "rows_out": pa.array([len(out)], pa.int64()),
+            },
+            schema=_SINK_COUNT_SCHEMA,
+        )
+
+
 # ----------------------------------------------------------------------
 # the crawl
 # ----------------------------------------------------------------------
@@ -518,7 +730,6 @@ class Crawler:
             vert_path = os.path.join(hop_dir, "vertices.parquet")
             os.makedirs(proc_path)
             os.makedirs(vert_path)
-            remainder = None
             cpus = int(ray.cluster_resources().get("CPU", 8))
             # The visited-filter is REDUNDANT for frontiers produced by
             # a completed previous hop of this run: _branch_frontier
@@ -559,6 +770,13 @@ class Crawler:
                     )
                 )
 
+            # sink directories must exist before the fused execution
+            frontier_out = os.path.join(hop_dir, "frontier.parquet")
+            edges_out = os.path.join(hop_dir, "edges.parquet")
+            os.makedirs(frontier_out)
+            os.makedirs(edges_out)
+            carryover = None  # budget-mode remainder, tagged separately
+
             if cfg.frontier_budget is None:
                 if frontier_path is not None:
                     n_frontier_est = _parquet_rows(frontier_path)
@@ -570,7 +788,8 @@ class Crawler:
                 eligible = src.map_batches(stage, batch_format="pyarrow").map_batches(
                     BranchCheckpoint(proc_path, FRONTIER_SCHEMA), batch_format="pyarrow"
                 )
-                records = _fetch_parse_chain(eligible).materialize()
+                records = _fetch_parse_chain(eligible)
+                n_src_est = n_frontier_est
             else:
                 # sharded priority queue: take the best `budget` ids by
                 # (priority, id); carry the rest to the next frontier.
@@ -593,116 +812,60 @@ class Crawler:
                 n_proc = _parquet_rows(proc_path)
                 records = _fetch_parse_chain(
                     _read_sized(proc_path, columns=["id"], rows_per_block=_fetch_rpb(n_proc))
-                ).materialize()
+                )
+                n_src_est = n_proc
+                if remainder.count() > 0:
+                    carryover = remainder.select_columns(["id", "priority"])
+
+            # shuffle width scaled to this hop's data, estimated from the
+            # INPUT frontier size (the record count is not known until the
+            # fused execution runs; records ≈ ~10 rows per fetched id —
+            # vertex + edges + candidate mentions)
+            eff_buckets = int(max(2, min(cfg.num_buckets, (n_src_est * 10) // 5000 + 1)))
+
+            # 3. the combined edges + frontier shuffle, fused into the
+            # SAME streaming execution as filter/fetch/parse: the tagger
+            # pre-combines each kind per batch (hot-key mitigation, same
+            # as the old dedup_keep_first/distinct pre-passes), routes
+            # candidates to range buckets [0, eff) — so the next
+            # frontier lands range-clustered, which IS the next hop's
+            # fetch routing — and edges to hash buckets [eff, 2·eff);
+            # the per-group _HopSink dedups, membership-filters
+            # (visited ∪ processing for candidates — the add_to_frontier
+            # guard, graph_memory_impl.py:60-63 — and the deferred
+            # cross-hop edge-seen check for edges) and side-writes each
+            # group's output parquet part. One execution per hop where
+            # round 2 paid three: the groupby barrier provides the same
+            # ordering guarantees the old materialize() did.
+            tagger = _make_record_tagger(hop, eff_buckets, eff_buckets, self.range_boundaries)
+            tagged = records.map_batches(tagger, batch_format="pyarrow")
+            if carryover is not None:
+                # unprocessed budget remainder carries over with its
+                # ORIGINAL priority; the sink's keep-first by
+                # (cand_id, priority) keeps the smallest priority per id
+                tagged = tagged.union(
+                    carryover.map_batches(
+                        _make_carryover_tagger(eff_buckets, self.range_boundaries),
+                        batch_format="pyarrow",
+                    )
+                )
+            sink = _HopSink(self.sm, eff_buckets, frontier_out, edges_out)
+
+            def hop_sink(t: pa.Table) -> pa.Table:  # map_groups wants a function
+                return sink(t)
+
+            sink_counts = (
+                tagged.groupby("__bucket", num_partitions=2 * eff_buckets)
+                .map_groups(hop_sink, batch_format="pyarrow")
+                .take_all()
+            )
             _ensure_nonempty(proc_path, FRONTIER_SCHEMA)
             _ensure_nonempty(vert_path, VERTEX_SCHEMA)
-            _mark("fetch_parse", tick)
-            # shuffle width scaled to this hop's data: a few-hundred-row
-            # hop must not pay a 64-partition shuffle's fixed cost
-            n_records = records.count()
-            eff_buckets = int(max(2, min(cfg.num_buckets, n_records // 5000 + 1)))
-
-            # 3. the two shuffle consumers of the materialized records
-            # run SEQUENTIALLY — each is a short, wide Dataset
-            # execution. (Running branches on driver threads was
-            # measured 2-4× SLOWER at 32 CPUs: concurrent streaming
-            # executions contend for the same task slots and object
-            # store, and the per-execution fixed costs multiply.
-            # Sequential keeps each execution wide enough to saturate
-            # the cluster on large hops and pays the floor once per
-            # branch on small ones.) Ordering analysis: vertex
-            # visited-adds (fused into the fetch execution above) are
-            # timing-free (vertices ⊆ processing, which the candidate
-            # filter also checks) and the edge-seen adds are deferred to
-            # the commit below — so branch order is irrelevant for
-            # correctness.
-            def _finish_edge(batch: pa.Table) -> pa.Table:
-                n = len(batch)
-                return pa.table(
-                    {
-                        "source": batch["source"],
-                        "destination": batch["destination"],
-                        "type": pa.array([RelationshipType.UNTYPED_PARENT.value] * n, pa.string()),
-                        "id": batch["rel_id"],
-                        "hop": batch["hop"],
-                    }
-                )
-
-            def _branch_edges() -> None:
-                t0b = time.time()
-                edges = records.map_batches(_rec_filter("edge"), batch_format="pyarrow").select_columns(
-                    ["source", "destination", "rel_id", "src_doc", "offset", "hop"]
-                )
-                edges = dedup_keep_first(
-                    edges, ["source", "destination"], ["hop", "src_doc", "offset"], eff_buckets
-                )
-                edges = edges.map_batches(_edge_key, batch_format="pyarrow").map_batches(
-                    EdgeSeenFilter(self.sm), batch_format="pyarrow"
-                )
-                final_edges = edges.map_batches(_finish_edge, batch_format="pyarrow")
-                _safe_write(
-                    final_edges,
-                    os.path.join(hop_dir, "edges.parquet"),
-                    EDGE_SCHEMA,
-                )
-                stage_t["edges"] = round(time.time() - t0b, 3)
-
-            def _cand_priority(batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "cand_id": batch["cand_id"],
-                        "priority": pa.array(np.full(len(batch), hop + 1, dtype=np.int64)),
-                    }
-                )
-
-            def _finish_frontier(batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "id": batch["cand_id"],
-                        "priority": batch["priority"],
-                        "hop": pc.cast(batch["priority"], pa.int32()),
-                    },
-                    schema=FRONTIER_SCHEMA,
-                )
-
-            def _branch_frontier() -> None:
-                # DISTINCT BEFORE the membership filter: candidate
-                # mentions are massively duplicated (hot lineages are
-                # cited by thousands of docs), and distinct's per-batch
-                # pre-combine collapses them before the shuffle — so the
-                # membership shard actors (the crawl's serialization
-                # point) see each unique id ONCE instead of once per
-                # mention. Pure contains-filter and dedup commute.
-                t0b = time.time()
-                cands = records.map_batches(_rec_filter("cand"), batch_format="pyarrow").select_columns(
-                    ["cand_id", "hop"]
-                )
-                cands2 = cands.map_batches(_cand_priority, batch_format="pyarrow")
-                if remainder is not None and remainder.count() > 0:
-                    # unprocessed frontier carries over with its ORIGINAL
-                    # priority; distinct-by-id keeps the smallest (id
-                    # sorts first, then priority) representative per id
-                    rem = remainder.select_columns(["id", "priority"]).rename_columns({"id": "cand_id"})
-                    cands2 = cands2.union(rem)
-                # range_bucket: the next frontier lands range-clustered
-                # (contiguous id ranges per block), which IS the fetch
-                # routing for the next hop — no separate sort anywhere
-                cands2 = distinct(cands2, ["cand_id"], eff_buckets, range_bucket=True,
-                                  range_boundaries=self.range_boundaries)
-                cands2 = cands2.map_batches(
-                    MembershipFilter(self.sm, [VISITED, PROCESSING], "cand_id"), batch_format="pyarrow"
-                )
-                _safe_write(
-                    cands2.map_batches(_finish_frontier, batch_format="pyarrow"),
-                    os.path.join(hop_dir, "frontier.parquet"),
-                    FRONTIER_SCHEMA,
-                )
-                stage_t["frontier_out"] = round(time.time() - t0b, 3)
-
-            for f in (_branch_edges, _branch_frontier):
-                f()
+            _ensure_nonempty(frontier_out, FRONTIER_SCHEMA)
+            _ensure_nonempty(edges_out, EDGE_SCHEMA)
             self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
-            _mark("branches_wall", tick)
+            n_records = sum(r["rows_in"] for r in sink_counts)  # post-pre-combine shuffle rows
+            _mark("hop_exec", tick)
 
             # 4. metrics + LOG (membership already mutated in-pass above)
             if cfg.log_edge_classification == "full" or (

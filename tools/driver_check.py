@@ -1,0 +1,143 @@
+"""Local replica of the driver's correctness gate at sf0.01.
+
+Runs each ``queries()`` entry against its ``oracle_sql()`` on the sf0.01
+testdata exactly the way the driver does: sort columns by name, compare
+row count, schema (column names), and a canonical value hash computed
+over the sorted rows.  Usage::
+
+    python tools/driver_check.py [query ...]      # default: all
+    python tools/driver_check.py --late           # only the 11 r02-missing
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+LATE = [
+    "docs_bigram_freq", "docs_dup_passages", "docs_tfidf_top",
+    "docs_stopword_filtered", "docs_stratified_sample", "q_events_lag",
+    "ann_topk", "ann_knn_join", "embedding_near_dups", "media_features",
+    "media_frame_sample",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_df(x) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(x, pd.DataFrame):
+        return x
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    if isinstance(x, ray.data.Dataset):
+        return x.to_pandas()
+    raise TypeError(type(x))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.6g").encode()
+    ).hexdigest()
+
+
+def main() -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True)
+
+    import __ray_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--late" in sys.argv:
+        names = LATE
+    if not names:
+        names = [n for n in queries if n in sqls]
+
+    con = _duck()
+    results = {}
+    for name in names:
+        try:
+            got = _normalize(_to_df(queries[name](SF)))
+            exp = _normalize(con.execute(sqls[name]).df())
+            res = {
+                "rows_match": len(got) == len(exp),
+                "schema_match": list(got.columns) == list(exp.columns),
+                "hash_match": False,
+                "rows": len(got),
+                "oracle_rows": len(exp),
+                "err": None,
+            }
+            if res["rows_match"] and res["schema_match"]:
+                res["hash_match"] = _value_hash(got) == _value_hash(exp)
+                if not res["hash_match"]:
+                    # locate the first differing cell for debugging
+                    try:
+                        pd.testing.assert_frame_equal(
+                            got, exp, check_dtype=False, atol=1e-9
+                        )
+                        res["hash_match"] = True  # equal within fp noise
+                        res["note"] = "equal_at_1e-9_but_hash_differs"
+                    except AssertionError as e:
+                        res["diff"] = str(e).splitlines()[-3:]
+            else:
+                res["got_cols"] = list(got.columns)
+                res["exp_cols"] = list(exp.columns)
+        except Exception as e:  # noqa: BLE001
+            res = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "err": f"{type(e).__name__}: {e}"}
+        results[name] = res
+        ok = res["rows_match"] and res["schema_match"] and res["hash_match"]
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {json.dumps(res, default=str)[:400]}")
+
+    bad = [n for n, r in results.items()
+           if not (r["rows_match"] and r["schema_match"] and r["hash_match"])]
+    print(f"\n{len(results) - len(bad)}/{len(results)} green; failing: {bad}")
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
