@@ -21,8 +21,9 @@ Faithful re-derivation of ``fscrawler/controller/graph_validator.py``:
   invalid-relationships table.
 
 Ray mapping: one shuffle join (edge destination → parent gender), one
-hash-bucketed grouped aggregation (vectorized pandas per bucket), and
-driver-side reduction of the (small) per-bucket stats.
+hash-bucketed grouped aggregation (Arrow hash aggregation per bucket),
+and a distributed stats reduction (one 1-row partial per block; the
+driver folds O(blocks) rows, never the per-child table).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, broadcast_semi_join
+from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
 from fs_crawler_ray.stages.export import zip_with_index
 
 VALIDATION_TYPES = ["BiologicalParent", "UnspecifiedParentType"]
@@ -109,14 +110,19 @@ def _per_child_table(
 
     counted = j.map_batches(partial, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.drop(columns=[_BUCKET_COL]).groupby("source", as_index=False).sum()
-        return agg
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native grouped sum (C++ hash aggregation) — no pandas
+        # object round-trip on the per-child hot path
+        cols = [c for c in g.column_names if c not in ("source", _BUCKET_COL)]
+        agg = g.drop_columns([_BUCKET_COL]).group_by("source").aggregate(
+            [(c, "sum") for c in cols]
+        )
+        return agg.rename_columns(["source"] + cols)
 
     return _add_bucket(counted, ["source"], 64).groupby(
         _BUCKET_COL, num_partitions=64
     ).map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
 
 
@@ -162,21 +168,48 @@ def validate(
         lambda df: classify_children(df), batch_format="pandas"
     ).materialize()
 
-    # small driver-side reductions over per-child rows (one row per child)
-    cls = classified_ds.to_pandas()
-    stats.child_count = int((cls["v_any"] > 0).sum() + (cls["r_any"] > 0).sum())
-    stats.invalid_src_count = int(cls["invalid"].sum())
-    stats.no_rel_count = int(cls["no_rel"].sum())
-    stats.resolution_src_count = int(cls["resolution"].sum())
-    stats.invalid_counts = {
-        c: int((cls.loc[cls["invalid"], "category"] == c).sum()) for c in INVALID_CATEGORIES
-    }
-    over = cls["invalid"] & (cls["vm"] + cls["vf"] + cls["vu"] > 2)
-    stats.max_father = int(cls.loc[over & (cls["vm"] > 1), "vm"].max()) if (over & (cls["vm"] > 1)).any() else 0
-    stats.max_mother = int(cls.loc[over & (cls["vf"] > 1), "vf"].max()) if (over & (cls["vf"] > 1)).any() else 0
+    # distributed stats reduction: ONE map_batches pass emits a 1-row
+    # partial per block (sums, masked maxes, per-category counts); the
+    # driver folds O(blocks) tiny rows — never the per-child table
+    # (round-2 shape pulled one row per child through the driver,
+    # O(vertices) memory at scale).
+    def stats_partial(t: pa.Table) -> pa.Table:
+        v_any = t["v_any"].to_numpy(zero_copy_only=False)
+        r_any = t["r_any"].to_numpy(zero_copy_only=False)
+        vm = t["vm"].to_numpy(zero_copy_only=False)
+        vf = t["vf"].to_numpy(zero_copy_only=False)
+        vu = t["vu"].to_numpy(zero_copy_only=False)
+        inv = t["invalid"].to_numpy(zero_copy_only=False).astype(bool)
+        cat = np.asarray(t["category"].to_pylist(), dtype=object)
+        over = inv & (vm + vf + vu > 2)
+        mf = over & (vm > 1)
+        mm = over & (vf > 1)
+        row = {
+            "child_count": [int((v_any > 0).sum() + (r_any > 0).sum())],
+            "invalid": [int(inv.sum())],
+            "no_rel": [int(t["no_rel"].to_numpy(zero_copy_only=False).astype(bool).sum())],
+            "resolution": [int(t["resolution"].to_numpy(zero_copy_only=False).astype(bool).sum())],
+            "max_father": [int(vm[mf].max()) if mf.any() else 0],
+            "max_mother": [int(vf[mm].max()) if mm.any() else 0],
+        }
+        for c in INVALID_CATEGORIES:
+            row[f"cat_{c}"] = [int((inv & (cat == c)).sum())]
+        return pa.table(row)
 
-    # unknown vertices: edge destinations outside vertices ∪ frontier
-    from fs_crawler_ray.relops import semi_anti_join
+    partials = classified_ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    stats.child_count = sum(p["child_count"] for p in partials)
+    stats.invalid_src_count = sum(p["invalid"] for p in partials)
+    stats.no_rel_count = sum(p["no_rel"] for p in partials)
+    stats.resolution_src_count = sum(p["resolution"] for p in partials)
+    stats.max_father = max((p["max_father"] for p in partials), default=0)
+    stats.max_mother = max((p["max_mother"] for p in partials), default=0)
+    stats.invalid_counts = {
+        c: sum(p[f"cat_{c}"] for p in partials) for c in INVALID_CATEGORIES
+    }
+
+    # unknown vertices: edge destinations outside vertices ∪ frontier —
+    # distinct-then-count stays distributed (no driver key list)
+    from fs_crawler_ray.relops import distinct, semi_anti_join
 
     unknown = semi_anti_join(
         edges.select_columns(["destination"]), vertices, "destination", "id",
@@ -184,20 +217,36 @@ def validate(
     )
     unknown = semi_anti_join(unknown, frontier, "destination", "id",
                              anti=True, num_partitions=num_partitions)
-    uniq = unknown.unique("destination")  # None when the dataset is empty
-    stats.unknown_vertex_count = len(uniq) if uniq else 0
+    stats.unknown_vertex_count = distinct(
+        unknown.select_columns(["destination"]), ["destination"], num_partitions
+    ).count()
 
-    # histograms over invalid children (A7/A8)
-    inv_ids = cls.loc[cls["invalid"], "source"]
-    if len(inv_ids):
-        vmeta = broadcast_semi_join(
-            vertices.select_columns(["id", "iteration", "lifespan"]), inv_ids.tolist(), "id"
-        ).to_pandas()
-        by = birth_year_from_lifespan(vmeta["lifespan"].to_numpy())
-        dec, cnt = np.unique(by // 10 * 10, return_counts=True)
-        stats.birth_decade_histogram = {int(d): int(c) for d, c in zip(dec, cnt)}
-        it, cnt = np.unique(vmeta["iteration"].to_numpy(), return_counts=True)
-        stats.iteration_histogram = {int(i): int(c) for i, c in zip(it, cnt)}
+    # histograms over invalid children (A7/A8): size-aware semi-join of
+    # vertices against the invalid-child id set, then per-batch partial
+    # histograms — the driver folds (decade|iteration, n) rows only
+    if stats.invalid_src_count:
+        inv_ds = classified_ds.map_batches(
+            lambda t: t.filter(pc.cast(t["invalid"], pa.bool_())), batch_format="pyarrow"
+        ).select_columns(["source"])
+        vmeta = semi_anti_join(
+            vertices.select_columns(["id", "iteration", "lifespan"]),
+            inv_ds, "id", "source", num_partitions=num_partitions,
+        )
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            by = birth_year_from_lifespan(t["lifespan"].to_numpy(zero_copy_only=False))
+            dec, dcnt = np.unique(by // 10 * 10, return_counts=True)
+            it, icnt = np.unique(t["iteration"].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({
+                "kind": ["decade"] * len(dec) + ["iteration"] * len(it),
+                "key": np.concatenate([dec, it]).astype(np.int64),
+                "n": np.concatenate([dcnt, icnt]).astype(np.int64),
+            })
+
+        for r in vmeta.map_batches(hist_partial, batch_format="pyarrow").take_all():
+            h = (stats.birth_decade_histogram if r["kind"] == "decade"
+                 else stats.iteration_histogram)
+            h[int(r["key"])] = h.get(int(r["key"]), 0) + int(r["n"])
 
     return stats, classified_ds
 

@@ -13,10 +13,17 @@ worker's heap — tune ``num_buckets`` to the data; a pathologically hot
 key gets the same remedy (salt + re-merge) as the crawl's salted
 repartition of hot lineages.
 
+Every per-bucket body is Arrow-native (``batch_format="pyarrow"``):
+string keys become dictionary codes (one C++ hash pass, no Python
+object materialization), sorts are ``pc.sort_indices``, and the
+numeric work is numpy over zero-copy views — round 2 ran these through
+pandas, which round-tripped every string column through Python objects
+(``temporal_windows`` was the slowest bench row).
+
 The timeline kernels (rolling window, as-of) linearize (key, ts) into
 one sortable int64 axis via per-key offsets; when ``n_keys × span``
 would overflow int64 they fall back to a per-key-segment numpy loop
-(same results, still no pandas-groupby overhead).
+(same results, still no per-key Python dispatch overhead).
 
 These have no reference analog (SURVEY.md §2.5: "no windows, no
 as-of/range joins"); they are part of the beyond-reference
@@ -29,6 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
@@ -38,8 +46,31 @@ def _bucketed(ds: ray.data.Dataset, key: str, num_buckets: int, fn) -> ray.data.
     return _add_bucket(ds, [key], num_buckets).groupby(
         _BUCKET_COL, num_partitions=num_buckets
     ).map_groups(
-        lambda g: fn(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+        lambda g: fn(g.drop_columns([_BUCKET_COL])), batch_format="pyarrow"
     )
+
+
+def _sorted_table(t: pa.Table, sort_keys: list[tuple[str, str]]) -> pa.Table:
+    if len(t) == 0:
+        return t
+    return t.take(pc.sort_indices(t, sort_keys=sort_keys))
+
+
+def _key_codes(col) -> np.ndarray:
+    """Key column → dense int codes (equal values ⇔ equal codes). One
+    Arrow dictionary-encode pass; no Python string materialization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.dictionary_encode(col).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _ts_i64(col) -> np.ndarray:
+    """Timestamp/integer column → int64 epoch microseconds."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def sessionize(
@@ -58,40 +89,76 @@ def sessionize(
     with ``session_id`` numbered 1.. in time order per key.
     """
     order_cols = order_cols or [ts_col]
-    gap64 = gap.to_timedelta64()
+    gap_us = int(gap.to_timedelta64().astype("timedelta64[us]").astype(np.int64))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, *order_cols], kind="stable")
-        k = df[key].to_numpy()
-        ts = df[ts_col].to_numpy()
-        n = len(df)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(t, [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        n = len(t)
+        k = _key_codes(t[key])
+        ts = _ts_i64(t[ts_col])
         key_change = np.ones(n, dtype=bool)
         key_change[1:] = k[1:] != k[:-1]
         new_sess = key_change.copy()
         if n > 1:
-            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap64
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
         gsid = np.cumsum(new_sess)  # global segment id, 1-based
         # per-key session id = gsid − gsid at the key's first session + 1
         key_base = np.maximum.accumulate(np.where(key_change, gsid, 0))
         starts = np.flatnonzero(new_sess)
-        ends = np.r_[starts[1:], n]
-        out = {
-            key: k[starts],
-            "session_id": (gsid - key_base + 1)[starts],
-            "n_events": ends - starts,
-            "start_ts": ts[starts],
-            "end_ts": ts[ends - 1],
+        ends = np.r_[starts[1:], n] if n else np.zeros(0, dtype=np.int64)
+        take_starts = pa.array(starts)
+        cols = {
+            key: t[key].take(take_starts),
+            "session_id": pa.array((gsid - key_base + 1)[starts] if n else np.zeros(0, np.int64)),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "start_ts": t[ts_col].take(take_starts),
+            "end_ts": t[ts_col].take(pa.array(ends - 1 if n else ends)),
         }
         if value_col is not None:
-            csum = np.r_[0.0, np.cumsum(df[value_col].to_numpy(dtype=np.float64))]
-            out["sum_value"] = csum[ends] - csum[starts]
-        return pd.DataFrame(out)
+            csum = np.r_[0.0, np.cumsum(_as_f64(t[value_col]))]
+            cols["sum_value"] = pa.array(csum[ends] - csum[starts])
+        return pa.table(cols)
 
     return _bucketed(ds, key, num_buckets, per_bucket)
 
 
-def _ts_us(values: np.ndarray) -> np.ndarray:
-    return values.astype("datetime64[us]").astype(np.int64)
+def _as_f64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _union_schema(l_sel: ray.data.Dataset, r_sel: ray.data.Dataset) -> dict[str, pa.DataType]:
+    fields: dict[str, pa.DataType] = {}
+    for ds_ in (l_sel, r_sel):
+        sch = ds_.schema()
+        for n, typ in zip(sch.names, sch.types):
+            if n in fields and fields[n] != typ:
+                raise TypeError(f"column {n!r} has conflicting types {fields[n]} / {typ}")
+            fields.setdefault(n, typ)
+    return fields
+
+
+def _make_tag(fields: dict[str, pa.DataType], side: int):
+    """Align a side's batch to the union schema (typed nulls for the
+    other side's columns) + a __side tag. Arrow nulls — not NaN-fill —
+    so integer columns keep their exact types through the shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        arrays = []
+        for name, typ in fields.items():
+            if name in t.column_names:
+                col = t[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                arrays.append(col if col.type == typ else col.cast(typ))
+            else:
+                arrays.append(pa.nulls(n, typ))
+        arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+        return pa.Table.from_arrays(arrays, names=list(fields) + ["__side"])
+
+    return fn
 
 
 def asof_join(
@@ -116,93 +183,68 @@ def asof_join(
     """
     l_sel = left.select_columns(list(dict.fromkeys([key, ts_col, *left_cols])))
     r_sel = right.select_columns(list(dict.fromkeys([key, ts_col, *right_cols])))
-    # the union below NaN-fills each side's missing columns, upcasting
-    # ints to float64 — record which columns are integral so the kernel
-    # can restore exact dtypes (inner semantics: outputs are never null)
-    import pyarrow.types as pat
+    fields = _union_schema(l_sel, r_sel)
 
-    def _is_int(t) -> bool:
-        if isinstance(t, pa.DataType):
-            return pat.is_integer(t)
-        return getattr(np.dtype(t), "kind", "") in ("i", "u")
-
-    int_cols = {
-        n
-        for ds_ in (l_sel, r_sel)
-        for n, t in zip(ds_.schema().names, ds_.schema().types)
-        if _is_int(t)
-    }
-
-    def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__side"] = np.int8(side)
-            return df
-
-        return fn
-
-    both = l_sel.map_batches(tag(0), batch_format="pandas").union(
-        r_sel.map_batches(tag(1), batch_format="pandas")
+    both = l_sel.map_batches(_make_tag(fields, 0), batch_format="pyarrow").union(
+        r_sel.map_batches(_make_tag(fields, 1), batch_format="pyarrow")
     )
     out_right = [f"{c}{right_suffix}" if c in set(left_cols) | {ts_col} else c for c in right_cols]
     out_right_ts = f"{ts_col}{right_suffix}"
-    empty_cols = list(dict.fromkeys([key, ts_col, *left_cols, out_right_ts, *out_right]))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # split BEFORE sorting: a bucket fed by only one side lacks the
-        # other side's columns entirely (Ray doesn't NaN-fill a group
-        # whose blocks all came from one union branch)
-        l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1]
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({c: [] for c in empty_cols})
-        r = r.sort_values([key, ts_col], kind="stable")
-        l_keys, r_keys = l[key].to_numpy(), r[key].to_numpy()
-        l_ts, r_ts = _ts_us(l[ts_col].to_numpy()), _ts_us(r[ts_col].to_numpy())
-        uk = np.unique(np.concatenate([l_keys, r_keys]))
-        t0 = min(l_ts.min(), r_ts.min())
-        span = int(max(l_ts.max(), r_ts.max())) - int(t0) + 1
-        if len(uk) * span < 2**62:
-            # linearized axis: rank(key) · span + (ts − t0)
-            l_adj = np.searchsorted(uk, l_keys) * span + (l_ts - t0)
-            r_adj = np.searchsorted(uk, r_keys) * span + (r_ts - t0)
-            idx = np.searchsorted(r_adj, l_adj, side="right") - 1
-            hit = idx >= 0
-            hit[hit] &= r_keys[idx[hit]] == l_keys[hit]
-        else:  # per-key-segment fallback (numpy slices, no pandas groupby)
-            idx = np.full(len(l), -1, dtype=np.int64)
-            order = np.argsort(l_keys, kind="stable")
-            seg_l = np.searchsorted(l_keys[order], uk)
-            seg_r0 = np.searchsorted(r_keys, uk, side="left")
-            seg_r1 = np.searchsorted(r_keys, uk, side="right")
-            bounds_l = np.r_[seg_l, len(l)]
-            for s in range(len(uk)):
-                li = order[bounds_l[s]:bounds_l[s + 1]]
-                r0, r1 = seg_r0[s], seg_r1[s]
-                if len(li) == 0 or r0 == r1:
-                    continue
-                idx[li] = r0 + np.searchsorted(r_ts[r0:r1], l_ts[li], side="right") - 1
-                idx[li[idx[li] < r0]] = -1
-            hit = idx >= 0
-        l = l[hit]
-        matched = r.iloc[idx[hit]]
-
-        def col(series, name):
-            v = series.to_numpy()
-            return v.astype(np.int64) if name in int_cols and v.dtype.kind == "f" else v
-
-        out = {key: col(l[key], key), ts_col: l[ts_col].to_numpy()}
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        r_rows = np.flatnonzero(side == 1)
+        codes = _key_codes(t[key]) if len(t) else np.zeros(0, np.int64)
+        ts_all = _ts_i64(t[ts_col]) if len(t) else np.zeros(0, np.int64)
+        if len(l_rows) == 0 or len(r_rows) == 0:
+            l_take, r_take = np.zeros(0, np.int64), np.zeros(0, np.int64)
+        else:
+            l_codes, r_codes = codes[l_rows], codes[r_rows]
+            l_ts, r_ts = ts_all[l_rows], ts_all[r_rows]
+            r_order = np.lexsort((r_ts, r_codes))
+            r_codes, r_ts = r_codes[r_order], r_ts[r_order]
+            n_keys = int(codes.max()) + 1
+            t0 = int(min(l_ts.min(), r_ts.min()))
+            span = int(max(l_ts.max(), r_ts.max())) - t0 + 1
+            if n_keys * span < 2**62:
+                # linearized axis: code · span + (ts − t0)
+                l_adj = l_codes * span + (l_ts - t0)
+                r_adj = r_codes * span + (r_ts - t0)
+                idx = np.searchsorted(r_adj, l_adj, side="right") - 1
+                hit = idx >= 0
+                hit[hit] &= r_codes[idx[hit]] == l_codes[hit]
+            else:  # per-key-segment fallback (numpy slices, no per-key pandas)
+                idx = np.full(len(l_rows), -1, dtype=np.int64)
+                order = np.argsort(l_codes, kind="stable")
+                uk = np.unique(np.concatenate([l_codes, r_codes]))
+                bounds_l = np.r_[np.searchsorted(l_codes[order], uk), len(l_rows)]
+                seg_r0 = np.searchsorted(r_codes, uk, side="left")
+                seg_r1 = np.searchsorted(r_codes, uk, side="right")
+                for s in range(len(uk)):
+                    li = order[bounds_l[s]:bounds_l[s + 1]]
+                    r0, r1 = seg_r0[s], seg_r1[s]
+                    if len(li) == 0 or r0 == r1:
+                        continue
+                    idx[li] = r0 + np.searchsorted(r_ts[r0:r1], l_ts[li], side="right") - 1
+                    idx[li[idx[li] < r0]] = -1
+                hit = idx >= 0
+            l_take = l_rows[hit]
+            r_take = r_rows[r_order[idx[hit]]]
+        lt, rt = pa.array(l_take), pa.array(r_take)
+        cols = {key: t[key].take(lt), ts_col: t[ts_col].take(lt)}
         for c in left_cols:
-            out[c] = col(l[c], c)
-        out[out_right_ts] = matched[ts_col].to_numpy()
+            cols[c] = t[c].take(lt)
+        cols[out_right_ts] = t[ts_col].take(rt)
         for c, oc in zip(right_cols, out_right):
-            out[oc] = col(matched[c], c)
-        return pd.DataFrame(out)
+            cols[oc] = t[c].take(rt)
+        return pa.table(cols)
 
     return _add_bucket(both, [key], num_buckets).groupby(
         _BUCKET_COL, num_partitions=num_buckets
     ).map_groups(
-        lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+        lambda g: per_bucket(g.drop_columns([_BUCKET_COL])), batch_format="pyarrow"
     )
 
 
@@ -226,17 +268,20 @@ def rolling_time_window(
     """
     win_us = int(window.to_timedelta64().astype("timedelta64[us]").astype(np.int64))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, ts_col], kind="stable")
-        n = len(df)
-        k = df[key].to_numpy()
-        t_us = _ts_us(df[ts_col].to_numpy())
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(t, [(key, "ascending"), (ts_col, "ascending")]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t.append_column(count_name, pa.array([], pa.int64())).append_column(
+                sum_name, pa.array([], pa.float64()))
+        k = _key_codes(t[key])
+        t_us = _ts_i64(t[ts_col])
         key_change = np.ones(n, dtype=bool)
         key_change[1:] = k[1:] != k[:-1]
         rank = np.cumsum(key_change) - 1
         t0 = int(t_us.min())
         span = int(t_us.max()) - t0 + win_us + 1
-        csum = np.r_[0.0, np.cumsum(df[value_col].to_numpy(dtype=np.float64))]
+        csum = np.r_[0.0, np.cumsum(_as_f64(t[value_col]))]
         if int(rank[-1] + 1) * span < 2**62:
             adj = rank * span + (t_us - t0)
             lo = np.searchsorted(adj, adj - win_us, side="left")
@@ -249,10 +294,8 @@ def rolling_time_window(
                 a, b = seg[s], seg[s + 1]
                 lo[a:b] = a + np.searchsorted(t_us[a:b], t_us[a:b] - win_us, side="left")
                 hi[a:b] = a + np.searchsorted(t_us[a:b], t_us[a:b], side="right")
-        df = df.copy()
-        df[count_name] = (hi - lo).astype(np.int64)
-        df[sum_name] = csum[hi] - csum[lo]
-        return df
+        return t.append_column(count_name, pa.array((hi - lo).astype(np.int64))).append_column(
+            sum_name, pa.array(csum[hi] - csum[lo]))
 
     return _bucketed(ds, key, num_buckets, per_bucket)
 
@@ -282,89 +325,69 @@ def range_join(
     r_sel = intervals.select_columns(
         list(dict.fromkeys([key, start_col, end_col, *interval_cols]))
     )
-    import pyarrow.types as pat
+    fields = _union_schema(l_sel, r_sel)
 
-    def _is_int(t) -> bool:
-        if isinstance(t, pa.DataType):
-            return pat.is_integer(t)
-        return getattr(np.dtype(t), "kind", "") in ("i", "u")
-
-    int_cols = {
-        n
-        for ds_ in (l_sel, r_sel)
-        for n, t in zip(ds_.schema().names, ds_.schema().types)
-        if _is_int(t)
-    }
-
-    def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__side"] = np.int8(side)
-            return df
-
-        return fn
-
-    both = l_sel.map_batches(tag(0), batch_format="pandas").union(
-        r_sel.map_batches(tag(1), batch_format="pandas")
+    both = l_sel.map_batches(_make_tag(fields, 0), batch_format="pyarrow").union(
+        r_sel.map_batches(_make_tag(fields, 1), batch_format="pyarrow")
     )
     out_cols = list(dict.fromkeys([key, ts_col, *left_cols, start_col, end_col, *interval_cols]))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # split BEFORE sorting (one-sided buckets lack the other side's
-        # columns — see asof_join.per_bucket)
-        l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1]
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({c: [] for c in out_cols})
-        r = r.sort_values([key, start_col], kind="stable")
-        l_keys, r_keys = l[key].to_numpy(), r[key].to_numpy()
-        l_ts = _ts_us(l[ts_col].to_numpy())
-        r_start = _ts_us(r[start_col].to_numpy())
-        r_end = _ts_us(r[end_col].to_numpy())
-        uk = np.unique(np.concatenate([l_keys, r_keys]))
-        t0 = min(int(l_ts.min()), int(r_start.min()))
-        span = max(int(l_ts.max()), int(r_start.max())) - t0 + 1
-        if len(uk) * span < 2**62:
-            l_adj = np.searchsorted(uk, l_keys) * span + (l_ts - t0)
-            r_adj = np.searchsorted(uk, r_keys) * span + (r_start - t0)
-            idx = np.searchsorted(r_adj, l_adj, side="right") - 1
-            hit = idx >= 0
-            hit[hit] &= (r_keys[idx[hit]] == l_keys[hit]) & (r_end[idx[hit]] >= l_ts[hit])
-        else:  # per-key-segment fallback
-            idx = np.full(len(l), -1, dtype=np.int64)
-            order = np.argsort(l_keys, kind="stable")
-            bounds_l = np.r_[np.searchsorted(l_keys[order], uk), len(l)]
-            seg_r0 = np.searchsorted(r_keys, uk, side="left")
-            seg_r1 = np.searchsorted(r_keys, uk, side="right")
-            for s in range(len(uk)):
-                li = order[bounds_l[s]:bounds_l[s + 1]]
-                r0, r1 = seg_r0[s], seg_r1[s]
-                if len(li) == 0 or r0 == r1:
-                    continue
-                cand = r0 + np.searchsorted(r_start[r0:r1], l_ts[li], side="right") - 1
-                ok = (cand >= r0) & (r_end[np.clip(cand, r0, r1 - 1)] >= l_ts[li])
-                idx[li[ok]] = cand[ok]
-            hit = idx >= 0
-        l = l[hit]
-        matched = r.iloc[idx[hit]]
-
-        def col(series, name):
-            v = series.to_numpy()
-            return v.astype(np.int64) if name in int_cols and v.dtype.kind == "f" else v
-
-        out = {key: col(l[key], key), ts_col: l[ts_col].to_numpy()}
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        r_rows = np.flatnonzero(side == 1)
+        codes = _key_codes(t[key]) if len(t) else np.zeros(0, np.int64)
+        if len(l_rows) == 0 or len(r_rows) == 0:
+            l_take, r_take = np.zeros(0, np.int64), np.zeros(0, np.int64)
+        else:
+            l_codes, r_codes = codes[l_rows], codes[r_rows]
+            l_ts = _ts_i64(t[ts_col])[l_rows]
+            r_start = _ts_i64(t[start_col])[r_rows]
+            r_end = _ts_i64(t[end_col])[r_rows]
+            r_order = np.lexsort((r_start, r_codes))
+            r_codes, r_start, r_end = r_codes[r_order], r_start[r_order], r_end[r_order]
+            n_keys = int(codes.max()) + 1
+            t0 = int(min(l_ts.min(), r_start.min()))
+            span = int(max(l_ts.max(), r_start.max())) - t0 + 1
+            if n_keys * span < 2**62:
+                l_adj = l_codes * span + (l_ts - t0)
+                r_adj = r_codes * span + (r_start - t0)
+                idx = np.searchsorted(r_adj, l_adj, side="right") - 1
+                hit = idx >= 0
+                hit[hit] &= (r_codes[idx[hit]] == l_codes[hit]) & (r_end[idx[hit]] >= l_ts[hit])
+            else:  # per-key-segment fallback
+                idx = np.full(len(l_rows), -1, dtype=np.int64)
+                order = np.argsort(l_codes, kind="stable")
+                uk = np.unique(np.concatenate([l_codes, r_codes]))
+                bounds_l = np.r_[np.searchsorted(l_codes[order], uk), len(l_rows)]
+                seg_r0 = np.searchsorted(r_codes, uk, side="left")
+                seg_r1 = np.searchsorted(r_codes, uk, side="right")
+                for s in range(len(uk)):
+                    li = order[bounds_l[s]:bounds_l[s + 1]]
+                    r0, r1 = seg_r0[s], seg_r1[s]
+                    if len(li) == 0 or r0 == r1:
+                        continue
+                    cand = r0 + np.searchsorted(r_start[r0:r1], l_ts[li], side="right") - 1
+                    ok = (cand >= r0) & (r_end[np.clip(cand, r0, r1 - 1)] >= l_ts[li])
+                    idx[li[ok]] = cand[ok]
+                hit = idx >= 0
+            l_take = l_rows[hit]
+            r_take = r_rows[r_order[idx[hit]]]
+        lt, rt = pa.array(l_take), pa.array(r_take)
+        cols = {key: t[key].take(lt), ts_col: t[ts_col].take(lt)}
         for c in left_cols:
-            out[c] = col(l[c], c)
-        out[start_col] = matched[start_col].to_numpy()
-        out[end_col] = matched[end_col].to_numpy()
+            cols[c] = t[c].take(lt)
+        cols[start_col] = t[start_col].take(rt)
+        cols[end_col] = t[end_col].take(rt)
         for c in interval_cols:
-            out[c] = col(matched[c], c)
-        return pd.DataFrame(out)
+            cols[c] = t[c].take(rt)
+        return pa.table({c: cols[c] for c in out_cols})
 
     return _add_bucket(both, [key], num_buckets).groupby(
         _BUCKET_COL, num_partitions=num_buckets
     ).map_groups(
-        lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+        lambda g: per_bucket(g.drop_columns([_BUCKET_COL])), batch_format="pyarrow"
     )
 
 
@@ -384,28 +407,34 @@ def topk_per_group(
     so the exchanged volume is O(groups × k) per block, not the table;
     the final rank pass is one vectorized kernel per bucket of groups.
     """
-    ascending = [not d for d in descending]
+    order_keys = [(c, "descending" if d else "ascending")
+                  for c, d in zip(order_cols, descending)]
 
-    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, ascending=ascending, kind="stable")
-        return df.groupby(group_col, sort=False).head(k)
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([group_col, *order_cols],
-                            ascending=[True, *ascending], kind="stable")
-        g = df[group_col].to_numpy()
-        n = len(df)
+    def _rank_filter(t: pa.Table, rank_out: str | None) -> pa.Table:
+        t = _sorted_table(t, [(group_col, "ascending"), *order_keys]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t.append_column(rank_out, pa.array([], pa.int64())) if rank_out else t
+        g = _key_codes(t[group_col])
         key_change = np.ones(n, dtype=bool)
         key_change[1:] = g[1:] != g[:-1]
         # rank within group = position − position of group's first row
         pos = np.arange(n, dtype=np.int64)
         base = np.maximum.accumulate(np.where(key_change, pos, 0))
         rank = pos - base + 1
-        df = df[rank <= k].copy()
-        df[rank_name] = rank[rank <= k]
-        return df
+        keep = rank <= k
+        out = t.filter(pa.array(keep))
+        if rank_out:
+            out = out.append_column(rank_out, pa.array(rank[keep]))
+        return out
 
-    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    def local_prune(t: pa.Table) -> pa.Table:
+        return _rank_filter(t, None)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return _rank_filter(t, rank_name)
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
     return _bucketed(pruned, group_col, num_buckets, per_bucket)
 
 
@@ -430,22 +459,22 @@ def group_quantiles(
     first; this operator targets the grouped-analytics case.
     """
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([group_col, value_col], kind="stable")
-        g = df[group_col].to_numpy()
-        v = df[value_col].to_numpy()
-        n = len(df)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(t, [(group_col, "ascending"), (value_col, "ascending")]).combine_chunks()
+        n = len(t)
+        g = _key_codes(t[group_col]) if n else np.zeros(0, np.int64)
         change = np.ones(n, dtype=bool)
-        change[1:] = g[1:] != g[:-1]
+        if n:
+            change[1:] = g[1:] != g[:-1]
         starts = np.flatnonzero(change)
         counts = np.diff(np.append(starts, n))
-        out = {group_col: g[starts]}
+        cols = {group_col: t[group_col].take(pa.array(starts))}
         for name, q in qs.items():
             # ceil(q*n) with a tolerance so exact multiples (q*n integral
             # in decimal) are not bumped up by float error
             idx = np.ceil(q * counts - 1e-9).astype(np.int64) - 1
-            out[name] = v[starts + np.clip(idx, 0, counts - 1)]
-        return pd.DataFrame(out)
+            cols[name] = t[value_col].take(pa.array(starts + np.clip(idx, 0, counts - 1)))
+        return pa.table(cols)
 
     return _bucketed(ds, group_col, num_buckets, per_bucket)
 
@@ -474,19 +503,21 @@ def lag_deltas(
     order_cols = order_cols or []
     carry_cols = carry_cols or []
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, ts_col, *order_cols], kind="stable")
-        k = df[key].to_numpy()
-        ts = _ts_us(df[ts_col].to_numpy())
-        n = len(df)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(
+            t, [(key, "ascending"), (ts_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        ).combine_chunks()
+        n = len(t)
+        k = _key_codes(t[key]) if n else np.zeros(0, np.int64)
+        ts = _ts_i64(t[ts_col]) if n else np.zeros(0, np.int64)
         delta = np.full(n, np.int64(first_value), dtype=np.int64)
         if n > 1:
             same = k[1:] == k[:-1]
             delta[1:][same] = (ts[1:] - ts[:-1])[same]
-        out = {key: k}
+        cols = {key: t[key]}
         for c in carry_cols:
-            out[c] = df[c].to_numpy()
-        out["delta_us"] = delta
-        return pd.DataFrame(out)
+            cols[c] = t[c]
+        cols["delta_us"] = pa.array(delta)
+        return pa.table(cols)
 
     return _bucketed(ds, key, num_buckets, per_bucket)

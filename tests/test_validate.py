@@ -152,3 +152,35 @@ def test_validate_crawled_resolved_matches_oracle(small_corpus, tmp_path_factory
     assert stats.resolution_src_count == len(o["resolution_src"])
     assert stats.no_rel_count == o["no_rel_count"]
     assert stats.child_count > 10
+
+
+def test_validate_never_materializes_per_child_driver_side(fixture_graph, monkeypatch):
+    """VERDICT r02 item 3: the stats reduction must stay distributed —
+    no to_pandas()/take_all() on the per-child table (one row per child
+    ⇒ O(vertices) driver memory at scale). Per-child tables are
+    recognizable by their 'v_any' column; small partials/broadcast
+    sides are allowed."""
+    v, e, f = fixture_graph
+
+    real_to_pandas = ray.data.Dataset.to_pandas
+    real_take_all = ray.data.Dataset.take_all
+
+    def _guard(ds):
+        try:
+            names = ds.schema().names
+        except Exception:
+            return
+        assert "v_any" not in names, "per-child table pulled through the driver"
+
+    def guarded_to_pandas(self, *a, **k):
+        _guard(self)
+        return real_to_pandas(self, *a, **k)
+
+    def guarded_take_all(self, *a, **k):
+        _guard(self)
+        return real_take_all(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded_to_pandas)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", guarded_take_all)
+    stats, _ = validate(v, e, f, num_partitions=4)
+    assert stats.invalid_src_count > 0  # reductions still computed
