@@ -310,6 +310,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rels_to_resolve": cq.rels_to_resolve,
         "max_iteration": cq.max_iteration,
         "invalid_birth_decades": cq.invalid_birth_decades,
+        # --- r02's driver snapshot cut off at 50 queries, so the 11
+        # registered-but-unchecked ones run EARLY this round (right
+        # after the crawl block) to guarantee CORRECTNESS rows ---------
+        "docs_bigram_freq": _docs_bigram_freq,
+        "docs_dup_passages": _docs_dup_passages,
+        "docs_tfidf_top": _docs_tfidf_top,
+        "docs_stopword_filtered": _docs_stopword_filtered,
+        "docs_stratified_sample": _docs_stratified_sample,
+        "q_events_lag": rel.q_events_lag,
+        "ann_topk": _ann_topk,
+        "ann_knn_join": _ann_knn_join,
+        "embedding_near_dups": _embedding_near_dups,
+        "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
         # --- generic relational operators over testdata ---------------
         "q_pricing_summary": rel.q_pricing_summary,
         "q_orders_by_segment": rel.q_orders_by_segment,
@@ -340,17 +354,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _docs_simhash,
         "docs_analysis": _docs_analysis,
         "docs_simhash_pairs": _docs_simhash_pairs,
-        "docs_bigram_freq": _docs_bigram_freq,
-        "docs_dup_passages": _docs_dup_passages,
-        "docs_tfidf_top": _docs_tfidf_top,
-        "docs_stopword_filtered": _docs_stopword_filtered,
-        "docs_stratified_sample": _docs_stratified_sample,
-        "q_events_lag": rel.q_events_lag,
-        "ann_topk": _ann_topk,
-        "ann_knn_join": _ann_knn_join,
-        "embedding_near_dups": _embedding_near_dups,
-        "media_features": _media_features,
-        "media_frame_sample": _media_frame_sample,
     }
 
 

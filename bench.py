@@ -139,6 +139,33 @@ def run_bench() -> dict:
     queries["crawl_wave"] = round(t_wave, 3)
     extras["wave_urls_per_sec"] = round(wave_n / t_wave, 2) if t_wave else 0.0
 
+    # -- politeness-ON wave: token buckets binding, throughput ≈ budget.
+    # The host-routed actor pool + overlapped FetchStage RPCs are the
+    # measured path; wall time should be dominated by politeness_wait_s
+    # (the budget IS the bottleneck by design).
+    if not scaling_child and os.environ.get("GRAFT_POLITE_WAVE", "1") == "1":
+        from fs_crawler_ray.stages.fetch import PolitenessBudget
+
+        p_n = min(wave_n, int(os.environ.get("GRAFT_POLITE_SEEDS", "20000")))
+        p_dir = f"/tmp/fsray_bench/polite_{os.path.basename(info.out_dir)}_c{num_cpus}"
+        if os.path.exists(p_dir):
+            shutil.rmtree(p_dir)
+        p_budget = PolitenessBudget(rate_per_host=20.0, burst=4.0, n_hosts=64)
+        p_cfg = CrawlConfig(
+            hops=1, num_shards=num_shards, membership_mode="probabilistic",
+            shard_capacity=1 << 21, fetch_concurrency=8, fetch_batch_size=500,
+            num_buckets=64, log_edge_classification="off", politeness=p_budget,
+        )
+        t0 = time.time()
+        p_res = crawl(info, wave_seeds[:p_n], p_dir, p_cfg)
+        t_polite = time.time() - t0
+        queries["crawl_wave_polite"] = round(t_polite, 3)
+        p_fetch = json.load(open(os.path.join(p_res.hop_dir(0), "lineage.json")))["fetch"]
+        extras["polite_urls_per_sec"] = round(p_n / t_polite, 2)
+        extras["politeness_wait_s"] = round(float(p_fetch.get("politeness_wait_s", 0.0)), 2)
+        extras["politeness_budget"] = {"rate_per_host": p_budget.rate_per_host,
+                                       "burst": p_budget.burst, "n_hosts": p_budget.n_hosts}
+
     if os.environ.get("GRAFT_WAVE_ONLY") == "1":
         # probe mode: just the single-wave metric (scale-holding checks
         # at bigger inputs without paying the full suite)
@@ -281,17 +308,56 @@ def run_bench() -> dict:
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     head = emb.sort("vec_id").limit(16).to_pandas()
     q = np.stack(head["embedding"].to_numpy()).astype(np.float32)
+    qids = head["vec_id"].tolist()
     t0 = time.time()
-    brute_force_topk(emb, q, query_ids=head["vec_id"].tolist(), k=10,
-                     concurrency=max(4, num_cpus // 2))
+    exact_topk = brute_force_topk(emb, q, query_ids=qids, k=10,
+                                  concurrency=max(4, num_cpus // 2))
     queries["ann_topk"] = round(time.time() - t0, 3)
+
+    # IVF approximate top-k: timed row + recall@k against the exact
+    # result just computed (the approximate ANN paths report
+    # (throughput, recall@k) pairs — VERDICT r02 item 8)
+    from fs_crawler_ray.ann import ivf_topk
+
+    t0 = time.time()
+    ivf_res = ivf_topk(emb, q, query_ids=qids, k=10, n_centroids=32, n_probe=8)
+    queries["ann_ivf_topk"] = round(time.time() - t0, 3)
+    exact_sets = {qid: set(g["vec_id"]) for qid, g in exact_topk.groupby("query_id")}
+    ivf_sets = {qid: set(g["vec_id"]) for qid, g in ivf_res.groupby("query_id")}
+    recs = [len(ivf_sets.get(qid, set()) & s) / max(1, len(s))
+            for qid, s in exact_sets.items()]
+    extras["ann_ivf_recall_at_10"] = round(float(np.mean(recs)), 4) if recs else 0.0
 
     # KNN self-join, IVF-bucketed scale path (exact mode is the oracle)
     from fs_crawler_ray.ann import knn_join
 
     t0 = time.time()
-    knn_join(emb, k=10, exact=False, n_centroids=32, n_probe=8).count()
+    ivf_knn = knn_join(emb, k=10, exact=False, n_centroids=32, n_probe=8).materialize()
+    ivf_knn.count()
     queries["knn_join_ivf"] = round(time.time() - t0, 3)
+    # recall@10 vs exact, on a 64-query sample (untimed): filter the IVF
+    # join to the sample ids distributed-side, brute-force only the sample
+    sample = emb.sort("vec_id").limit(64).to_pandas()
+    s_ids = sample["vec_id"].tolist()
+    s_q = np.stack(sample["embedding"].to_numpy()).astype(np.float32)
+    ex = brute_force_topk(emb, s_q, query_ids=s_ids, k=11,
+                          concurrency=max(4, num_cpus // 2))
+    ex_sets = {}
+    for qid, g in ex.groupby("query_id"):
+        ex_sets[qid] = [v for v in g["vec_id"].tolist() if v != qid][:10]
+    import pyarrow as _pa
+    import pyarrow.compute as _pcc
+
+    id_set = ray.put(_pa.array(list(map(int, s_ids))))
+
+    def _keep_sample(t):
+        return t.filter(_pcc.is_in(t["vec_id"], value_set=ray.get(id_set)))
+
+    ivf_sample = ivf_knn.map_batches(_keep_sample, batch_format="pyarrow").to_pandas()
+    got_sets = {qid: set(g["neighbor_id"]) for qid, g in ivf_sample.groupby("vec_id")}
+    recs = [len(got_sets.get(qid, set()) & set(exn)) / max(1, len(exn))
+            for qid, exn in ex_sets.items()]
+    extras["knn_ivf_recall_at_10"] = round(float(np.mean(recs)), 4) if recs else 0.0
 
     # -- temporal/windowed operators over events ------------------------
     import pandas as _pd
@@ -436,10 +502,17 @@ def run_scaling() -> dict:
                 time.sleep(cooldown)
             res[n] = child(n)
         pairs.append(pair_summary(res[lo], res[hi]))
-    best = max(pairs, key=lambda p: p["scaling_efficiency_wave_throughput"])
+    # headline = the MEDIAN pair (ADVICE r02: a max-statistic over noisy
+    # samples biases efficiency upward; >1.0 readings are noise); best
+    # pair stays reported as a secondary number
+    ranked = sorted(pairs, key=lambda p: p["scaling_efficiency_wave_throughput"])
+    median = ranked[(len(ranked) - 1) // 2]
+    best = ranked[-1]
     return {
-        "metric": f"scaling {lo}→{hi} cpus (best of {len(pairs)} interleaved pairs)",
-        **best,
+        "metric": f"scaling {lo}→{hi} cpus (median of {len(pairs)} interleaved pairs)",
+        **median,
+        "best_pair_wave_efficiency": best["scaling_efficiency_wave_throughput"],
+        "best_pair_crawl_efficiency": best["scaling_efficiency_crawl_throughput"],
         "pairs_wave_efficiency": [p["scaling_efficiency_wave_throughput"] for p in pairs],
         "pairs_crawl_efficiency": [p["scaling_efficiency_crawl_throughput"] for p in pairs],
         "pairs_text_efficiency": [p["scaling_efficiency_text_analysis"] for p in pairs],

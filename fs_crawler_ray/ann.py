@@ -32,6 +32,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """Arrow embedding column → (n, dim) float64 matrix. Zero-copy
+    flatten+reshape for list arrays; Ray's ArrowTensorArray extension
+    (what a pandas object column becomes in an Arrow block) already
+    yields the (n, dim) ndarray from to_numpy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), -1)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        arr = np.stack(arr)
+    return np.asarray(arr, dtype=np.float64)
+
+
 def _topk_reduce(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     parts = parts.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True], kind="stable")
     return parts.groupby("query_id", as_index=False).head(k)
@@ -112,28 +128,57 @@ def embedding_near_dups(
         explode_fn, batch_format="pandas"
     )
 
-    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def cell_pairs(t: pa.Table) -> pa.Table:
+        """Arrow-native: one lexsort of the bucket, zero-copy flatten →
+        (n, dim) embedding matrix, per-CELL segment matmuls (vector work
+        inside; no pandas groupby / per-cell object stacking)."""
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        t = t.combine_chunks()
+        tbl_c = t["tbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        m = _normalize(_emb_matrix(t["embedding"]))
+        order = np.lexsort((ids, sig, tbl_c))
+        tbl_c, sig, ids, m = tbl_c[order], sig[order], ids[order], m[order]
+        keep = np.ones(n, dtype=bool)  # dedup (tbl, sig, vec_id)
+        keep[1:] = (tbl_c[1:] != tbl_c[:-1]) | (sig[1:] != sig[:-1]) | (ids[1:] != ids[:-1])
+        tbl_c, sig, ids, m = tbl_c[keep], sig[keep], ids[keep], m[keep]
+        n = len(ids)
+        gchange = np.ones(n, dtype=bool)
+        gchange[1:] = (tbl_c[1:] != tbl_c[:-1]) | (sig[1:] != sig[:-1])
+        starts = np.flatnonzero(gchange)
+        ends = np.r_[starts[1:], n]
         out_a, out_b, out_c = [], [], []
-        for (_, _), grp in g.groupby(["tbl", "sig"]):
-            grp = grp.drop_duplicates("vec_id")
-            if len(grp) < 2:
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            m = _normalize(np.stack(grp["embedding"].to_numpy()).astype(np.float64))
-            ids = grp["vec_id"].to_numpy()
-            scores = m @ m.T                      # bucket-local matmul only
-            ii, jj = np.nonzero((scores >= threshold) & (ids[None, :] > ids[:, None]))
-            out_a.extend(ids[ii].tolist())
-            out_b.extend(ids[jj].tolist())
-            out_c.extend(scores[ii, jj].tolist())
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
-                             "cosine": np.round(np.array(out_c, dtype=np.float64), 6)})
+            ms = m[s:e]
+            scores = ms @ ms.T                    # cell-local matmul only
+            cid = ids[s:e]
+            ii, jj = np.nonzero((scores >= threshold) & (cid[None, :] > cid[:, None]))
+            if len(ii):
+                out_a.append(cid[ii])
+                out_b.append(cid[jj])
+                out_c.append(scores[ii, jj])
+        if not out_a:
+            return empty
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(out_a)),
+            "vec_b": pa.array(np.concatenate(out_b)),
+            "cosine": pa.array(np.round(np.concatenate(out_c), 6)),
+        })
 
     from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, distinct
 
     cells = _add_bucket(exploded, ["tbl", "sig"], num_buckets).groupby(
         _BUCKET_COL, num_partitions=num_buckets
     ).map_groups(
-        lambda g: cell_pairs(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+        lambda g: cell_pairs(g.drop_columns([_BUCKET_COL])), batch_format="pyarrow"
     )
     parts = distinct(cells, ["vec_a", "vec_b"], max(8, num_buckets // 4)).to_pandas()
     if parts.empty:

@@ -63,6 +63,7 @@ from fs_crawler_ray.corpus import CorpusInfo
 from fs_crawler_ray.ids import as_key_array, is_valid_pid
 from fs_crawler_ray.model import EDGE_SCHEMA, FRONTIER_SCHEMA, VERTEX_SCHEMA, RelationshipType
 from fs_crawler_ray.relops import distinct
+from fs_crawler_ray.sources import storage as st
 from fs_crawler_ray.stages.fetch import PolitenessBudget
 from fs_crawler_ray.state.fetch_service import FetchPool, FetchStage
 from fs_crawler_ray.stages.parse import parse_documents
@@ -111,16 +112,15 @@ class CrawlResult:
     log: list[dict] = field(default_factory=list)
 
     def hop_dir(self, hop: int) -> str:
-        return os.path.join(self.out_dir, f"hop={hop}")
+        return st.join(self.out_dir, f"hop={hop}")
 
     @staticmethod
     def load(out_dir: str) -> "CrawlResult":
         """Reattach to a completed crawl checkpoint on disk."""
         hops, log = [], []
         h = 0
-        while os.path.exists(os.path.join(out_dir, f"hop={h}", "log.json")):
-            with open(os.path.join(out_dir, f"hop={h}", "log.json")) as f:
-                log.append(json.load(f))
+        while st.exists(st.join(out_dir, f"hop={h}", "log.json")):
+            log.append(st.read_json(st.join(out_dir, f"hop={h}", "log.json")))
             hops.append(h)
             h += 1
         if not hops:
@@ -128,9 +128,9 @@ class CrawlResult:
         return CrawlResult(out_dir=out_dir, hops_run=hops, log=log)
 
     def _cat(self, name: str) -> ray.data.Dataset:
-        paths = [os.path.join(self.hop_dir(h), name) for h in self.hops_run]
-        paths = _expand_parquet([p for p in paths if os.path.exists(p)])
-        return ray.data.read_parquet(paths)
+        paths = [st.join(self.hop_dir(h), name) for h in self.hops_run]
+        paths = _expand_parquet([p for p in paths if st.exists(p)])
+        return st.read_parquet(paths)
 
     def vertices(self) -> ray.data.Dataset:
         return self._cat("vertices.parquet")
@@ -139,10 +139,10 @@ class CrawlResult:
         return self._cat("edges.parquet")
 
     def frontier(self) -> ray.data.Dataset:
-        return ray.data.read_parquet(os.path.join(self.hop_dir(self.hops_run[-1]), "frontier.parquet"))
+        return st.read_parquet(st.join(self.hop_dir(self.hops_run[-1]), "frontier.parquet"))
 
     def processing(self, hop: int) -> ray.data.Dataset:
-        return ray.data.read_parquet(os.path.join(self.hop_dir(hop), "processing.parquet"))
+        return st.read_parquet(st.join(self.hop_dir(hop), "processing.parquet"))
 
 
 # ----------------------------------------------------------------------
@@ -239,8 +239,8 @@ def _expand_parquet(paths: list[str]) -> list[str]:
     LIST of paths — glob the part files explicitly."""
     files = []
     for p in paths:
-        if os.path.isdir(p):
-            files.extend(sorted(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")))
+        if st.isdir(p):
+            files.extend(st.join(p, f) for f in st.listdir(p) if f.endswith(".parquet"))
         else:
             files.append(p)
     return files
@@ -260,16 +260,16 @@ def _read_sized(path: str, columns: list[str] | None = None,
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         rows_per_block = int(min(20_000, max(4096, rows // (2 * cpus) + 1)))
     blocks = int(min(max_blocks, max(1, rows // rows_per_block + 1)))
-    return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return st.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def _parquet_rows(dir_path: str) -> int:
     total = 0
-    if not os.path.isdir(dir_path):
+    if not st.isdir(dir_path):
         return 0
-    for f in os.listdir(dir_path):
+    for f in st.listdir(dir_path):
         if f.endswith(".parquet"):
-            total += pq.read_metadata(os.path.join(dir_path, f)).num_rows
+            total += st.file_rows(st.join(dir_path, f))
     return total
 
 
@@ -277,16 +277,16 @@ def _ensure_nonempty(path: str, schema: pa.Schema) -> None:
     """Leave a readable (possibly empty) parquet directory behind — a
     zero-row write produces no part files otherwise."""
     if _parquet_rows(path) == 0:
-        os.makedirs(path, exist_ok=True)
-        for f in os.listdir(path):
-            os.remove(os.path.join(path, f))
-        pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+        st.makedirs(path, exist_ok=True)
+        for f in st.listdir(path):
+            st.remove(st.join(path, f))
+        st.write_table(schema.empty_table(), st.join(path, "empty.parquet"))
 
 
 def _safe_write(ds: ray.data.Dataset, path: str, schema: pa.Schema) -> None:
     """write_parquet that always leaves a readable (possibly empty)
     parquet directory — Ray writes nothing for an empty dataset."""
-    ds.write_parquet(path)
+    st.write_dataset(ds, path)
     _ensure_nonempty(path, schema)
 
 
@@ -324,7 +324,7 @@ class BranchCheckpoint:
             key = rows.column(self.key_col)
             tag = f"{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
             name = hashlib.md5(tag.encode()).hexdigest()
-            pq.write_table(rows, os.path.join(self.path, f"part-{name}.parquet"))
+            st.write_table(rows, st.join(self.path, f"part-{name}.parquet"))
         return batch
 
 
@@ -488,7 +488,7 @@ class _HopSink:
         key = rows.column(0)
         tag = f"{bucket}|{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
         name = hashlib.md5(tag.encode()).hexdigest()
-        pq.write_table(rows, os.path.join(path, f"part-{name}.parquet"))
+        st.write_table(rows, st.join(path, f"part-{name}.parquet"))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from fs_crawler_ray.relops import _keep_first_arrow
@@ -551,7 +551,7 @@ class Crawler:
         self.corpus = corpus
         self.out_dir = out_dir
         self.config = config or CrawlConfig()
-        os.makedirs(out_dir, exist_ok=True)
+        st.makedirs(out_dir, exist_ok=True)
         self.sm = ShardedMembership.create(
             num_shards=self.config.num_shards,
             capacity_per_shard=self.config.shard_capacity,
@@ -617,19 +617,19 @@ class Crawler:
 
     # -- checkpoint helpers -------------------------------------------
     def _hop_dir(self, hop: int) -> str:
-        return os.path.join(self.out_dir, f"hop={hop}")
+        return st.join(self.out_dir, f"hop={hop}")
 
     def _complete_hops(self) -> list[int]:
         hops = []
         h = 0
-        while os.path.exists(os.path.join(self._hop_dir(h), "log.json")):
+        while st.exists(st.join(self._hop_dir(h), "log.json")):
             hops.append(h)
             h += 1
         return hops
 
     def _write_settings(self, seeds: list[str]) -> None:
         # run-config dump (reference crawler.py:107-122 settings writer)
-        with open(os.path.join(self.out_dir, "settings.json"), "w") as f:
+        with st.open_file(st.join(self.out_dir, "settings.json"), "wt") as f:
             json.dump({"seeds": seeds, "config": self.config.to_json(),
                        "corpus": self.corpus.documents_path}, f, indent=1)
 
@@ -642,21 +642,20 @@ class Crawler:
             return 0, None, []
         log = []
         for h in done:
-            with open(os.path.join(self._hop_dir(h), "log.json")) as f:
-                log.append(json.load(f))
+            log.append(st.read_json(st.join(self._hop_dir(h), "log.json")))
         # batched filter-state rebuild: one pass over all hops' tables
-        v_paths = _expand_parquet([os.path.join(self._hop_dir(h), "vertices.parquet") for h in done])
-        ray.data.read_parquet(v_paths, columns=["id"]).map_batches(
+        v_paths = _expand_parquet([st.join(self._hop_dir(h), "vertices.parquet") for h in done])
+        st.read_parquet(v_paths, columns=["id"]).map_batches(
             MembershipAdd(self.sm, VISITED, "id"), batch_format="pyarrow", batch_size=8192
         ).sum("n")
-        e_paths = _expand_parquet([os.path.join(self._hop_dir(h), "edges.parquet") for h in done])
-        ray.data.read_parquet(e_paths, columns=["source", "destination"]).map_batches(
+        e_paths = _expand_parquet([st.join(self._hop_dir(h), "edges.parquet") for h in done])
+        st.read_parquet(e_paths, columns=["source", "destination"]).map_batches(
             _edge_key, batch_format="pyarrow"
         ).map_batches(
             MembershipAdd(self.sm, EDGES, "edge_key"), batch_format="pyarrow", batch_size=8192
         ).sum("n")
         last = done[-1]
-        return last + 1, os.path.join(self._hop_dir(last), "frontier.parquet"), log
+        return last + 1, st.join(self._hop_dir(last), "frontier.parquet"), log
 
     # -- main loop -----------------------------------------------------
     def crawl(self, seeds: list[str], resume: bool = False) -> CrawlResult:
@@ -672,9 +671,9 @@ class Crawler:
         else:
             # fresh run: clear any stale hop dirs so _complete_hops /
             # resume never sees leftovers from a longer previous run
-            for d in os.listdir(self.out_dir):
+            for d in st.listdir(self.out_dir):
                 if d.startswith("hop="):
-                    shutil.rmtree(os.path.join(self.out_dir, d))
+                    st.rmtree(st.join(self.out_dir, d))
         seed_frontier, n_frontier_est = None, 0
         if frontier_path is None:
             uniq = sorted(set(seeds))
@@ -702,9 +701,9 @@ class Crawler:
         for hop in range(start_hop, cfg.hops):
             t0 = time.time()
             hop_dir = self._hop_dir(hop)
-            if os.path.exists(hop_dir):
-                shutil.rmtree(hop_dir)  # incomplete hop from a killed run
-            os.makedirs(hop_dir)
+            if st.exists(hop_dir):
+                st.rmtree(hop_dir)  # incomplete hop from a killed run
+            st.makedirs(hop_dir)
             self.sm.clear(PROCESSING)
 
             stage_t: dict[str, float] = {}
@@ -726,10 +725,10 @@ class Crawler:
             # _branch_frontier) and every stage here is 1:1, so each
             # fetch task's batch is a contiguous id range hitting 1-2
             # corpus row groups / Lance fragments with NO extra sort.
-            proc_path = os.path.join(hop_dir, "processing.parquet")
-            vert_path = os.path.join(hop_dir, "vertices.parquet")
-            os.makedirs(proc_path)
-            os.makedirs(vert_path)
+            proc_path = st.join(hop_dir, "processing.parquet")
+            vert_path = st.join(hop_dir, "vertices.parquet")
+            st.makedirs(proc_path)
+            st.makedirs(vert_path)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             # The visited-filter is REDUNDANT for frontiers produced by
             # a completed previous hop of this run: _branch_frontier
@@ -771,10 +770,10 @@ class Crawler:
                 )
 
             # sink directories must exist before the fused execution
-            frontier_out = os.path.join(hop_dir, "frontier.parquet")
-            edges_out = os.path.join(hop_dir, "edges.parquet")
-            os.makedirs(frontier_out)
-            os.makedirs(edges_out)
+            frontier_out = st.join(hop_dir, "frontier.parquet")
+            edges_out = st.join(hop_dir, "edges.parquet")
+            st.makedirs(frontier_out)
+            st.makedirs(edges_out)
             carryover = None  # budget-mode remainder, tagged separately
 
             if cfg.frontier_budget is None:
@@ -875,7 +874,7 @@ class Crawler:
             else:
                 counts = {"within": None, "spanning": None, "frontier": None}
             n_vertices = sum(s[VISITED]["exact_size"] or s[VISITED]["cuckoo_count"] for s in self.sm.stats() if VISITED in s)
-            n_frontier = _parquet_rows(os.path.join(hop_dir, "frontier.parquet"))
+            n_frontier = _parquet_rows(st.join(hop_dir, "frontier.parquet"))
             _mark("log_classify", tick)
             lineage = {
                 "hop": hop,
@@ -884,7 +883,7 @@ class Crawler:
                 "stage_seconds": stage_t,
                 "records": n_records,
             }
-            with open(os.path.join(hop_dir, "lineage.json"), "w") as f:
+            with st.open_file(st.join(hop_dir, "lineage.json"), "wt") as f:
                 json.dump(lineage, f, indent=1, default=str)
             row = {
                 "iteration": hop,
@@ -897,24 +896,23 @@ class Crawler:
             }
             log.append(row)
             # log.json written LAST == hop-complete marker (atomic-ish)
-            tmp = os.path.join(hop_dir, ".log.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(row, f)
-            os.replace(tmp, os.path.join(hop_dir, "log.json"))
+            tmp = st.join(hop_dir, ".log.json.tmp")
+            st.write_json(row, tmp)
+            st.replace(tmp, st.join(hop_dir, "log.json"))
 
             result.hops_run.append(hop)
-            frontier_path, seed_frontier = os.path.join(hop_dir, "frontier.parquet"), None
+            frontier_path, seed_frontier = st.join(hop_dir, "frontier.parquet"), None
 
         result.log = log
         return result
 
     # -- edge classification (J1/A2: graph_memory_impl.py:106-120) ----
     def _classify_edges(self, hops: list[int]) -> dict:
-        paths = [os.path.join(self._hop_dir(h), "edges.parquet") for h in hops]
-        paths = _expand_parquet([p for p in paths if os.path.exists(p)])
+        paths = [st.join(self._hop_dir(h), "edges.parquet") for h in hops]
+        paths = _expand_parquet([p for p in paths if st.exists(p)])
         if not paths:
             return {"within": 0, "spanning": 0, "frontier": 0}
-        ds = ray.data.read_parquet(paths, columns=["source", "destination"])
+        ds = st.read_parquet(paths, columns=["source", "destination"])
         sm = self.sm
 
         def classify(batch: pa.Table) -> pa.Table:

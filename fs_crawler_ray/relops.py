@@ -40,10 +40,11 @@ def _add_bucket(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int) -> 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def _keep_first_arrow(t: pa.Table, key_cols: list[str], order_cols: list[str],
+def _keep_first_arrow(t: pa.Table, key_cols: list[str], order_cols: list,
                       drop: list[str] | None = None) -> pa.Table:
     """Arrow-native keep-first: sort by ``order_cols`` (Arrow's sort is
-    stable), keep the first occurrence of each key via
+    stable; entries are column names or ``(name, "descending")``
+    tuples), keep the first occurrence of each key via
     ``dictionary_encode`` + first-index — no pandas round trip on the
     per-hop hot dedup path. Deterministic whenever the order tuple is
     unique per key occurrence (true for every caller: edge
@@ -52,7 +53,9 @@ def _keep_first_arrow(t: pa.Table, key_cols: list[str], order_cols: list[str],
         return t.drop_columns([c for c in drop if c in t.column_names])
     if len(t) == 0:
         return t
-    idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in order_cols])
+    idx = pc.sort_indices(
+        t, sort_keys=[c if isinstance(c, tuple) else (c, "ascending") for c in order_cols]
+    )
     t2 = t.take(idx)
     if len(key_cols) == 1:
         key = t2[key_cols[0]]

@@ -37,7 +37,19 @@ from fs_crawler_ray.ids import as_key_array
 
 
 def read_documents(path: str, **kwargs) -> "ray.data.Dataset":
-    return ray.data.read_parquet(path, **kwargs)
+    from fs_crawler_ray.sources import storage as st
+
+    return st.read_parquet(path, **kwargs)
+
+
+def _open_parquet(path: str) -> pq.ParquetFile:
+    """ParquetFile over a local path (memory-mapped) or an fsspec URI
+    (shared object store — the multi-node corpus configuration)."""
+    from fs_crawler_ray.sources import storage as st
+
+    if st.is_uri(path):
+        return pq.ParquetFile(st.open_file(path, "rb"))
+    return pq.ParquetFile(path, memory_map=True)
 
 
 def corpus_range_boundaries(path: str, key_col: str, num_buckets: int) -> np.ndarray:
@@ -52,7 +64,7 @@ def corpus_range_boundaries(path: str, key_col: str, num_buckets: int) -> np.nda
     whole row groups. Available bucket count grows with the corpus
     (more row groups), exactly the scaling the frontier shuffle needs.
     """
-    md = pq.ParquetFile(path, memory_map=True).metadata
+    md = _open_parquet(path).metadata
     if md.num_row_groups <= 1:
         return np.zeros(0, dtype="S1")
     leaf = None
@@ -84,7 +96,7 @@ class RangeStore:
     def __init__(self, path: str, key_col: str, max_cached: int = 16):
         self.path = path
         self.key_col = key_col
-        self.pf = pq.ParquetFile(path, memory_map=True)
+        self.pf = _open_parquet(path)
         md = self.pf.metadata
         self.n_rows = md.num_rows
         # leaf-column index of the (top-level) key column

@@ -71,18 +71,36 @@ def candidate_relationships(
 def classify_resolution(candidates: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     """A1 → Dataset[rel_id, rtype]. Vectorized within source-hash buckets."""
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["source", "rel_id", "dest_color"])
-        set_size = df.groupby(["source", "dest_color"])["rel_id"].transform("size")
-        total = df.groupby("source")["rel_id"].transform("size")
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # Arrow/numpy across all sources in the bucket: distinct
+        # (source, rel_id, dest_color) rows, then per-(source, color)
+        # set sizes and per-source totals via bincount over dictionary
+        # codes — no pandas groupby.transform (Python-object strings).
+        from fs_crawler_ray.relops import _keep_first_arrow
+
+        t = _keep_first_arrow(t, ["source", "rel_id", "dest_color"],
+                              ["source", "rel_id", "dest_color"]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return pa.table({"rel_id": pa.array([], pa.string()),
+                             "rtype": pa.array([], pa.string())})
+        src = pc.dictionary_encode(t["source"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        color = t["dest_color"].to_numpy(zero_copy_only=False).astype(np.int64) + 1  # {-1,0,1}→{0,1,2}
+        pair = src * 3 + color
+        set_size = np.bincount(pair)[pair]
+        total = np.bincount(src)[src]
         rtype = np.where((set_size == 1) & (total < 3), ASSUMED, RESOLVE)
-        out = pd.DataFrame({"rel_id": df["rel_id"], "rtype": rtype})
-        return out.drop_duplicates("rel_id")
+        rel = pc.dictionary_encode(t["rel_id"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.sort(np.unique(rel, return_index=True)[1])
+        return pa.table({"rel_id": t["rel_id"].take(pa.array(first)),
+                         "rtype": pa.array(rtype[first].astype("U"))})
 
     return _add_bucket(candidates, ["source"], num_buckets).groupby(
         _BUCKET_COL, num_partitions=num_buckets
     ).map_groups(
-        lambda g: per_bucket(g.drop(columns=[_BUCKET_COL])), batch_format="pandas"
+        lambda g: per_bucket(g.drop_columns([_BUCKET_COL])), batch_format="pyarrow"
     )
 
 
@@ -201,14 +219,15 @@ def fetch_resolve_updates(
     # applies updates sequentially over rel ids in iteration order, so
     # the LAST (max) rel_id wins (fsapi.py:224-235 loop order). Dedup
     # here so the left join below cannot multiply edge rows.
-    def keep_max_rel(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__ur", ascending=False, kind="stable")
-        return g.drop_duplicates(subset=["__us", "__ud"], keep="first")
+    def keep_max_rel(t: pa.Table) -> pa.Table:
+        from fs_crawler_ray.relops import _keep_first_arrow
+
+        return _keep_first_arrow(t, ["__us", "__ud"], [("__ur", "descending")])
 
     from fs_crawler_ray.relops import _BUCKET_COL as _B, _add_bucket as _ab
 
     return _ab(updates, ["__us", "__ud"], 32).groupby(_B, num_partitions=32).map_groups(
-        lambda g: keep_max_rel(g.drop(columns=[_B])), batch_format="pandas"
+        lambda g: keep_max_rel(g.drop_columns([_B])), batch_format="pyarrow"
     ).drop_columns(["__ur"])
 
 
