@@ -69,11 +69,12 @@ def run_bench() -> dict:
         # this workload. Scale exchange width with the cluster instead.
         # exchange width follows the cluster but is capped: >16-way
         # exchanges on this VM only add contention (see BASELINE.md)
-        width = max(8, min(num_cpus, 16))
+        width = int(os.environ.get("GRAFT_EXCHANGE_WIDTH", max(8, min(num_cpus, 16))))
         ctx.min_parallelism = width
         ctx.read_op_min_num_blocks = width
         ctx.default_hash_shuffle_parallelism = width
-        ctx.max_hash_shuffle_aggregators = max(4, width // 2)
+        ctx.max_hash_shuffle_aggregators = int(
+            os.environ.get("GRAFT_AGGREGATORS", max(4, width // 2)))
         # untimed worker warmup: touch every worker once so package
         # imports don't land inside the measured region
         def _warm(b):
@@ -139,6 +140,16 @@ def run_bench() -> dict:
     queries["crawl_wave"] = round(t_wave, 3)
     extras["wave_urls_per_sec"] = round(wave_n / t_wave, 2) if t_wave else 0.0
 
+    if os.environ.get("GRAFT_WAVE_ONLY") == "1":
+        # probe mode: just the single-wave metric (scale-holding checks
+        # at bigger inputs without paying the full suite)
+        ray.shutdown()
+        return {
+            "metric": "single-wave seconds", "value": queries["crawl_wave"],
+            "unit": "sec", "queries": queries, "sf": sf_dir,
+            "num_cpus": num_cpus, **extras,
+        }
+
     # -- politeness-ON wave: token buckets binding, throughput ≈ budget.
     # The host-routed actor pool + overlapped FetchStage RPCs are the
     # measured path; wall time should be dominated by politeness_wait_s
@@ -165,16 +176,6 @@ def run_bench() -> dict:
         extras["politeness_wait_s"] = round(float(p_fetch.get("politeness_wait_s", 0.0)), 2)
         extras["politeness_budget"] = {"rate_per_host": p_budget.rate_per_host,
                                        "burst": p_budget.burst, "n_hosts": p_budget.n_hosts}
-
-    if os.environ.get("GRAFT_WAVE_ONLY") == "1":
-        # probe mode: just the single-wave metric (scale-holding checks
-        # at bigger inputs without paying the full suite)
-        ray.shutdown()
-        return {
-            "metric": "single-wave seconds", "value": queries["crawl_wave"],
-            "unit": "sec", "queries": queries, "sf": sf_dir,
-            "num_cpus": num_cpus, **extras,
-        }
 
     # fresh session (untimed): the N× 100k-URL wave reps leave the
     # object store and worker pool hot enough to slow every LATER stage

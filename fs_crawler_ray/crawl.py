@@ -853,11 +853,14 @@ class Crawler:
             def hop_sink(t: pa.Table) -> pa.Table:  # map_groups wants a function
                 return sink(t)
 
-            sink_counts = (
-                tagged.groupby("__bucket", num_partitions=2 * eff_buckets)
-                .map_groups(hop_sink, batch_format="pyarrow")
-                .take_all()
+            grouped = tagged.groupby("__bucket", num_partitions=2 * eff_buckets).map_groups(
+                hop_sink, batch_format="pyarrow"
             )
+            sink_counts = grouped.take_all()
+            if os.environ.get("FSRAY_HOP_STATS") == "1":  # perf diagnostics
+                import sys
+
+                print(grouped.stats(), file=sys.stderr)
             _ensure_nonempty(proc_path, FRONTIER_SCHEMA)
             _ensure_nonempty(vert_path, VERTEX_SCHEMA)
             _ensure_nonempty(frontier_out, FRONTIER_SCHEMA)
