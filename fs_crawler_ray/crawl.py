@@ -853,7 +853,16 @@ class Crawler:
             def hop_sink(t: pa.Table) -> pa.Table:  # map_groups wants a function
                 return sink(t)
 
-            grouped = tagged.groupby("__bucket", num_partitions=2 * eff_buckets).map_groups(
+            # shuffle PARTITION count follows the cluster, not the bucket
+            # count: each sort-shuffle reduce task costs ~20-30 ms of
+            # scheduling regardless of size, so 128 partitions on an
+            # 8-slot cluster is ~3 s of pure orchestration for <0.3 s of
+            # work (measured, BASELINE.md r3). Groups stay intact at any
+            # partition count; the sink splits multi-bucket partitions.
+            _cl_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            n_parts = int(os.environ.get(
+                "FSRAY_HOP_PARTITIONS", max(4, min(2 * eff_buckets, 2 * _cl_cpus))))
+            grouped = tagged.groupby("__bucket", num_partitions=n_parts).map_groups(
                 hop_sink, batch_format="pyarrow"
             )
             sink_counts = grouped.take_all()
