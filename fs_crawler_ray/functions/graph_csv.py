@@ -36,24 +36,64 @@ VERTEX_HEADER = ["#external_id", "color", "name", "iteration", "lifespan"]
 LOG_HEADER = ["#iteration", "duration", "vertices", "frontier", "edges", "spanning_edges", "frontier_edges"]
 
 
-def classify_edge_tables(edges: ray.data.Dataset, vertices: ray.data.Dataset) -> dict:
+def classify_edge_tables(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    broadcast_limit: int | None = None,
+    num_partitions: int = 16,
+) -> dict:
     """J1 as TABLES: each edge classified by endpoint membership in the
     resolved vertex set → ``{"within": ds, "spanning": ds, "frontier":
     ds}`` (``graph_writer.py:100-114`` / ``graph_memory_impl.py:106-120``).
-    The vertex-id set is broadcast once (Arrow array + ``pc.is_in``);
-    for vertex sets beyond broadcast size use the membership shard
-    actors (``crawl.MembershipFilter``) with the same category logic."""
-    vert_ids = vertices.select_columns(["id"]).to_pandas()["id"].to_numpy()
-    ref = ray.put(pa.array(vert_ids))
+    Size-aware: small vertex sets are broadcast once (Arrow array +
+    ``pc.is_in``); above ``broadcast_limit`` each endpoint membership
+    flag comes from a distributed left join against the vertex-id table,
+    so nothing is ever materialized driver-side."""
+    from fs_crawler_ray.relops import BROADCAST_LIMIT
 
-    def add_cat(t: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        src_in = pc.is_in(t["source"], value_set=ids).to_numpy(zero_copy_only=False)
-        dst_in = pc.is_in(t["destination"], value_set=ids).to_numpy(zero_copy_only=False)
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    vert_ids = vertices.select_columns(["id"]).materialize()
+    n_verts = vert_ids.count()
+
+    def finish_cat(src_in: np.ndarray, dst_in: np.ndarray) -> pa.Array:
         cat = np.select([src_in & dst_in, ~src_in & ~dst_in], ["within", "frontier"], "spanning")
-        return t.append_column("category", pa.array(cat.tolist(), pa.string()))
+        return pa.array(cat.tolist(), pa.string())
 
-    tagged = edges.map_batches(add_cat, batch_format="pyarrow")
+    if n_verts <= limit:
+        ref = ray.put(pa.array([r["id"] for r in vert_ids.take_all()]))
+
+        def add_cat(t: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            src_in = pc.is_in(t["source"], value_set=ids).to_numpy(zero_copy_only=False)
+            dst_in = pc.is_in(t["destination"], value_set=ids).to_numpy(zero_copy_only=False)
+            return t.append_column("category", finish_cat(src_in, dst_in))
+
+        tagged = edges.map_batches(add_cat, batch_format="pyarrow")
+    else:
+        # distributed path: flag each endpoint via a left join with the
+        # vertex-id table (flag column non-null => endpoint resolved).
+        # Distinct right-side key names avoid colliding with the edge
+        # table's own `id` (relationship id) column.
+        def flag_tbl(col: str):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({f"__{col}_key": t["id"],
+                                 f"__{col}_in": pa.array(np.ones(len(t), dtype=bool))})
+            return vert_ids.map_batches(f, batch_format="pyarrow")
+
+        j = edges.join(flag_tbl("src"), join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("source",), right_on=("__src_key",))
+        j = j.join(flag_tbl("dst"), join_type="left_outer",
+                   num_partitions=num_partitions,
+                   on=("destination",), right_on=("__dst_key",))
+
+        def add_cat_joined(t: pa.Table) -> pa.Table:
+            src_in = pc.is_valid(t["__src_in"]).to_numpy(zero_copy_only=False)
+            dst_in = pc.is_valid(t["__dst_in"]).to_numpy(zero_copy_only=False)
+            keep = [c for c in t.column_names if not c.startswith("__")]
+            return t.select(keep).append_column("category", finish_cat(src_in, dst_in))
+
+        tagged = j.map_batches(add_cat_joined, batch_format="pyarrow")
 
     def only(cat: str):
         return tagged.map_batches(
