@@ -63,3 +63,33 @@ def test_range_store_over_file_uri(small_corpus):
     t2, f2 = uri.fetch(ids)
     assert f1.tolist() == f2.tolist()
     assert t1.equals(t2)
+
+
+def test_lance_range_store_contract(small_corpus, tmp_path_factory):
+    """LanceRangeStore honors the RangeStore contract (skips unless the
+    optional ``lance`` package is installed — BASELINE input_hint)."""
+    lance = pytest.importorskip("lance")
+    import pyarrow.parquet as pq
+    from fs_crawler_ray.sources.doc_table import LanceRangeStore, RangeStore
+
+    d = tmp_path_factory.mktemp("lance")
+    tbl = pq.read_table(small_corpus.documents_path)
+    lance_path = str(d / "documents.lance")
+    lance.write_dataset(tbl, lance_path)
+
+    ref = RangeStore(small_corpus.documents_path, "doc_id")
+    ls = LanceRangeStore(lance_path, "doc_id")
+    assert len(ls) == len(ref)
+    ids = np.array(tbl["doc_id"].to_pylist()[:50] + ["G999-NOPE"])
+    got_ref, found_ref = ref.fetch(ids)
+    got_l, found_l = ls.fetch(ids)
+    assert found_l.tolist() == found_ref.tolist()
+    assert sorted(got_l["doc_id"].to_pylist()) == sorted(got_ref["doc_id"].to_pylist())
+
+
+def test_lance_routing_is_suffix_gated():
+    from fs_crawler_ray.sources.doc_table import _is_lance
+
+    assert _is_lance("/data/documents.lance")
+    assert _is_lance("s3://bucket/corpus/documents.lance/")
+    assert not _is_lance("/data/documents.parquet")
