@@ -40,7 +40,12 @@ class BloomFilter:
     def __init__(self, capacity: int, fp_rate: float = 0.01):
         n_bits = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
         self.n_bits = 1 << int(np.ceil(np.log2(n_bits)))
-        self.k = max(1, int(round(self.n_bits / capacity * np.log(2))))
+        # k capped well below the "optimal" ln2·m/n (22 at the default
+        # sizing): the bloom only GATES the cuckoo, so its fp rate just
+        # costs an extra cuckoo probe — k=6 at m/n≈32 is already ~2e-5
+        # fp while insert cost (the per-hop epoch-staging hot path) is
+        # ~3.7× cheaper than k=22.
+        self.k = max(1, min(6, int(round(self.n_bits / capacity * np.log(2)))))
         self.bits = np.zeros(self.n_bits // 64, dtype=np.uint64)
         self._bitmask = np.uint64(self.n_bits - 1)  # n_bits is a power of two
         self.count = 0
@@ -359,7 +364,12 @@ class MembershipShardState:
         self.capacity = capacity
         self.mode = mode
         self.sets: dict[str, _NamedSet] = {}
-        self._pending: dict[str, set] = {}
+        # deferred-add staging: a full _NamedSet per name, built
+        # INCREMENTALLY by check_and_add_deferred so the filter-insert
+        # cost lands inside the (parallel, overlapped) execution, not on
+        # the driver's post-hop critical path — commit() just splices
+        # the staged segments into the committed chain (O(1)).
+        self._epoch: dict[str, _NamedSet] = {}
 
     def _get(self, name: str) -> _NamedSet:
         if name not in self.sets:
@@ -415,29 +425,50 @@ class MembershipShardState:
 
     def check_and_add_deferred(self, name: str, keys: np.ndarray) -> np.ndarray:
         """contains() against COMMITTED state only; absent keys are
-        buffered in a pending set merged by :meth:`commit`. Task retries
-        re-send the same keys and get the same mask (the committed state
-        is unchanged mid-epoch and the pending set dedups) — the
-        retry-safe fused check+add used by the per-hop edge-seen filter."""
+        staged into a per-name epoch set merged by :meth:`commit`. Task
+        retries re-send the same keys and get the same mask (the
+        committed state is unchanged mid-epoch and the epoch set's own
+        add() dedups) — the retry-safe fused check+add used by the
+        per-hop edge-seen filter. Staging does the filter inserts HERE,
+        inside the hop's streaming execution across all shard actors in
+        parallel, so commit() is O(1): a 950k-key hop commit measured
+        2.9 s when all inserts happened at commit time (k=22 bloom adds
+        serialized on the critical path) vs ~0 after this change."""
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        present = self.contains(name, keys)
-        pend = self._pending.setdefault(name, set())
-        pend.update(keys[~present].tolist())  # native str/bytes scalars
+        h1, h2 = self._hashes(keys)
+        present = self._get(name).contains(keys, h1, h2)
+        ep = self._epoch.get(name)
+        if ep is None:
+            ep = self._epoch[name] = _NamedSet(self.capacity, self.mode)
+        absent = np.nonzero(~present)[0]
+        if len(absent):
+            ep.add(keys[absent], h1[absent], h2[absent])
         return present
 
     def commit(self, name: str) -> int:
-        """Merge the pending buffer into the committed filters."""
-        pend = self._pending.pop(name, None)
-        if not pend:
+        """Splice the staged epoch segments into the committed chain —
+        no re-hash, no re-insert; the chain's bloom-gated contains()
+        reads them like any other segment."""
+        ep = self._epoch.pop(name, None)
+        if ep is None:
             return 0
-        self.add(name, np.array(sorted(pend)))
-        return len(pend)
+        committed = self._get(name)
+        if self.mode == "exact":
+            n = len(ep.exact)
+            committed.exact.update(ep.exact)
+        else:
+            n = sum(c.count for _, c in ep.segments)
+        committed.segments.extend(
+            seg for seg in ep.segments if seg[1].count or seg[0].count
+        )
+        committed._next_capacity = max(committed._next_capacity, ep._next_capacity)
+        return n
 
     def clear(self, name: str) -> None:
         if name in self.sets:
             self.sets[name].clear()
-        self._pending.pop(name, None)
+        self._epoch.pop(name, None)
 
     def drop(self, name: str) -> None:
         self.sets.pop(name, None)
