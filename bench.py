@@ -150,18 +150,30 @@ def run_bench() -> dict:
             "num_cpus": num_cpus, **extras,
         }
 
-    # -- politeness-ON wave: token buckets binding, throughput ≈ budget.
+    # fresh session (untimed): the N× 100k-URL wave reps leave the
+    # object store and worker pool hot enough to slow every LATER stage
+    # measurably (crawl measured 7.3 s in a clean session vs 20-22 s
+    # after the wave reps in the same one) — restart so each stage
+    # group is measured against clean plasma, as a fresh `ray job
+    # submit` would be on a real cluster.
+    ray.shutdown()
+    _init_ray()
+
+    # -- politeness-ON wave: token buckets BINDING, wall ≈ budget floor.
     # The host-routed actor pool + overlapped FetchStage RPCs are the
-    # measured path; wall time should be dominated by politeness_wait_s
-    # (the budget IS the bottleneck by design).
+    # measured path. Every 500-id batch touches all 64 hosts (uniform id
+    # hash), so requests/host == n_batches and the budget-only floor is
+    # (n_batches - burst) / rate_per_host; the row reports wall/floor so
+    # the claim is checkable. Budget-bound BY DESIGN — excluded from the
+    # headline suite total (it measures the token buckets, not compute).
     if not scaling_child and os.environ.get("GRAFT_POLITE_WAVE", "1") == "1":
         from fs_crawler_ray.stages.fetch import PolitenessBudget
 
-        p_n = min(wave_n, int(os.environ.get("GRAFT_POLITE_SEEDS", "20000")))
+        p_n = min(wave_n, int(os.environ.get("GRAFT_POLITE_SEEDS", "10000")))
         p_dir = f"/tmp/fsray_bench/polite_{os.path.basename(info.out_dir)}_c{num_cpus}"
         if os.path.exists(p_dir):
             shutil.rmtree(p_dir)
-        p_budget = PolitenessBudget(rate_per_host=20.0, burst=4.0, n_hosts=64)
+        p_budget = PolitenessBudget(rate_per_host=2.0, burst=4.0, n_hosts=64)
         p_cfg = CrawlConfig(
             hops=1, num_shards=num_shards, membership_mode="probabilistic",
             shard_capacity=1 << 21, fetch_concurrency=8, fetch_batch_size=500,
@@ -172,19 +184,14 @@ def run_bench() -> dict:
         t_polite = time.time() - t0
         queries["crawl_wave_polite"] = round(t_polite, 3)
         p_fetch = json.load(open(os.path.join(p_res.hop_dir(0), "lineage.json")))["fetch"]
+        n_batches = int(np.ceil(p_n / p_cfg.fetch_batch_size))
+        floor = max(0.0, (n_batches - p_budget.burst) / p_budget.rate_per_host)
         extras["polite_urls_per_sec"] = round(p_n / t_polite, 2)
         extras["politeness_wait_s"] = round(float(p_fetch.get("politeness_wait_s", 0.0)), 2)
+        extras["politeness_budget_floor_s"] = round(floor, 2)
+        extras["politeness_wall_over_floor"] = round(t_polite / floor, 3) if floor else None
         extras["politeness_budget"] = {"rate_per_host": p_budget.rate_per_host,
                                        "burst": p_budget.burst, "n_hosts": p_budget.n_hosts}
-
-    # fresh session (untimed): the N× 100k-URL wave reps leave the
-    # object store and worker pool hot enough to slow every LATER stage
-    # measurably (crawl measured 7.3 s in a clean session vs 20-22 s
-    # after the wave reps in the same one) — restart so each stage
-    # group is measured against clean plasma, as a fresh `ray job
-    # submit` would be on a real cluster.
-    ray.shutdown()
-    _init_ray()
 
     # -- corpus text analysis: per-document language-ID/quality/token/
     # fingerprint pass over the crawled documents' narrative text — the
@@ -333,7 +340,10 @@ def run_bench() -> dict:
     from fs_crawler_ray.ann import knn_join
 
     t0 = time.time()
-    ivf_knn = knn_join(emb, k=10, exact=False, n_centroids=32, n_probe=8).materialize()
+    # operating point picked by probe: (16,8) ≈ same cost as (32,8) with
+    # recall 0.80 vs 0.59 on the sf0.1 embeddings (near-uniform synthetic
+    # vectors are an adversarial case for IVF; reported honestly)
+    ivf_knn = knn_join(emb, k=10, exact=False, n_centroids=16, n_probe=8).materialize()
     ivf_knn.count()
     queries["knn_join_ivf"] = round(time.time() - t0, 3)
     # recall@10 vs exact, on a 64-query sample (untimed): filter the IVF
@@ -390,9 +400,12 @@ def run_bench() -> dict:
     extras["asof_matches"] = int(n_asof)
 
     ray.shutdown()
-    total = round(sum(queries.values()), 3)
+    # headline total = compute-bound stages only; crawl_wave_polite is
+    # budget-bound by design (wall ≈ token-bucket floor, reported via
+    # politeness_wall_over_floor) and would swamp the compute signal
+    total = round(sum(v for k, v in queries.items() if k != "crawl_wave_polite"), 3)
     return {
-        "metric": "headline suite seconds (crawl fetch+dedupe+edge-extract, resolve, adjacency, dedup, minhash, text, ann, windows)",
+        "metric": "headline suite seconds (crawl fetch+dedupe+edge-extract, resolve, adjacency, dedup, minhash, text, ann, windows; polite wave reported separately, budget-bound)",
         "value": total,
         "unit": "sec",
         "queries": queries,
