@@ -282,6 +282,48 @@ def _ann_knn_join(sf_dir: str):
     return out.astype({"vec_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
 
 
+def _docs_decontaminated(sf_dir: str):
+    """Benchmark decontamination: eval-slice n-gram set broadcast once,
+    shuffle-free per-batch is_in over the corpus. n=3 keeps the check
+    non-vacuous on the synthetic corpus (n=8 standard yields 0 overlaps
+    there); the operator itself defaults to 8."""
+    import ray.data
+
+    from fs_crawler_ray.curation import decontaminate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = decontaminate(ds, n=3, eval_mod=53).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_hits": np.int64})
+
+
+def _docs_repetition(sf_dir: str):
+    """Per-doc repetition stats (total vs distinct bigrams) — the
+    Gopher-style duplicate-gram quality signal, integer outputs."""
+    import ray.data
+
+    from fs_crawler_ray.curation import doc_ngram_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = doc_ngram_stats(ds, n=2).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_grams": np.int64,
+                       "n_distinct": np.int64})
+
+
+def _docs_length_filtered(sf_dir: str):
+    """Global percentile length filter: exact quantile_disc bounds from
+    a value-histogram shuffle, then a shuffle-free mask."""
+    import ray.data
+
+    from fs_crawler_ray.curation import length_percentile_filter
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    out = length_percentile_filter(ds, lo=0.05, hi=0.95).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_chars": np.int64})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -354,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _docs_simhash,
         "docs_analysis": _docs_analysis,
         "docs_simhash_pairs": _docs_simhash_pairs,
+        "docs_decontaminated": _docs_decontaminated,
+        "docs_repetition": _docs_repetition,
+        "docs_length_filtered": _docs_length_filtered,
     }
 
 
@@ -385,6 +430,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_top": osql.docs_tfidf_top(top_n=3),
         "docs_stopword_filtered": osql.docs_stopword_filtered(lang="en"),
         "docs_stratified_sample": osql.docs_stratified_sample(n=5),
+        "docs_decontaminated": osql.docs_decontaminated(n=3, eval_mod=53),
+        "docs_repetition": osql.docs_repetition(n=2),
+        "docs_length_filtered": osql.docs_length_filtered(lo=0.05, hi=0.95),
         "resolution_classification": osql.resolution_classification(d, s, h),
         "resolved_edge_types": osql.resolved_edge_types(d, r, s, h),
         "adjacency_triples": osql.adjacency_triples(d, r, s, h),

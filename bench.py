@@ -220,6 +220,22 @@ def run_bench() -> dict:
     queries["corpus_text_analysis"] = round(time.time() - t0, 3)
     extras["analyzed_docs_per_sec"] = round(n_analyzed / queries["corpus_text_analysis"], 2)
 
+    # -- corpus curation: benchmark decontamination (eval n-gram set
+    # broadcast once, shuffle-free per-batch is_in) + Gopher-style
+    # repetition stats over the same narrative text (full suite only —
+    # scaling children measure wave/crawl/text)
+    if not scaling_child:
+        from fs_crawler_ray.curation import decontaminate, doc_ngram_stats
+
+        t0 = time.time()
+        n_contaminated = decontaminate(
+            corpus_docs, n=8, eval_mod=53, concurrency=max(4, num_cpus // 2)
+        ).count()
+        n_rep = doc_ngram_stats(corpus_docs, n=2).count()
+        queries["curation"] = round(time.time() - t0, 3)
+        extras["contaminated_docs"] = int(n_contaminated)
+        extras["repetition_rows"] = int(n_rep)
+
     # -- headline: BFS frontier crawl (fetch+dedupe+edge-extract) ------
     out_dir = f"/tmp/fsray_bench/crawl_{os.path.basename(info.out_dir)}_c{num_cpus}"
     if os.path.exists(out_dir):

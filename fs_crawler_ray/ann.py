@@ -412,13 +412,14 @@ def group_centroids(
             "n": np.repeat(counts, dim),
         })
 
-    from ray.data.aggregate import Sum
+    from fs_crawler_ray.relops import bucketed_agg
 
-    agg = (
+    agg = bucketed_agg(
         ds.select_columns([group_col, vec_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "i"], num_partitions=8)
-        .aggregate(Sum("s"), Sum("n"))
+        .map_batches(partial, batch_format="pyarrow"),
+        [group_col, "i"],
+        [("s", "sum", "sum(s)"), ("n", "sum", "sum(n)")],
+        num_buckets=8,
     )
     return agg.map_batches(
         lambda t: pa.table({

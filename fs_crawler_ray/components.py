@@ -35,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from fs_crawler_ray.relops import distinct, lookup_join, semi_anti_join
+from fs_crawler_ray.relops import bucketed_agg, distinct, lookup_join, semi_anti_join
 
 
 def connected_components(
@@ -74,7 +74,11 @@ def connected_components(
             lambda t: pa.table({"v": t["d"], "component": t["component"]}),
             batch_format="pyarrow",
         )
-        merged = msgs.union(labels).groupby("v", num_partitions=num_partitions).min("component")
+        merged = bucketed_agg(
+            msgs.union(labels), ["v"],
+            [("component", "min", "min(component)")],
+            num_buckets=num_partitions,
+        )
         labels = merged.map_batches(
             lambda t: pa.table({"v": t["v"], "component": t["min(component)"]}),
             batch_format="pyarrow",

@@ -1,0 +1,250 @@
+"""Corpus-curation operators: benchmark decontamination, repetition
+statistics and percentile length filtering.
+
+The three quality/curation passes a training-data pipeline runs after
+dedup (reference has no analog — this is the beyond-reference
+training-data suite, same family as ``text.py``):
+
+- :func:`decontaminate` — flag documents sharing word n-grams with a
+  held-out evaluation set (the standard "benchmark decontamination"
+  sweep). The eval-side n-gram set is small by definition (benchmarks
+  are MBs against a corpus of TBs), so it is built once with a
+  vocabulary-sized shuffle, pulled to the driver, and broadcast via
+  ``ray.put``; the corpus side is a shuffle-free per-batch ``is_in``.
+- :func:`doc_ngram_stats` — per-document total vs distinct n-gram
+  counts (the Gopher-style repetition signal: a high duplicate-gram
+  fraction marks boilerplate/spam). Shuffle-free; integer outputs so
+  the oracle comparison has no float hazards.
+- :func:`length_percentile_filter` — keep documents whose length sits
+  within global ``quantile_disc`` percentile bounds. Exact at any
+  scale: lengths are small-domain integers, so per-batch ``bincount``
+  partials + an O(distinct values) shuffle yield the full length
+  histogram, the thresholds fall out of its cumulative sum on the
+  driver (a few hundred rows), and the filter itself is a shuffle-free
+  per-batch mask.
+
+All kernels are Arrow/numpy-vectorized; tokenization is shared with
+``text._tokenize_batch`` so every operator sees the exact token stream
+the DuckDB oracles reproduce.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from fs_crawler_ray.text import _tokenize_batch
+
+
+def _eval_mask(ids, eval_mod: int) -> np.ndarray:
+    """Deterministic eval-slice membership for any id type: integer ids
+    slice by ``id % eval_mod`` (the SQL-oracle-checkable form); string
+    ids by ``stable_hash64(id) % eval_mod`` (the 100 TB corpus case,
+    where ids are URLs/UUIDs)."""
+    arr = ids.to_numpy() if hasattr(ids, "to_numpy") else np.asarray(ids)
+    if arr.dtype.kind in "iu":
+        return (arr % eval_mod) == 0
+    from fs_crawler_ray.ids import stable_hash64
+
+    return (stable_hash64(arr.astype(str)) % np.uint64(eval_mod)) == 0
+
+
+def _id_arrow_type(series: pd.Series) -> pa.DataType:
+    return pa.int64() if series.dtype.kind in "iu" else pa.string()
+
+
+def _batch_ngrams(texts: pa.Array | pa.ChunkedArray, n: int):
+    """Vectorized word n-grams for one batch: tokenize (shared kernel),
+    join ``n`` shifted token views with a single Arrow
+    ``binary_join_element_wise`` call, and keep windows fully inside one
+    document. Returns ``(grams: pa.Array, parent: int64 ndarray)``."""
+    flat, parent, _ = _tokenize_batch(texts)
+    L = len(flat) - n + 1
+    empty = pa.array([], type=pa.string())
+    if L <= 0:
+        return empty, np.zeros(0, np.int64)
+    ok = parent[:L] == parent[n - 1:]
+    if not ok.any():
+        return empty, np.zeros(0, np.int64)
+    starts = np.flatnonzero(ok)
+    views = [flat.slice(j, L) for j in range(n)]
+    grams = pc.binary_join_element_wise(*views, " ")
+    return grams.take(pa.array(starts)), parent[starts]
+
+
+def eval_ngram_set(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    eval_mod: int = 53,
+) -> pa.Array:
+    """Distinct word n-grams of the held-out eval slice
+    (``doc_id % eval_mod == 0`` — the deterministic synthetic stand-in
+    for a benchmark suite; string ids hash-slice, see
+    :func:`_eval_mask`). Per-batch distinct partials stream to the
+    driver and dedupe there — bounded by the EVAL set's size, never the
+    corpus's, and no shuffle at all."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df[_eval_mask(df["doc_id"], eval_mod)]
+        grams, _ = _batch_ngrams(pa.array(df["text"], type=pa.string()), n)
+        return pa.table({"gram": pc.unique(grams)})
+
+    mapped = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas")
+    # per-batch partials are already distinct; the cross-batch dedup
+    # happens driver-side on the (small, eval-sized) result — no
+    # shuffle at all
+    batches = list(mapped.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.array([], type=pa.string())
+    return pc.unique(pa.concat_tables(batches)["gram"].combine_chunks())
+
+
+class _ContaminationFlagger:
+    """Actor-pool stage: holds the broadcast eval n-gram set (fetched
+    once per actor in ``__init__``, not per batch) and counts, per
+    document, how many of its n-gram POSITIONS hit the eval set."""
+
+    def __init__(self, gram_ref, n: int, eval_mod: int):
+        self._grams = ray.get(gram_ref)
+        self._n = n
+        self._mod = eval_mod
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        id_type = _id_arrow_type(df["doc_id"])
+        df = df[~_eval_mask(df["doc_id"], self._mod)]
+        grams, parent = _batch_ngrams(
+            pa.array(df["text"], type=pa.string()), self._n)
+        empty = pa.table({"doc_id": pa.array([], type=id_type),
+                          "n_hits": pa.array([], type=pa.int64())})
+        if len(grams) == 0:
+            return empty
+        hit = pc.is_in(grams, value_set=self._grams).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        ids = df["doc_id"].to_numpy()
+        hits_per_doc = np.bincount(parent[hit], minlength=len(ids))
+        nz = np.flatnonzero(hits_per_doc)
+        return pa.table({"doc_id": pa.array(ids[nz], type=id_type),
+                         "n_hits": pa.array(hits_per_doc[nz], type=pa.int64())})
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    eval_mod: int = 53,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: ``(doc_id, n_hits)`` for every
+    non-eval document sharing at least one word ``n``-gram with the
+    eval slice. ``n_hits`` counts contaminated n-gram positions (each
+    position matches at most one DISTINCT eval gram, so this equals the
+    SQL join cardinality). The corpus pass is shuffle-free."""
+    gram_ref = ray.put(eval_ngram_set(ds, n=n, eval_mod=eval_mod))
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _ContaminationFlagger,
+        fn_constructor_args=(gram_ref, n, eval_mod),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+def doc_ngram_stats(ds: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
+    """Per-document repetition statistics: ``(doc_id, n_grams,
+    n_distinct)`` over word ``n``-grams (documents with at least one
+    gram). ``1 - n_distinct/n_grams`` is the Gopher-style
+    duplicate-gram fraction; integers are emitted so the comparison is
+    exact. Shuffle-free: grams are packed into per-batch dictionary
+    codes and counted with one lexsort per batch."""
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        texts = pa.array(df["text"], type=pa.string())
+        flat, parent, _ = _tokenize_batch(texts)
+        id_type = _id_arrow_type(df["doc_id"])
+        empty = pa.table({"doc_id": pa.array([], type=id_type),
+                          "n_grams": pa.array([], type=pa.int64()),
+                          "n_distinct": pa.array([], type=pa.int64())})
+        L = len(flat) - n + 1
+        if L <= 0:
+            return empty
+        ok = parent[:L] == parent[n - 1:]
+        if not ok.any():
+            return empty
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(ok)
+        packed = np.zeros(len(starts), dtype=np.int64)
+        v = np.int64(len(enc.dictionary))
+        for j in range(n):
+            packed = packed * v + codes[starts + j]
+        par = parent[starts]
+        order = np.lexsort((packed, par))
+        ps, ks = par[order], packed[order]
+        new = np.ones(len(ps), dtype=bool)
+        new[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        ids = df["doc_id"].to_numpy()
+        total = np.bincount(par, minlength=len(ids))
+        distinct = np.bincount(ps[new], minlength=len(ids))
+        nz = np.flatnonzero(total)
+        return pa.table({"doc_id": pa.array(ids[nz], type=id_type),
+                         "n_grams": pa.array(total[nz], type=pa.int64()),
+                         "n_distinct": pa.array(distinct[nz], type=pa.int64())})
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas")
+
+
+def global_quantiles_disc(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+    agg_partitions: int = 4,
+) -> list[int]:
+    """Exact global ``quantile_disc`` values of an integer column at any
+    scale: per-batch value histograms (one ``np.unique`` each), an
+    O(distinct values) shuffle to merge them, and the threshold read off
+    the cumulative histogram driver-side (``quantile_disc(q)`` = the
+    value at 1-based sorted rank ``ceil(q * N)``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    hist = bucketed_agg(
+        ds.select_columns([value_col]).map_batches(partial, batch_format="pyarrow"),
+        ["v"], [("c", "sum", "sum(c)")], num_buckets=agg_partitions,
+    ).to_pandas().sort_values("v")
+    counts = hist["sum(c)"].to_numpy()
+    values = hist["v"].to_numpy()
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        rank = int(np.ceil(q * total - 1e-9)) if total else 0
+        out.append(int(values[np.searchsorted(cum, max(rank, 1))]))
+    return out
+
+
+def length_percentile_filter(
+    ds: ray.data.Dataset,
+    value_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> ray.data.Dataset:
+    """Keep documents whose ``value_col`` lies within the corpus's
+    global ``[quantile_disc(lo), quantile_disc(hi)]`` (the
+    outlier-trimming length filter). The quantile pass moves only the
+    value histogram; the filter is a shuffle-free per-batch mask."""
+    lo_v, hi_v = global_quantiles_disc(ds, value_col, [lo, hi])
+    return ds.select_columns(["doc_id", value_col]).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t[value_col], lo_v),
+                                   pc.less_equal(t[value_col], hi_v))),
+        batch_format="pyarrow")

@@ -659,3 +659,45 @@ FROM vids, unnest(CASE WHEN n_frames > 0
                        THEN generate_series(0, n_frames - 1, {int(stride)})
                        ELSE CAST([] AS BIGINT[]) END) u(i)
 """
+
+
+def _gram_cte(n: int) -> str:
+    """Per-document word n-grams over the shared token stream."""
+    return _TOKS_CTE + f"""
+, grams AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i, i + {int(n) - 1}), ' ') AS gram
+  FROM toks, unnest(CASE WHEN len(tk) >= {int(n)}
+                         THEN generate_series(1, len(tk) - {int(n) - 1})
+                         ELSE CAST([] AS BIGINT[]) END) u(i)
+)"""
+
+
+def docs_decontaminated(n: int = 3, eval_mod: int = 53) -> str:
+    """Oracle for benchmark decontamination: per non-eval document, the
+    number of n-gram positions matching any DISTINCT eval-slice gram."""
+    return _gram_cte(n) + f"""
+, eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {int(eval_mod)} = 0)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM grams JOIN eg USING (gram)
+WHERE doc_id % {int(eval_mod)} <> 0
+GROUP BY doc_id
+"""
+
+
+def docs_repetition(n: int = 2) -> str:
+    """Oracle for per-document repetition stats: total vs distinct
+    word n-grams (docs with at least one gram)."""
+    return _gram_cte(n) + """
+SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct
+FROM grams GROUP BY doc_id
+"""
+
+
+def docs_length_filtered(lo: float = 0.05, hi: float = 0.95) -> str:
+    """Oracle for the global percentile length filter
+    (quantile_disc bounds, inclusive)."""
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN (SELECT quantile_disc(n_chars, {lo}) FROM documents)
+              AND (SELECT quantile_disc(n_chars, {hi}) FROM documents)
+"""

@@ -109,9 +109,17 @@ def q_customers_without_orders(sf_dir: str):
 
 def q_top_customers(sf_dir: str, k: int = 10):
     """Grouped sum + global top-k (sort/limit)."""
+    from fs_crawler_ray.relops import bucketed_agg
+
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    totals = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    # customer-cardinality key: bucketed Arrow aggregate, not Ray's
+    # per-group Aggregate operator (o_totalprice is non-null, so Arrow
+    # "count" == Ray's row Count)
+    totals = bucketed_agg(
+        orders, ["o_custkey"],
+        [("o_totalprice", "sum", "total_spent"),
+         ("o_totalprice", "count", "n_orders")],
+        num_buckets=16,
     )
     top = totals.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k).to_pandas()
     return _round2(top, ["total_spent"])
@@ -147,12 +155,14 @@ def q_events_hourly(sf_dir: str):
             n_events=("value", "size"), sum_value=("value", "sum")
         )
 
-    out = (
-        ev.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    from fs_crawler_ray.relops import bucketed_agg
+
+    out = bucketed_agg(
+        ev.map_batches(bucket, batch_format="pandas"),
+        ["user_id", "hour"],
+        [("n_events", "sum", "n_events"), ("sum_value", "sum", "sum_value")],
+        num_buckets=16,
+    ).to_pandas()
     return _round2(out, ["sum_value"])
 
 

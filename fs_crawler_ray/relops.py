@@ -105,6 +105,41 @@ def dedup_keep_first(
     )
 
 
+def bucketed_agg(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Hash-bucketed grouped aggregation: ``aggs`` is a list of
+    ``(in_col, fn, out_name)`` with ``fn`` an Arrow hash-aggregate
+    kernel name (``sum``/``min``/``max``/``count``/``mean``).
+
+    Ray's built-in ``groupby(key).sum()`` costs ~1 ms of driver-free
+    but PER-GROUP Python in its sort-based Aggregate operator (measured
+    ~1.1k groups/s on 26k single-row groups — both shuffle strategies),
+    which is catastrophic for high-cardinality keys (vocabularies,
+    n-grams, vertex ids). This helper shuffles by a hash BUCKET of the
+    key instead (``num_buckets`` ≈ a few × cores) and aggregates each
+    bucket with ONE Arrow C++ ``Table.group_by`` call — vectorized
+    ACROSS keys, ~100× the built-in on many-group inputs. Callers keep
+    Ray's output naming (pass ``out_name="sum(col)"``) so call sites
+    stay drop-in."""
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_BUCKET_COL])
+        res = t.group_by(key_cols, use_threads=False).aggregate(
+            [(c, fn) for c, fn, _ in aggs])
+        cols = {k: res[k] for k in key_cols}
+        for c, fn, out in aggs:
+            cols[out] = res[f"{c}_{fn}"]
+        return pa.table(cols)
+
+    return _add_bucket(ds, key_cols, num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(per_bucket, batch_format="pyarrow")
+
+
 def _add_range_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int,
                       boundaries: np.ndarray | None = None) -> ray.data.Dataset:
     """Bucket by key RANGE instead of hash — output buckets are

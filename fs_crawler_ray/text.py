@@ -665,10 +665,12 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int | None = 100,
         cnt = np.bincount(uniq % v, minlength=v)
         return pa.table({"tok": vocab, "df_part": cnt.astype(np.int64)})
 
-    agg = (
-        ds.select_columns(["text"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("tok", num_partitions=agg_partitions).sum("df_part")
+    from fs_crawler_ray.relops import bucketed_agg
+
+    agg = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ["tok"], [("df_part", "sum", "sum(df_part)")],
+        num_buckets=agg_partitions,
     )
     out = agg.map_batches(
         lambda t: pa.table({"tok": t["tok"], "df": t["sum(df_part)"]}),
@@ -925,10 +927,12 @@ def ngram_frequency(
         return pa.table({"gram": pa.array(grams, type=pa.string()),
                          "cnt_part": pa.array(cnt.astype(np.int64))})
 
-    agg = (
-        ds.select_columns(["text"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("gram", num_partitions=agg_partitions).sum("cnt_part")
+    from fs_crawler_ray.relops import bucketed_agg
+
+    agg = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ["gram"], [("cnt_part", "sum", "sum(cnt_part)")],
+        num_buckets=agg_partitions,
     )
     out = agg.map_batches(
         lambda t: pa.table({"gram": t["gram"], "cnt": t["sum(cnt_part)"]}),
