@@ -701,7 +701,15 @@ class Crawler:
             # are the same granularity as re-read frontiers get.
             n_frontier_est = len(seed_tbl)
             _cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-            chunk = (min(32_768, max(4096, n_frontier_est // (2 * _cpus) + 1))
+            # FSRAY_FETCH_WAVES task waves per hop. Per-doc fan-out
+            # variance skews task walls ~2.6x, so more/smaller blocks
+            # could in principle smooth the straggler tail before the
+            # shuffle barrier — measured on this VM, waves=2/4 and sink
+            # partitions 8/16/32 are indistinguishable inside the ±30%
+            # run-to-run drift, so the default stays at the benchmarked
+            # shape and the knob records the experiment
+            _waves = int(os.environ.get("FSRAY_FETCH_WAVES", "2"))
+            chunk = (min(32_768, max(4096, n_frontier_est // (_waves * _cpus) + 1))
                      if self.direct else 5_000)
             chunks = [seed_tbl.slice(i, chunk) for i in range(0, max(1, len(seed_tbl)), chunk)]
             seed_frontier = ray.data.from_arrow(chunks)
