@@ -144,11 +144,15 @@ def decontaminate(
     position matches at most one DISTINCT eval gram, so this equals the
     SQL join cardinality). The corpus pass is shuffle-free."""
     gram_ref = ray.put(eval_ngram_set(ds, n=n, eval_mod=eval_mod))
+    # autoscaling pool (1, N): a FIXED pool of N actors deadlocks when
+    # N == cluster CPUs (the actors pin every slot and the upstream
+    # parquet-read task can never schedule); starting at 1 leaves the
+    # scheduler room and still scales to N where CPUs allow.
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _ContaminationFlagger,
         fn_constructor_args=(gram_ref, n, eval_mod),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
