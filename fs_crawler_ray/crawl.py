@@ -217,23 +217,6 @@ class RegisterPassthrough:
         return batch
 
 
-class EdgeSeenFilter:
-    """Cross-hop edge dedup: drop keys already committed in earlier
-    hops; buffer this hop's new keys for a post-write commit
-    (``check_and_add_deferred`` — retry-safe, see membership.py)."""
-
-    def __init__(self, sm: ShardedMembership, column: str = "edge_key"):
-        self.sm = sm
-        self.column = column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
-        keys = as_key_array(batch[self.column])
-        present = self.sm.check_and_add_deferred(EDGES, keys)
-        return batch.filter(pa.array(~present))
-
-
 def _expand_parquet(paths: list[str]) -> list[str]:
     """ray.data.read_parquet does not expand directories when given a
     LIST of paths — glob the part files explicitly."""
@@ -290,6 +273,22 @@ def _safe_write(ds: ray.data.Dataset, path: str, schema: pa.Schema) -> None:
     _ensure_nonempty(path, schema)
 
 
+def _write_part(rows: pa.Table, path: str, schema: pa.Schema,
+                key_col: str | int = 0, tag_prefix: str = "") -> None:
+    """Content-named idempotent parquet part write: the file name is
+    derived from the batch content (first/last key + row count, plus an
+    optional caller tag), so a task retried after its write lands
+    overwrites the same file instead of duplicating rows — the same
+    contract as Ray's own write tasks. Shared by every fused side-write
+    (BranchCheckpoint and the hop sink) so the naming/idempotence rule
+    lives in one place."""
+    rows = rows.select(schema.names).cast(schema)
+    key = rows.column(key_col)
+    tag = f"{tag_prefix}{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
+    name = hashlib.md5(tag.encode()).hexdigest()
+    st.write_table(rows, st.join(path, f"part-{name}.parquet"))
+
+
 class BranchCheckpoint:
     """1:1 passthrough map_batches stage that persists (a projection of)
     each batch as a parquet part file while the execution continues
@@ -321,10 +320,7 @@ class BranchCheckpoint:
             rows = rows.select(self.schema.names).cast(self.schema)
             if self.sm is not None:
                 self.sm.add(self.register, as_key_array(rows[self.key_col]))
-            key = rows.column(self.key_col)
-            tag = f"{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
-            name = hashlib.md5(tag.encode()).hexdigest()
-            st.write_table(rows, st.join(self.path, f"part-{name}.parquet"))
+            _write_part(rows, self.path, self.schema, key_col=self.key_col)
         return batch
 
 
@@ -484,11 +480,7 @@ class _HopSink:
         self.edges_path = edges_path
 
     def _write(self, rows: pa.Table, path: str, schema: pa.Schema, bucket: int) -> None:
-        rows = rows.select(schema.names).cast(schema)
-        key = rows.column(0)
-        tag = f"{bucket}|{key[0].as_py()}|{key[-1].as_py()}|{len(rows)}"
-        name = hashlib.md5(tag.encode()).hexdigest()
-        st.write_table(rows, st.join(path, f"part-{name}.parquet"))
+        _write_part(rows, path, schema, key_col=0, tag_prefix=f"{bucket}|")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from fs_crawler_ray.relops import _keep_first_arrow

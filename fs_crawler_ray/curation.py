@@ -184,8 +184,16 @@ def doc_ngram_stats(ds: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
         starts = np.flatnonzero(ok)
         packed = np.zeros(len(starts), dtype=np.int64)
         v = np.int64(len(enc.dictionary))
-        for j in range(n):
-            packed = packed * v + codes[starts + j]
+        if int(v) ** n < 2 ** 62:
+            for j in range(n):
+                packed = packed * v + codes[starts + j]
+        else:
+            # vocab^n would wrap int64 (silently colliding grams):
+            # re-rank after each step so packed stays < n_windows and
+            # packed*v + code stays < 2^62 for any n
+            for j in range(n):
+                packed = np.unique(packed * v + codes[starts + j],
+                                   return_inverse=True)[1].astype(np.int64)
         par = parent[starts]
         order = np.lexsort((packed, par))
         ps, ks = par[order], packed[order]
@@ -225,14 +233,17 @@ def global_quantiles_disc(
     hist = bucketed_agg(
         ds.select_columns([value_col]).map_batches(partial, batch_format="pyarrow"),
         ["v"], [("c", "sum", "sum(c)")], num_buckets=agg_partitions,
-    ).to_pandas().sort_values("v")
+    ).to_pandas()
+    if len(hist) == 0:  # empty input: no rows pass any bound
+        return [0 for _ in qs]
+    hist = hist.sort_values("v")
     counts = hist["sum(c)"].to_numpy()
     values = hist["v"].to_numpy()
     cum = np.cumsum(counts)
-    total = int(cum[-1]) if len(cum) else 0
+    total = int(cum[-1])
     out = []
     for q in qs:
-        rank = int(np.ceil(q * total - 1e-9)) if total else 0
+        rank = int(np.ceil(q * total - 1e-9))
         out.append(int(values[np.searchsorted(cum, max(rank, 1))]))
     return out
 

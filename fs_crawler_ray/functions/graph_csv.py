@@ -93,7 +93,10 @@ def classify_edge_tables(
             keep = [c for c in t.column_names if not c.startswith("__")]
             return t.select(keep).append_column("category", finish_cat(src_in, dst_in))
 
-        tagged = j.map_batches(add_cat_joined, batch_format="pyarrow")
+        # materialize once: the three per-category consumers would each
+        # re-execute BOTH shuffle joins otherwise (6 joins instead of 2);
+        # the broadcast path stays lazy — its re-run is one cheap is_in map
+        tagged = j.map_batches(add_cat_joined, batch_format="pyarrow").materialize()
 
     def only(cat: str):
         return tagged.map_batches(

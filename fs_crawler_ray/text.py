@@ -440,6 +440,13 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3, shingle_k: int
         hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((docs, gkey))
         gkey, docs, hs = gkey[order], docs[order], hs[order]
+        # keep one row per (group, doc_id): duplicate doc_id inputs
+        # would otherwise XOR with themselves and emit self-pairs
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (gkey[1:] != gkey[:-1]) | (docs[1:] != docs[:-1])
+        if not keep.all():
+            order, gkey, docs, hs = order[keep], gkey[keep], docs[keep], hs[keep]
+            n = len(order)
         change = np.ones(n, dtype=bool)
         change[1:] = gkey[1:] != gkey[:-1]
         gstart = np.maximum.accumulate(np.where(change, np.arange(n), 0))

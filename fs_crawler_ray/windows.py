@@ -342,9 +342,13 @@ def range_join(
             l_take, r_take = np.zeros(0, np.int64), np.zeros(0, np.int64)
         else:
             l_codes, r_codes = codes[l_rows], codes[r_rows]
-            l_ts = _ts_i64(t[ts_col])[l_rows]
-            r_start = _ts_i64(t[start_col])[r_rows]
-            r_end = _ts_i64(t[end_col])[r_rows]
+            # subset BEFORE the int64 conversion: the union schema
+            # null-fills ts on interval rows (and start/end on left
+            # rows), and to_numpy over a null-bearing column degrades
+            # to float64 — rounding the linearized axis above 2^53
+            l_ts = _ts_i64(t[ts_col].take(pa.array(l_rows)))
+            r_start = _ts_i64(t[start_col].take(pa.array(r_rows)))
+            r_end = _ts_i64(t[end_col].take(pa.array(r_rows)))
             r_order = np.lexsort((r_start, r_codes))
             r_codes, r_start, r_end = r_codes[r_order], r_start[r_order], r_end[r_order]
             n_keys = int(codes.max()) + 1

@@ -98,6 +98,25 @@ def test_length_filter_matches_oracle(docs, docs_tbl):
         exp.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_repetition_large_vocab_no_overflow():
+    """vocab^n past int64 must take the re-ranking path, not silently
+    wrap and collide grams: 300 distinct tokens at n=8 (300^8 ≈ 6.6e19
+    > 2^63) with an all-unique token stream ⇒ n_distinct == n_grams."""
+    toks = " ".join(f"tok{i:03d}" for i in range(300))
+    ds = ray.data.from_pandas(pd.DataFrame([{"doc_id": 1, "text": toks}]))
+    out = doc_ngram_stats(ds, n=8).to_pandas()
+    assert out.loc[0, "n_grams"] == 300 - 8 + 1
+    assert out.loc[0, "n_distinct"] == out.loc[0, "n_grams"]
+
+
+def test_quantiles_empty_input():
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                      "n_chars": pd.Series([], dtype=np.int64)}))
+    assert global_quantiles_disc(empty, "n_chars", [0.05, 0.95]) == [0, 0]
+    assert len(length_percentile_filter(empty).to_pandas()) == 0
+
+
 def test_string_ids_supported():
     rows = [{"doc_id": f"url-{i}", "text": "alpha beta gamma delta epsilon"}
             for i in range(200)]

@@ -72,6 +72,21 @@ def test_simhash_near_dups():
     assert (1, 2) in pairs and (1, 5) in pairs
 
 
+def test_simhash_no_self_pairs_on_duplicate_rows():
+    """A doc_id appearing twice in the input (re-crawled row) must not
+    pair with itself: the pairs kernel keeps one row per (group, doc)."""
+    import pandas as pd
+    import ray.data
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 1, 2],
+        "text": ["alpha beta gamma delta epsilon zeta"] * 3,
+    })
+    pairs = simhash_near_dups(ray.data.from_pandas(rows), max_hamming=3).take_all()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
 def test_shingles_short_text():
     assert _shingles("one two", 3) == {"one two"}
     assert _shingles("", 3) == set()

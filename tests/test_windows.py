@@ -133,6 +133,46 @@ def test_range_join_containment_bounds():
     assert out["session_id"].dtype == np.int64
 
 
+def test_range_join_exact_above_float53():
+    """The linearized axis (key_code·span + ts) must stay int64: the
+    union schema null-fills ts on interval rows, and converting the
+    null-bearing column before subsetting degrades to float64, which
+    rounds above 2^53 and matches points to the wrong 1µs-adjacent
+    interval. 100 keys × a ~2^50 span pushes the axis to ~2^57."""
+    rng = np.random.RandomState(7)
+    SPAN = 1 << 50
+    keys, starts, ends, sids = [], [], [], []
+    l_keys, l_ts = [], []
+    sid = 0
+    for k in range(100):
+        s = np.sort(rng.randint(0, SPAN - 1000, size=3).astype(np.int64))
+        s = s + np.arange(3, dtype=np.int64) * 200  # enforce separation
+        for st_ in s:
+            keys.append(k); starts.append(int(st_)); ends.append(int(st_) + 100)
+            sids.append(sid); sid += 1
+            # probe: exact start, exact end, 1µs past the end (miss)
+            l_keys += [k, k, k]
+            l_ts += [int(st_), int(st_) + 100, int(st_) + 101]
+    left = pd.DataFrame({"k": np.array(l_keys, np.int64),
+                         "ts": np.array(l_ts, np.int64),
+                         "event_id": np.arange(len(l_ts), dtype=np.int64)})
+    ivals = pd.DataFrame({"k": np.array(keys, np.int64),
+                          "start": np.array(starts, np.int64),
+                          "end": np.array(ends, np.int64),
+                          "sid": np.array(sids, np.int64)})
+    out = range_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(ivals),
+        key="k", ts_col="ts", start_col="start", end_col="end",
+        left_cols=["event_id"], interval_cols=["sid"], num_buckets=1,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # brute-force expectation
+    exp = left.merge(ivals, on="k")
+    exp = exp[(exp["ts"] >= exp["start"]) & (exp["ts"] <= exp["end"])]
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == exp["event_id"].tolist()
+    assert out["sid"].tolist() == exp["sid"].tolist()
+
+
 def test_topk_per_group_ranks_and_block_prune():
     rng = np.random.RandomState(3)
     df = pd.DataFrame(
