@@ -953,8 +953,14 @@ class Crawler:
 
         # per-batch partial counts summed on the driver: three scalars
         # per task, so a shuffle Aggregate here only adds an all-to-all
-        # operator's fixed cost (~1.5 s) to every crawl
-        parts = ds.map_batches(classify, batch_format="pyarrow").take_all()
+        # operator's fixed cost (~1.5 s) to every crawl. Large batches:
+        # each one costs 2 scatter-gathers across ALL membership shards
+        # (16 RPCs at 8 shards), so default-sized batches are RPC-bound
+        # (measured 9.5 s → 6.2 s on 5.8M rows at 256k-row batches; a
+        # 256k batch is ~6 MB of id strings)
+        parts = ds.map_batches(
+            classify, batch_format="pyarrow", batch_size=262_144
+        ).take_all()
         return {
             "within": int(sum(r["within"] for r in parts)),
             "spanning": int(sum(r["spanning"] for r in parts)),
