@@ -383,6 +383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_rolling_hour": rel.q_events_rolling_hour,
         "q_events_error_sessions": rel.q_events_error_sessions,
         "q_top_orders_per_segment": rel.q_top_orders_per_segment,
+        "q_events_cumsum": rel.q_events_cumsum,
+        "q_events_funnel": rel.q_events_funnel,
+        "q_events_daily_users": rel.q_events_daily_users,
+        "q_events_pivot": rel.q_events_pivot,
+        "q_lineitem_rollup": rel.q_lineitem_rollup,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
@@ -627,6 +632,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us
             FROM events ORDER BY user_id, event_id
+        """,
+        "q_events_cumsum": """
+            SELECT user_id, event_id,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_cents
+            FROM events ORDER BY user_id, event_id
+        """,
+        "q_events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_depth
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 ON s1.user_id = u.user_id
+            LEFT JOIN s2 ON s2.user_id = u.user_id
+            LEFT JOIN s3 ON s3.user_id = u.user_id
+            ORDER BY u.user_id
+        """,
+        "q_events_daily_users": """
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY day
+        """,
+        "q_events_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q_lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "ann_knn_join": """
             SELECT vec_id, neighbor_id, rank FROM (

@@ -329,6 +329,125 @@ def q_lineitem_quantiles(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_events_cumsum(sf_dir: str):
+    """Per-user running spend total (windows.running_total: SUM OVER
+    PARTITION BY ... ROWS UNBOUNDED PRECEDING); integer-cents
+    accumulation so the DuckDB window oracle matches bit-for-bit."""
+    from fs_crawler_ray.windows import running_total
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = running_total(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        order_cols=["event_id"], carry_cols=["event_id"],
+    ).to_pandas()
+    return out[["user_id", "event_id", "cum_cents"]].astype(
+        {"user_id": "int64", "event_id": "int64", "cum_cents": "int64"}
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def q_events_funnel(sf_dir: str):
+    """Per-user funnel completion depth over the ordered stage sequence
+    view → click → purchase (windows.funnel; strictly-increasing ts
+    between stages), oracled by chained min-ts CTEs in DuckDB."""
+    from fs_crawler_ray.windows import funnel
+
+    ev = _t(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    out = funnel(
+        ev, key="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    ).to_pandas()
+    return out.astype({"user_id": "int64", "funnel_depth": "int64"}).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
+def q_events_daily_users(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per day: per-batch
+    local dedup of (day, user) pairs, one bucketed distinct shuffle,
+    then a tiny per-day count — the two-phase exact distinct-count every
+    engagement pipeline runs (no sketch; the pair set, not the table,
+    is what shuffles)."""
+    ev = _t(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.floor("D"))
+        return df[["day", "user_id"]].drop_duplicates()
+
+    from fs_crawler_ray.relops import bucketed_agg, distinct
+
+    pairs = distinct(ev.map_batches(to_pairs, batch_format="pandas"),
+                     ["day", "user_id"], 16)
+    out = bucketed_agg(
+        pairs, ["day"], [("user_id", "count", "n_users")], num_buckets=8
+    ).to_pandas()
+    return out.astype({"n_users": "int64"}).sort_values("day").reset_index(drop=True)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: per-user event-type counts as columns (the COUNT(*)
+    FILTER feature matrix). Per-batch conditional partials then one
+    bucketed sum — a single user-bucket shuffle of O(users × types)
+    partial rows, never the event table."""
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = _np.unique(u, return_inverse=True)
+        cols = {"user_id": pa.array(uniq)}
+        et = t["event_type"]
+        for typ in _PIVOT_TYPES:
+            m = pc.fill_null(pc.equal(et, typ), False).to_numpy(zero_copy_only=False)
+            cols[f"n_{typ}"] = pa.array(
+                _np.bincount(inv[m], minlength=len(uniq)).astype(_np.int64))
+        return pa.table(cols)
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    out = bucketed_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        [(f"n_{typ}", "sum", f"n_{typ}") for typ in _PIVOT_TYPES],
+        num_buckets=16,
+    ).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP (hierarchical grouping-sets) aggregate: (flag, status),
+    (flag), and grand-total levels in one pass — the base level is a
+    bucketed distributed aggregate; the two super-levels re-aggregate
+    its O(groups) output (driver-side by design: groups, not rows).
+    Rolled-up columns take the sentinel 'ALL' on both sides so the
+    value hash has no NULL-vs-NaN ambiguity."""
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    from fs_crawler_ray.relops import bucketed_agg
+
+    base = bucketed_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n_rows")],
+        num_buckets=8,
+    ).to_pandas()
+    lvl1 = base.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "sum_qty": [base["sum_qty"].sum()], "n_rows": [base["n_rows"].sum()],
+    })
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
 def q_events_lag(sf_dir: str):
     """Per-user inter-event gap (windows.lag_deltas: LAG window as one
     key-bucket shuffle + an across-key vectorized diff kernel); gaps in

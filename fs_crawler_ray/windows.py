@@ -483,6 +483,135 @@ def group_quantiles(
     return _bucketed(ds, group_col, num_buckets, per_bucket)
 
 
+def running_total(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+    out_name: str = "cum_cents",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key running total (``SUM(value) OVER (PARTITION BY key ORDER
+    BY ts, *order_cols ROWS UNBOUNDED PRECEDING)``) — the cumulative
+    spend / cumulative exposure feature. Values are converted to integer
+    cents with ``floor(v*100 + 0.5)`` BEFORE accumulating, so the result
+    is an exact int64 and the DuckDB oracle (same floor expression)
+    matches bit-for-bit regardless of float summation order or the
+    half-even vs half-away rounding divergence (ADVICE r02 analog).
+
+    Same shape as the other window kernels: one hash shuffle into key
+    buckets, then ONE bucket-wide sort + ONE cumsum + a per-key rebase
+    via the key-change mask — vectorized across all keys in the bucket.
+    """
+    order_cols = order_cols or []
+    carry_cols = carry_cols or []
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(
+            t, [(key, "ascending"), (ts_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        ).combine_chunks()
+        n = len(t)
+        if n == 0:
+            cols = {key: t[key], **{c: t[c] for c in carry_cols},
+                    out_name: pa.array([], pa.int64())}
+            return pa.table(cols)
+        k = _key_codes(t[key])
+        cents = np.floor(_as_f64(t[value_col]) * 100.0 + 0.5).astype(np.int64)
+        csum = np.cumsum(cents)
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(key_change)
+        gid = np.cumsum(key_change) - 1
+        # total before each key's first row, broadcast back to its rows
+        prefix_before = csum[starts] - cents[starts]
+        cum = csum - prefix_before[gid]
+        cols = {key: t[key]}
+        for c in carry_cols:
+            cols[c] = t[c]
+        cols[out_name] = pa.array(cum)
+        return pa.table(cols)
+
+    return _bucketed(ds, key, num_buckets, per_bucket)
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    depth_name: str = "funnel_depth",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Ordered-sequence (funnel) completion depth per key: stage ``i+1``
+    counts only if some row of that stage has ``ts`` STRICTLY after the
+    matched ts of stage ``i`` (the classic product-analytics funnel; no
+    reference analog — beyond-reference training/behavioral surface).
+    Emits one row per distinct key: ``(key, depth_name)`` with depth in
+    ``0..len(stages)``.
+
+    Kernel shape: one hash shuffle into key buckets; per bucket ONE sort
+    by (key, ts), then ``len(stages)`` vectorized rounds — each round is
+    one searchsorted of every still-alive key's cursor into that stage's
+    (key, ts)-linearized row axis (per-key-segment numpy fallback when
+    the linearization would overflow int64). No per-key Python at any
+    bucket size.
+    """
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(t, [(key, "ascending"), (ts_col, "ascending")]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return pa.table({key: t[key], depth_name: pa.array([], pa.int64())})
+        k = _key_codes(t[key])
+        ts = _ts_i64(t[ts_col])
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(key_change)   # code c's first row = starts[c]
+        n_keys = len(starts)
+        types = t[type_col]
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        depth = np.zeros(n_keys, dtype=np.int64)
+        cursor = np.full(n_keys, t0 - 1, dtype=np.int64)  # ts of last matched stage
+        for si, stage in enumerate(stages):
+            alive = np.flatnonzero(depth == si)
+            if len(alive) == 0:
+                break
+            m = pc.fill_null(pc.equal(types, stage), False).to_numpy(zero_copy_only=False)
+            rows = np.flatnonzero(m)
+            if len(rows) == 0:
+                break
+            sk, sts = k[rows], ts[rows]  # sorted by (key, ts): subset of a sorted table
+            if n_keys * span < 2**62:
+                adj = sk * span + (sts - t0)
+                q = alive * span + (cursor[alive] - t0 + 1)
+                pos = np.searchsorted(adj, q, side="left")
+                ok = pos < len(adj)
+                ok[ok] &= sk[pos[ok]] == alive[ok]
+            else:  # per-key-segment fallback
+                seg0 = np.searchsorted(sk, alive, side="left")
+                seg1 = np.searchsorted(sk, alive, side="right")
+                pos = np.empty(len(alive), dtype=np.int64)
+                ok = seg0 < seg1
+                for i in np.flatnonzero(ok):
+                    p = seg0[i] + np.searchsorted(
+                        sts[seg0[i]:seg1[i]], cursor[alive[i]], side="right")
+                    pos[i] = p
+                    ok[i] = p < seg1[i]
+            hit = alive[ok]
+            depth[hit] = si + 1
+            cursor[hit] = sts[pos[ok]]
+        return pa.table({
+            key: t[key].take(pa.array(starts)),
+            depth_name: pa.array(depth),
+        })
+
+    return _bucketed(ds, key, num_buckets, per_bucket)
+
+
 def lag_deltas(
     ds: ray.data.Dataset,
     key: str,

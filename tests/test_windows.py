@@ -302,3 +302,58 @@ def test_lag_deltas_per_key():
            .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
     us = 60_000_000
     assert out["delta_us"].tolist() == [-1, 5 * us, 0, -1, 57 * us]
+
+
+def test_running_total_per_key():
+    from fs_crawler_ray.windows import running_total
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_id": [10, 11, 12, 20, 21],
+        "ts": _ts(0, 5, 9, 3, 60),
+        "value": [1.25, 2.005, 0.01, 10.0, 0.0],
+    })
+    out = (running_total(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                         value_col="value", order_cols=["event_id"],
+                         carry_cols=["event_id"])
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    # cents via floor(v*100 + 0.5): 125, 201 (double(2.005)*100 =
+    # 200.50000000000003 — the same double math DuckDB's FLOOR sees), 1
+    assert out["cum_cents"].tolist() == [125, 326, 327, 1000, 1000]
+
+
+def test_funnel_strict_ordering():
+    from fs_crawler_ray.windows import funnel
+
+    # u1 completes all 3 in order; u2's purchase precedes the click
+    # (depth stalls at 2); u3 has click-at-the-same-ts-as-view (NOT
+    # strictly after -> depth 1); u4 never views (depth 0)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2, 3, 3, 4],
+        "event_type": ["view", "click", "purchase",
+                       "purchase", "view", "click",
+                       "view", "click", "click"],
+        "ts": _ts(0, 1, 2, 0, 1, 2, 5, 5, 9),
+    })
+    out = (funnel(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                  type_col="event_type", stages=["view", "click", "purchase"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 3, 4]
+    assert out["funnel_depth"].tolist() == [3, 2, 1, 0]
+
+
+def test_funnel_reuses_later_stage_rows():
+    from fs_crawler_ray.windows import funnel
+
+    # the FIRST qualifying row per stage is the cursor: u1's first
+    # click after the view is at t=3, so the purchase at t=4 counts
+    # even though an earlier purchase (t=2) does not
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "event_type": ["view", "purchase", "click", "purchase"],
+        "ts": _ts(0, 2, 3, 4),
+    })
+    out = (funnel(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                  type_col="event_type", stages=["view", "click", "purchase"])
+           .to_pandas())
+    assert out["funnel_depth"].tolist() == [3]
