@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_daily_users": rel.q_events_daily_users,
         "q_events_pivot": rel.q_events_pivot,
         "q_lineitem_rollup": rel.q_lineitem_rollup,
+        "q_customer_order_counts": rel.q_customer_order_counts,
+        "q_events_ntile": rel.q_events_ntile,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
@@ -685,6 +687,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_customer_order_counts": """
+            SELECT c.c_custkey, c.c_name,
+                   COUNT(o.o_custkey) AS n_orders,
+                   ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spent
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+        """,
+        "q_events_ntile": """
+            SELECT user_id, event_id,
+                   NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+            FROM events ORDER BY user_id, event_id
         """,
         "ann_knn_join": """
             SELECT vec_id, neighbor_id, rank FROM (

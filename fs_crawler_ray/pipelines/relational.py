@@ -448,6 +448,43 @@ def q_lineitem_rollup(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join surface: every customer with their order count
+    and spend, zero-filled for customers with no orders (the rows an
+    inner join drops). The fact side is pre-aggregated to O(customers)
+    rows BEFORE the distributed left_outer hash join, so the exchange
+    is keys, not orders."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = bucketed_agg(
+        orders, ["o_custkey"],
+        [("o_totalprice", "count", "n_orders"), ("o_totalprice", "sum", "total_spent")],
+        num_buckets=16,
+    )
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=16,
+                  on=("c_custkey",), right_on=("o_custkey",))
+    out = j.to_pandas()
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["total_spent"] = out["total_spent"].fillna(0.0).round(2)
+    return out[["c_custkey", "c_name", "n_orders", "total_spent"]].sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)
+
+
+def q_events_ntile(sf_dir: str):
+    """Per-user NTILE(4) over time order (windows.ntile: exact SQL
+    NTILE tie-out — first count%4 tiles take the extra rows)."""
+    from fs_crawler_ray.windows import ntile
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = ntile(ev, key="user_id", order_cols=["ts", "event_id"], n_tiles=4).to_pandas()
+    return out[["user_id", "event_id", "tile"]].astype(
+        {"user_id": "int64", "event_id": "int64", "tile": "int64"}
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_events_lag(sf_dir: str):
     """Per-user inter-event gap (windows.lag_deltas: LAG window as one
     key-bucket shuffle + an across-key vectorized diff kernel); gaps in

@@ -612,6 +612,56 @@ def funnel(
     return _bucketed(ds, key, num_buckets, per_bucket)
 
 
+def ntile(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    n_tiles: int,
+    out_name: str = "tile",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key NTILE(n): rows of each key, ordered by ``order_cols``,
+    split into ``n_tiles`` groups as evenly as possible — the first
+    ``count % n`` tiles get one extra row (exact SQL ``NTILE``
+    semantics). Emits every input row plus an ``out_name`` column in
+    ``1..n_tiles``.
+
+    Kernel: one key-bucket shuffle, one bucket-wide sort, then pure
+    arithmetic on the per-key (rank, count) arrays — vectorized across
+    all keys, no per-key dispatch.
+    """
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(
+            t, [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+        ).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        k = _key_codes(t[key])
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        base = np.maximum.accumulate(np.where(key_change, pos, 0))
+        rank = pos - base  # 0-based rank within key
+        starts = np.flatnonzero(key_change)
+        counts = np.diff(np.append(starts, n))
+        gid = np.cumsum(key_change) - 1
+        cnt = counts[gid]
+        big = cnt % n_tiles            # first `big` tiles have small+1 rows
+        small = cnt // n_tiles
+        split = big * (small + 1)      # rows covered by the big tiles
+        in_big = rank < split
+        tile = np.where(
+            in_big,
+            rank // np.maximum(small + 1, 1),
+            big + (rank - split) // np.maximum(small, 1),
+        ) + 1
+        return t.append_column(out_name, pa.array(tile.astype(np.int64)))
+
+    return _bucketed(ds, key, num_buckets, per_bucket)
+
+
 def lag_deltas(
     ds: ray.data.Dataset,
     key: str,

@@ -357,3 +357,19 @@ def test_funnel_reuses_later_stage_rows():
                   type_col="event_type", stages=["view", "click", "purchase"])
            .to_pandas())
     assert out["funnel_depth"].tolist() == [3]
+
+
+def test_ntile_exact_sql_semantics():
+    from fs_crawler_ray.windows import ntile
+
+    # u1: 6 rows into 4 tiles -> sizes 2,2,1,1; u2: 2 rows (< tiles)
+    # -> each row its own tile 1,2
+    df = pd.DataFrame({
+        "user_id": [1] * 6 + [2] * 2,
+        "event_id": list(range(6)) + [10, 11],
+        "ts": _ts(0, 1, 2, 3, 4, 5, 0, 1),
+    })
+    out = (ntile(ray.data.from_pandas(df), key="user_id",
+                 order_cols=["ts", "event_id"], n_tiles=4)
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert out["tile"].tolist() == [1, 1, 2, 2, 3, 4, 1, 2]
