@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_rollup": rel.q_lineitem_rollup,
         "q_customer_order_counts": rel.q_customer_order_counts,
         "q_events_ntile": rel.q_events_ntile,
+        "q_events_props_sum": rel.q_events_props_sum,
+        "q_customers_with_big_orders": rel.q_customers_with_big_orders,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
@@ -699,6 +701,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
             FROM events ORDER BY user_id, event_id
+        """,
+        "q_events_props_sum": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(json_extract_string(props, '$.k')) AS n_with_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_customers_with_big_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+            ORDER BY c_custkey
         """,
         "ann_knn_join": """
             SELECT vec_id, neighbor_id, rank FROM (

@@ -485,6 +485,48 @@ def q_events_ntile(sf_dir: str):
     ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def q_events_props_sum(sf_dir: str):
+    """Schema-on-read JSON extraction (the crawl-payload pattern:
+    typed fields pulled out of an opaque JSON column at read time) —
+    one vectorized Arrow ``extract_regex`` pass per batch, no per-row
+    json.loads, then a tiny per-type aggregate."""
+    ev = _t(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(s, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    out = bucketed_agg(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [("k", "sum", "sum_k"), ("k", "count", "n_with_k")],
+        num_buckets=4,
+    ).to_pandas()
+    return out.astype({"sum_k": "int64", "n_with_k": "int64"}).sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+def q_customers_with_big_orders(sf_dir: str):
+    """Semi join (the membership-filter shape: keep left rows whose key
+    exists in a deduped right key set; complements the anti-join
+    query)."""
+    import pyarrow.compute as _pc
+
+    from fs_crawler_ray.relops import semi_anti_join
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    okeys = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(_pc.greater(t["o_totalprice"], 250000.0)), batch_format="pyarrow"
+    ).select_columns(["o_custkey"])
+    out = semi_anti_join(cust, distinct(okeys, ["o_custkey"], 16),
+                         on="c_custkey", right_on="o_custkey", anti=False)
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_events_lag(sf_dir: str):
     """Per-user inter-event gap (windows.lag_deltas: LAG window as one
     key-bucket shuffle + an across-key vectorized diff kernel); gaps in
