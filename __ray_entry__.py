@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_ntile": rel.q_events_ntile,
         "q_events_props_sum": rel.q_events_props_sum,
         "q_customers_with_big_orders": rel.q_customers_with_big_orders,
+        "q_events_daily_type_balance": rel.q_events_daily_type_balance,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
@@ -712,6 +713,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
             ORDER BY c_custkey
+        """,
+        "q_events_daily_type_balance": """
+            WITH p AS (
+                SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), c AS (
+                SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_errors
+                FROM events WHERE event_type = 'error' GROUP BY 1
+            )
+            SELECT COALESCE(p.day, c.day) AS day,
+                   COALESCE(p.n_purchases, 0) AS n_purchases,
+                   COALESCE(c.n_errors, 0) AS n_errors
+            FROM p FULL JOIN c ON c.day = p.day ORDER BY day
         """,
         "ann_knn_join": """
             SELECT vec_id, neighbor_id, rank FROM (

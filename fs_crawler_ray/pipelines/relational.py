@@ -453,8 +453,10 @@ def q_customer_order_counts(sf_dir: str):
     and spend, zero-filled for customers with no orders (the rows an
     inner join drops). The fact side is pre-aggregated to O(customers)
     rows BEFORE the distributed left_outer hash join, so the exchange
-    is keys, not orders."""
-    from fs_crawler_ray.relops import bucketed_agg
+    is keys, not orders. Uses relops.hash_join (not Dataset.join): the
+    built-in's aggregator breaks on any one-sided shuffle partition —
+    see the hash_join docstring."""
+    from fs_crawler_ray.relops import bucketed_agg, hash_join
 
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -463,8 +465,8 @@ def q_customer_order_counts(sf_dir: str):
         [("o_totalprice", "count", "n_orders"), ("o_totalprice", "sum", "total_spent")],
         num_buckets=16,
     )
-    j = cust.join(per_cust, join_type="left_outer", num_partitions=16,
-                  on=("c_custkey",), right_on=("o_custkey",))
+    j = hash_join(cust, per_cust, on=["c_custkey"], right_on=["o_custkey"],
+                  how="left_outer", num_buckets=16)
     out = j.to_pandas()
     out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
     out["total_spent"] = out["total_spent"].fillna(0.0).round(2)
@@ -525,6 +527,38 @@ def q_customers_with_big_orders(sf_dir: str):
     out = semi_anti_join(cust, distinct(okeys, ["o_custkey"], 16),
                          on="c_custkey", right_on="o_custkey", anti=False)
     return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_events_daily_type_balance(sf_dir: str):
+    """FULL OUTER join surface (completes the join-type matrix next to
+    inner / left_outer / semi / anti / asof / range): daily purchase
+    counts against daily error counts, zero-filled on both sides so
+    days with only one kind survive. Both inputs are pre-aggregated to
+    O(days) rows before the distributed full_outer hash join."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(typ: str, out: str):
+        sub = ev.map_batches(
+            lambda t, _typ=typ: t.filter(pc.equal(t["event_type"], _typ)),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda df: df.assign(day=df["ts"].dt.floor("D"))[["day"]],
+            batch_format="pandas",
+        )
+        return bucketed_agg(sub, ["day"], [("day", "count", out)], num_buckets=4)
+
+    p, c = daily("purchase", "n_purchases"), daily("error", "n_errors")
+    from fs_crawler_ray.relops import hash_join
+
+    j = hash_join(p, c, on=["day"], how="full_outer", num_buckets=4)
+    out = j.to_pandas()
+    out["n_purchases"] = out["n_purchases"].fillna(0).astype("int64")
+    out["n_errors"] = out["n_errors"].fillna(0).astype("int64")
+    return out[["day", "n_purchases", "n_errors"]].sort_values(
+        "day"
+    ).reset_index(drop=True)
 
 
 def q_events_lag(sf_dir: str):

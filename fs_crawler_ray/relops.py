@@ -140,6 +140,120 @@ def bucketed_agg(
     ).map_groups(per_bucket, batch_format="pyarrow")
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Distributed hash join on ONE key-bucket shuffle: both sides are
+    tagged and unioned so one shuffle co-locates them, then each bucket
+    runs a single Arrow C++ ``Table.join``. ``how``: ``inner`` /
+    ``left_outer`` / ``right_outer`` / ``full_outer``.
+
+    Exists because ``Dataset.join``'s hash-shuffle aggregator builds a
+    ZERO-COLUMN table for any partition that received no rows on one
+    side and then ``pa.Table.join`` raises ``KeyError`` on the missing
+    key column — i.e. the built-in breaks whenever the key space is
+    sparse or skewed enough to leave a partition one-sided (Ray 2.49,
+    ``execution/operators/join.py:118``). Here both sides ride the same
+    bucket, so an empty side is a schema-correct empty slice and the
+    outer-join semantics survive.
+
+    Non-key output columns must be disjoint between the sides (rename
+    before joining); key columns are merged (coalesced for
+    ``full_outer``)."""
+    right_on = right_on or on
+    l_names = left.schema().names
+    r_names = right.schema().names
+    r_payload = [c for c in r_names if c not in right_on]
+    overlap = (set(l_names) - set(on)) & set(r_payload)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, got overlap: {sorted(overlap)}")
+
+    # tag + align to the union schema (typed nulls for the other side)
+    fields: dict[str, pa.DataType] = {}
+    l_sch, r_sch = left.schema(), right.schema()
+    for n, typ in zip(l_sch.names, l_sch.types):
+        fields[n] = typ
+    for n, typ in zip(r_sch.names, r_sch.types):
+        if n in fields and fields[n] != typ:
+            raise TypeError(f"column {n!r} has conflicting types {fields[n]} / {typ}")
+        fields.setdefault(n, typ)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            arrays = []
+            for name, typ in fields.items():
+                if name in t.column_names:
+                    col = t[name]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    arrays.append(col if col.type == typ else col.cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.Table.from_arrays(arrays, names=list(fields) + ["__side"])
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    # bucket LEFT rows by `on`, RIGHT rows by `right_on` (they may
+    # differ in name; the hash must agree), so one shuffle co-locates
+    # join partners
+    lo, ro = list(on), list(right_on)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(_BUCKET_COL, pa.array([], pa.int64()))
+        h = np.zeros(len(t), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, (lc, rc) in enumerate(zip(lo, ro)):
+                # the union schema null-fills the other side's key
+                # column, so coalescing yields each row's own key
+                merged = t[lc] if lc == rc else pc.coalesce(
+                    t[lc], t[rc].cast(fields[lc]))
+                h = h * np.uint64(0x9E3779B97F4A7C15) + stable_hash64(
+                    merged, seed=31 + i)
+        return t.append_column(_BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    arrow_how = {"inner": "inner", "left_outer": "left outer",
+                 "right_outer": "right outer", "full_outer": "full outer"}[how]
+    keep_l = [c for c in l_names]
+    keep_r = r_payload
+
+    out_schema = pa.schema([(c, fields[c]) for c in keep_l + keep_r])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            # empty shuffle partitions arrive as zero-column bundles
+            return out_schema.empty_table()
+        t = t.drop_columns([_BUCKET_COL])
+        side = t["__side"]
+        lt = t.filter(pc.equal(side, 0)).select(keep_l)
+        rt = t.filter(pc.equal(side, 1)).select(list(right_on) + keep_r)
+        joined = lt.join(rt, keys=list(on), right_keys=list(right_on),
+                         join_type=arrow_how, coalesce_keys=True)
+        # a right-outer coalesced key keeps the RIGHT name; map it back
+        renames = {rc: lc for lc, rc in zip(on, right_on)
+                   if rc != lc and rc in joined.column_names
+                   and lc not in joined.column_names}
+        if renames:
+            joined = joined.rename_columns(
+                [renames.get(c, c) for c in joined.column_names])
+        # stable column order regardless of join type
+        return joined.select(keep_l + keep_r)
+
+    return both.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(per_bucket, batch_format="pyarrow")
+
+
 def _add_range_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int,
                       boundaries: np.ndarray | None = None) -> ray.data.Dataset:
     """Bucket by key RANGE instead of hash — output buckets are

@@ -99,3 +99,72 @@ def test_distinct_range_boundaries_balanced_and_exact(tmp_path):
     out = distinct(_ds(df), ["cand_id"], 8, range_bucket=True,
                    range_boundaries=bounds).to_pandas()
     assert sorted(out["cand_id"]) == sorted(set(mentions))
+
+
+def test_full_outer_daily_balance_zero_fills(tmp_path):
+    """Days present on only one side must survive the full_outer join
+    with the other side's count zero-filled."""
+    import pyarrow.parquet as pq
+
+    from fs_crawler_ray.pipelines.relational import q_events_daily_type_balance
+
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(
+            [pd.Timestamp(d) for d in
+             ["2024-01-01 01:00", "2024-01-01 02:00",   # purchases only
+              "2024-01-02 03:00",                        # error only
+              "2024-01-03 04:00", "2024-01-03 05:00"]],  # one of each
+            pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(
+            ["purchase", "purchase", "error", "purchase", "error"]),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(['{"k": 1}'] * 5),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_daily_type_balance(str(tmp_path))
+    assert out["day"].dt.day.tolist() == [1, 2, 3]
+    assert out["n_purchases"].tolist() == [2, 0, 1]
+    assert out["n_errors"].tolist() == [0, 1, 1]
+
+
+def test_hash_join_all_types_survive_one_sided_partitions():
+    """Three keys over 8 buckets guarantees one-sided shuffle
+    partitions — the case where Ray's Dataset.join aggregator raises
+    KeyError on a zero-column empty side (ray 2.49 join.py:118)."""
+    from fs_crawler_ray.relops import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    right = _ds(pd.DataFrame({"rk": [2, 3, 4], "rv": [200, 300, 400]}))
+
+    def run(how):
+        out = hash_join(left, right, on=["k"], right_on=["rk"], how=how,
+                        num_buckets=8).to_pandas().sort_values("k")
+        return out.reset_index(drop=True)
+
+    inner = run("inner")
+    assert inner["k"].tolist() == [2, 3]
+    assert inner["rv"].tolist() == [200, 300]
+
+    lo = run("left_outer")
+    assert lo["k"].tolist() == [1, 2, 3]
+    assert lo["rv"].fillna(-1).tolist() == [-1, 200, 300]
+
+    ro = run("right_outer")
+    assert sorted(ro["k"].tolist()) == [2, 3, 4]       # coalesced key
+    assert ro.set_index("k")["rv"].to_dict() == {2: 200, 3: 300, 4: 400}
+
+    fo = run("full_outer")
+    assert sorted(fo["k"].tolist()) == [1, 2, 3, 4]
+    assert fo.set_index("k")["lv"].fillna(-1).to_dict() == {1: 10, 2: 20, 3: 30, 4: -1}
+
+
+def test_hash_join_rejects_overlapping_payload_columns():
+    from fs_crawler_ray.relops import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1], "v": [1]}))
+    right = _ds(pd.DataFrame({"k": [1], "v": [2]}))
+    import pytest
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(left, right, on=["k"], how="inner")
