@@ -465,8 +465,14 @@ def q_customer_order_counts(sf_dir: str):
         [("o_totalprice", "count", "n_orders"), ("o_totalprice", "sum", "total_spent")],
         num_buckets=16,
     )
-    j = hash_join(cust, per_cust, on=["c_custkey"], right_on=["o_custkey"],
-                  how="left_outer", num_buckets=16)
+    j = hash_join(
+        cust, per_cust, on=["c_custkey"], right_on=["o_custkey"],
+        how="left_outer", num_buckets=16,
+        # explicit: schema() on the shuffle output would run the agg twice
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_orders", pa.int64()),
+                                ("total_spent", pa.float64())]),
+    )
     out = j.to_pandas()
     out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
     out["total_spent"] = out["total_spent"].fillna(0.0).round(2)
@@ -552,7 +558,11 @@ def q_events_daily_type_balance(sf_dir: str):
     p, c = daily("purchase", "n_purchases"), daily("error", "n_errors")
     from fs_crawler_ray.relops import hash_join
 
-    j = hash_join(p, c, on=["day"], how="full_outer", num_buckets=4)
+    def _sch(out):  # both sides come out of a shuffle: give types up front
+        return pa.schema([("day", pa.timestamp("ns")), (out, pa.int64())])
+
+    j = hash_join(p, c, on=["day"], how="full_outer", num_buckets=4,
+                  left_schema=_sch("n_purchases"), right_schema=_sch("n_errors"))
     out = j.to_pandas()
     out["n_purchases"] = out["n_purchases"].fillna(0).astype("int64")
     out["n_errors"] = out["n_errors"].fillna(0).astype("int64")

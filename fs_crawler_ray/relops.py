@@ -147,6 +147,8 @@ def hash_join(
     right_on: list[str] | None = None,
     how: str = "inner",
     num_buckets: int = 16,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distributed hash join on ONE key-bucket shuffle: both sides are
     tagged and unioned so one shuffle co-locates them, then each bucket
@@ -164,10 +166,15 @@ def hash_join(
 
     Non-key output columns must be disjoint between the sides (rename
     before joining); key columns are merged (coalesced for
-    ``full_outer``)."""
+    ``full_outer``). Pass ``left_schema``/``right_schema`` when a side
+    comes out of a shuffle (groupby/map_groups): ``Dataset.schema()``
+    on such a side executes its whole upstream plan just to learn the
+    column types — at scale that is a full extra pass."""
     right_on = right_on or on
-    l_names = left.schema().names
-    r_names = right.schema().names
+    l_sch = left_schema if left_schema is not None else left.schema()
+    r_sch = right_schema if right_schema is not None else right.schema()
+    l_names = list(l_sch.names)
+    r_names = list(r_sch.names)
     r_payload = [c for c in r_names if c not in right_on]
     overlap = (set(l_names) - set(on)) & set(r_payload)
     if overlap:
@@ -175,7 +182,6 @@ def hash_join(
 
     # tag + align to the union schema (typed nulls for the other side)
     fields: dict[str, pa.DataType] = {}
-    l_sch, r_sch = left.schema(), right.schema()
     for n, typ in zip(l_sch.names, l_sch.types):
         fields[n] = typ
     for n, typ in zip(r_sch.names, r_sch.types):
