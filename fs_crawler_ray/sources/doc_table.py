@@ -41,6 +41,13 @@ def read_documents(path: str, **kwargs) -> "ray.data.Dataset":
 
     if _is_lance(path):
         return ray.data.read_lance(path, **kwargs)
+    if _is_jsonl(path):
+        # raw crawl dumps: ray.data.read_json streams JSONL per block.
+        # `columns` is a read_parquet-ism — emulate with a projection
+        # (JSONL has no column pruning at the byte level anyway).
+        columns = kwargs.pop("columns", None)
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return st.read_parquet(path, **kwargs)
 
 
@@ -231,6 +238,10 @@ class LanceRangeStore:
 
 def _is_lance(path: str) -> bool:
     return path.rstrip("/").endswith(".lance")
+
+
+def _is_jsonl(path: str) -> bool:
+    return path.rstrip("/").endswith((".jsonl", ".json"))
 
 
 @lru_cache(maxsize=8)

@@ -168,3 +168,21 @@ def test_hash_join_rejects_overlapping_payload_columns():
     import pytest
     with pytest.raises(ValueError, match="disjoint"):
         hash_join(left, right, on=["k"], how="inner")
+
+
+def test_hash_join_null_keys_follow_sql_semantics():
+    """NULL keys never match (SQL three-valued equality) but outer
+    joins still keep the null-key rows with a null other side."""
+    from fs_crawler_ray.relops import hash_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, None, 3], pa.int64()), "lv": [10, 20, 30]}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, None], pa.int64()), "rv": [100, 200]}))
+
+    inner = hash_join(left, right, on=["k"], how="inner", num_buckets=4).to_pandas()
+    assert inner.to_dict("records") == [{"k": 1, "lv": 10, "rv": 100}]
+
+    fo = hash_join(left, right, on=["k"], how="full_outer", num_buckets=4).to_pandas()
+    assert len(fo) == 4  # 1-match + left null + left 3 + right null
+    assert fo["lv"].notna().sum() == 3 and fo["rv"].notna().sum() == 2

@@ -93,3 +93,26 @@ def test_lance_routing_is_suffix_gated():
     assert _is_lance("/data/documents.lance")
     assert _is_lance("s3://bucket/corpus/documents.lance/")
     assert not _is_lance("/data/documents.parquet")
+
+
+def test_jsonl_documents_read_matches_parquet(tmp_path_factory, ray_session):
+    """read_documents routes *.jsonl through ray.data.read_json and
+    returns the same rows the parquet path does (raw-crawl-dump
+    ingestion), including the emulated `columns` projection."""
+    import pyarrow.parquet as pq
+
+    from fs_crawler_ray.sources.doc_table import read_documents
+
+    d = tmp_path_factory.mktemp("jsonl")
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text", "lang", "n_chars"])
+    jsonl_path = str(d / "documents.jsonl")
+    tbl.to_pandas().to_json(jsonl_path, orient="records", lines=True)
+
+    cols = ["doc_id", "lang", "n_chars"]  # exercise the projection too
+    got = read_documents(jsonl_path, columns=cols).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    exp = tbl.select(cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == cols
+    for c in cols:
+        assert got[c].tolist() == exp[c].tolist()
