@@ -212,10 +212,17 @@ def run_bench() -> dict:
             "text": flat.field("text").take(idx),
         })
 
+    # Three passes (analysis, decontamination, repetition stats) read
+    # the same narrative projection: materialize it ONCE so each pass
+    # starts from object-store blocks instead of re-running the
+    # parquet read + span flatten (the projection is O(docs) rows of
+    # text — the multi-pass-curation reuse pattern, not a mid-pipeline
+    # materialization of unbounded data). The timed window includes the
+    # shared projection cost.
+    t0 = time.time()
     corpus_docs = ray.data.read_parquet(info.documents_path).map_batches(
         _narrative_rows, batch_format="pyarrow"
-    )
-    t0 = time.time()
+    ).materialize()
     n_analyzed = _analyze(corpus_docs).count()
     queries["corpus_text_analysis"] = round(time.time() - t0, 3)
     extras["analyzed_docs_per_sec"] = round(n_analyzed / queries["corpus_text_analysis"], 2)

@@ -75,6 +75,39 @@ def _batch_ngrams(texts: pa.Array | pa.ChunkedArray, n: int):
     return grams.take(pa.array(starts)), parent[starts]
 
 
+_WMIX = np.uint64(0x100000001B3)  # FNV prime: positional window mix
+
+
+def _token_hashes(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit hash per token, computed by dictionary-encoding the token
+    stream (one Arrow C++ pass) and hashing only the VOCABULARY —
+    ``stable_hash64`` over 30M raw strings would build a unicode matrix
+    bigger than the batch; over the few-thousand-word vocabulary it is
+    free, and the per-token value is a single gather."""
+    from fs_crawler_ray.ids import stable_hash64
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return stable_hash64(enc.dictionary)[codes]
+
+
+def _window_hashes(flat: pa.Array, starts: np.ndarray, L: int, n: int) -> np.ndarray:
+    """Combined 64-bit hash per n-token window WITHOUT materializing the
+    joined gram strings: per-token hashes (vocabulary-hashed, see
+    :func:`_token_hashes`), then ``n`` shifted multiply-adds. Collisions
+    are possible (~1e-5 per 30M windows), so callers must STRING-verify
+    hash hits before reporting — the prefilter only bounds how many
+    strings get built."""
+    th = _token_hashes(flat)
+    with np.errstate(over="ignore"):
+        h = np.zeros(L, dtype=np.uint64)
+        for j in range(n):
+            h = h * _WMIX + th[j:j + L]
+    return h[starts]
+
+
 def eval_ngram_set(
     ds: ray.data.Dataset,
     n: int = 8,
@@ -103,30 +136,74 @@ def eval_ngram_set(
     return pc.unique(pa.concat_tables(batches)["gram"].combine_chunks())
 
 
+def _gram_hashes(grams: pa.Array) -> np.ndarray:
+    """Window hashes of already-joined gram strings, computed the same
+    way :func:`_window_hashes` combines token hashes — split each gram
+    back into its tokens and fold. Runs once over the (small) eval set
+    on the driver."""
+    if len(grams) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    toks = pc.split_pattern(grams, " ")
+    flat = toks.flatten()
+    th = _token_hashes(flat)
+    offs = np.zeros(len(grams) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64))
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(grams), dtype=np.uint64)
+        width = int((offs[1:] - offs[:-1]).max())
+        for j in range(width):
+            idx = offs[:-1] + j
+            active = idx < offs[1:]
+            hj = th[np.minimum(idx, len(th) - 1)]
+            h = np.where(active, h * _WMIX + hj, h)
+    return h
+
+
 class _ContaminationFlagger:
     """Actor-pool stage: holds the broadcast eval n-gram set (fetched
     once per actor in ``__init__``, not per batch) and counts, per
-    document, how many of its n-gram POSITIONS hit the eval set."""
+    document, how many of its n-gram POSITIONS hit the eval set.
+
+    Two-stage match: a sorted-uint64 searchsorted over combined
+    token-hash window hashes prefilters the corpus positions (no gram
+    STRING is ever built for the non-matching ~100%), then the few
+    hash-hits are string-verified against the eval gram set — the
+    reported hits are exact, the hash only bounds the string work."""
 
     def __init__(self, gram_ref, n: int, eval_mod: int):
-        self._grams = ray.get(gram_ref)
+        self._grams, self._hashes = ray.get(gram_ref)  # strings, sorted u64
         self._n = n
         self._mod = eval_mod
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
         id_type = _id_arrow_type(df["doc_id"])
         df = df[~_eval_mask(df["doc_id"], self._mod)]
-        grams, parent = _batch_ngrams(
-            pa.array(df["text"], type=pa.string()), self._n)
         empty = pa.table({"doc_id": pa.array([], type=id_type),
                           "n_hits": pa.array([], type=pa.int64())})
-        if len(grams) == 0:
+        n = self._n
+        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        L = len(flat) - n + 1
+        if L <= 0 or len(self._hashes) == 0:
             return empty
-        hit = pc.is_in(grams, value_set=self._grams).to_numpy(zero_copy_only=False)
-        if not hit.any():
+        ok = parent[:L] == parent[n - 1:]
+        if not ok.any():
+            return empty
+        starts = np.flatnonzero(ok)
+        wh = _window_hashes(flat, starts, L, n)
+        pos = np.searchsorted(self._hashes, wh)
+        cand = self._hashes[np.minimum(pos, len(self._hashes) - 1)] == wh
+        if not cand.any():
+            return empty
+        cs = starts[cand]
+        # build gram strings ONLY at hash-hit positions, verify exactly
+        g = pc.binary_join_element_wise(
+            *[flat.take(pa.array(cs + j)) for j in range(n)], " ")
+        verified = pc.is_in(g, value_set=self._grams).to_numpy(zero_copy_only=False)
+        if not verified.any():
             return empty
         ids = df["doc_id"].to_numpy()
-        hits_per_doc = np.bincount(parent[hit], minlength=len(ids))
+        hits_per_doc = np.bincount(parent[cs[verified]], minlength=len(ids))
         nz = np.flatnonzero(hits_per_doc)
         return pa.table({"doc_id": pa.array(ids[nz], type=id_type),
                          "n_hits": pa.array(hits_per_doc[nz], type=pa.int64())})
@@ -143,7 +220,8 @@ def decontaminate(
     eval slice. ``n_hits`` counts contaminated n-gram positions (each
     position matches at most one DISTINCT eval gram, so this equals the
     SQL join cardinality). The corpus pass is shuffle-free."""
-    gram_ref = ray.put(eval_ngram_set(ds, n=n, eval_mod=eval_mod))
+    grams = eval_ngram_set(ds, n=n, eval_mod=eval_mod)
+    gram_ref = ray.put((grams, np.sort(_gram_hashes(grams))))
     # autoscaling pool (1, N): a FIXED pool of N actors deadlocks when
     # N == cluster CPUs (the actors pin every slot and the upstream
     # parquet-read task can never schedule); starting at 1 leaves the
