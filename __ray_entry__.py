@@ -704,10 +704,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY user_id, event_id
         """,
         "q_events_props_sum": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
+                            AS BIGINT) AS k
+                FROM events
+            )
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   COUNT(json_extract_string(props, '$.k')) AS n_with_k
-            FROM events GROUP BY event_type ORDER BY event_type
+                   COALESCE(SUM(k), 0) AS sum_k,
+                   COUNT(k) AS n_with_k
+            FROM x GROUP BY event_type ORDER BY event_type
         """,
         "q_customers_with_big_orders": """
             SELECT c_custkey, c_name FROM customer

@@ -494,10 +494,14 @@ def q_events_ntile(sf_dir: str):
 
 
 def q_events_props_sum(sf_dir: str):
-    """Schema-on-read JSON extraction (the crawl-payload pattern:
-    typed fields pulled out of an opaque JSON column at read time) —
-    one vectorized Arrow ``extract_regex`` pass per batch, no per-row
-    json.loads, then a tiny per-type aggregate."""
+    """Schema-on-read field extraction from an opaque JSON-ish payload
+    column (the crawl-payload fast path): one vectorized Arrow
+    ``extract_regex`` pass per batch — no per-row json.loads — then a
+    tiny per-type aggregate. The oracle uses the SAME regex
+    (``regexp_extract``), so the operator's contract is explicitly
+    "regex field pull", not a JSON-path walk: on nested objects the two
+    would diverge. Groups where no row matches keep ``sum_k = 0``
+    (COALESCE on both sides — a null sum would crash the int64 cast)."""
     ev = _t(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
@@ -513,6 +517,7 @@ def q_events_props_sum(sf_dir: str):
         [("k", "sum", "sum_k"), ("k", "count", "n_with_k")],
         num_buckets=4,
     ).to_pandas()
+    out["sum_k"] = out["sum_k"].fillna(0)
     return out.astype({"sum_k": "int64", "n_with_k": "int64"}).sort_values(
         "event_type"
     ).reset_index(drop=True)
@@ -543,7 +548,10 @@ def q_events_daily_type_balance(sf_dir: str):
     O(days) rows before the distributed full_outer hash join."""
     from fs_crawler_ray.relops import bucketed_agg
 
-    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+    # one scan: both daily() sides fork from the materialized 2-column
+    # projection (bounded by the projection, spillable) instead of each
+    # re-reading the events table
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"]).materialize()
 
     def daily(typ: str, out: str):
         sub = ev.map_batches(

@@ -153,7 +153,9 @@ def hash_join(
     """Distributed hash join on ONE key-bucket shuffle: both sides are
     tagged and unioned so one shuffle co-locates them, then each bucket
     runs a single Arrow C++ ``Table.join``. ``how``: ``inner`` /
-    ``left_outer`` / ``right_outer`` / ``full_outer``.
+    ``left_outer`` / ``right_outer`` / ``full_outer`` / ``left_semi`` /
+    ``left_anti`` (semi/anti emit left columns only; the right side is
+    reduced to its key columns before the shuffle).
 
     Exists because ``Dataset.join``'s hash-shuffle aggregator builds a
     ZERO-COLUMN table for any partition that received no rows on one
@@ -171,12 +173,21 @@ def hash_join(
     on such a side executes its whole upstream plan just to learn the
     column types — at scale that is a full extra pass."""
     right_on = right_on or on
+    semi_anti = how in ("left_semi", "left_anti")
+    if semi_anti:
+        right = right.select_columns(list(right_on))
+        right_schema = None  # key-only side: derive from the projection
     l_sch = left_schema if left_schema is not None else left.schema()
     r_sch = right_schema if right_schema is not None else right.schema()
     l_names = list(l_sch.names)
     r_names = list(r_sch.names)
     r_payload = [c for c in r_names if c not in right_on]
-    overlap = (set(l_names) - set(on)) & set(r_payload)
+    # a right payload column named like ANY left column (key or payload)
+    # would merge into the wrong field; same for a left payload column
+    # named like a right key — reject both up front instead of failing
+    # inside a shuffle task
+    overlap = (set(r_payload) & set(l_names)) | (
+        (set(l_names) - set(on)) & set(right_on))
     if overlap:
         raise ValueError(f"non-key columns must be disjoint, got overlap: {sorted(overlap)}")
 
@@ -191,6 +202,11 @@ def hash_join(
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            extra = set(t.column_names) - set(fields)
+            if extra:  # a wrong schema hint would silently null a column
+                raise ValueError(
+                    f"hash_join side {side}: columns {sorted(extra)} not in "
+                    f"the declared schema {list(fields)}")
             n = len(t)
             arrays = []
             for name, typ in fields.items():
@@ -229,9 +245,10 @@ def hash_join(
         return t.append_column(_BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
     arrow_how = {"inner": "inner", "left_outer": "left outer",
-                 "right_outer": "right outer", "full_outer": "full outer"}[how]
+                 "right_outer": "right outer", "full_outer": "full outer",
+                 "left_semi": "left semi", "left_anti": "left anti"}[how]
     keep_l = [c for c in l_names]
-    keep_r = r_payload
+    keep_r = [] if semi_anti else r_payload
 
     out_schema = pa.schema([(c, fields[c]) for c in keep_l + keep_r])
 
@@ -393,12 +410,15 @@ def semi_anti_join(
         if not keys:
             return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow") if not anti else ds
         return broadcast_semi_join(ds, keys, on, anti=anti)
-    return ds.join(
-        right.select_columns([right_on]),
-        join_type="left_anti" if anti else "left_semi",
-        num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,),
+    # large-key-set fallback: our bucketed hash_join, NOT Dataset.join —
+    # the built-in's aggregator KeyErrors on one-sided shuffle
+    # partitions (see hash_join's docstring), which a filtered left vs
+    # a >BROADCAST_LIMIT right key set can easily produce
+    return hash_join(
+        ds, right.select_columns([right_on]),
+        on=[on], right_on=[right_on],
+        how="left_anti" if anti else "left_semi",
+        num_buckets=num_partitions,
     )
 
 
@@ -418,8 +438,11 @@ def lookup_join(
         rdf = right.to_pandas()
         out = broadcast_lookup_join(ds, rdf, on=on, right_on=right_on, how="left" if how != "inner" else "inner")
         return out
-    return ds.join(right, join_type="inner" if how == "inner" else "left_outer",
-                   num_partitions=num_partitions, on=(on,), right_on=(right_on,))
+    # same fallback rationale as semi_anti_join: the bucketed hash_join
+    # survives one-sided shuffle partitions where Dataset.join raises
+    return hash_join(ds, right, on=[on], right_on=[right_on],
+                     how="inner" if how == "inner" else "left_outer",
+                     num_buckets=num_partitions)
 
 
 def count_rows(ds: ray.data.Dataset) -> int:

@@ -186,3 +186,41 @@ def test_hash_join_null_keys_follow_sql_semantics():
     fo = hash_join(left, right, on=["k"], how="full_outer", num_buckets=4).to_pandas()
     assert len(fo) == 4  # 1-match + left null + left 3 + right null
     assert fo["lv"].notna().sum() == 3 and fo["rv"].notna().sum() == 2
+
+
+def test_hash_join_semi_anti():
+    from fs_crawler_ray.relops import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]}))
+    right = _ds(pd.DataFrame({"rk": [2, 4, 9], "junk": ["a", "b", "c"]}))
+
+    semi = hash_join(left, right, on=["k"], right_on=["rk"], how="left_semi",
+                     num_buckets=8).to_pandas().sort_values("k")
+    assert semi["k"].tolist() == [2, 4]
+    assert list(semi.columns) == ["k", "lv"]  # right payload dropped
+
+    anti = hash_join(left, right, on=["k"], right_on=["rk"], how="left_anti",
+                     num_buckets=8).to_pandas().sort_values("k")
+    assert anti["k"].tolist() == [1, 3]
+
+
+def test_hash_join_rejects_right_payload_named_like_left_key():
+    from fs_crawler_ray.relops import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1], "x": [1]}))
+    right = _ds(pd.DataFrame({"rk": [1], "k": [9]}))  # payload shadows left key
+    import pytest
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(left, right, on=["k"], right_on=["rk"], how="inner")
+
+
+def test_hash_join_rejects_wrong_schema_hint():
+    from fs_crawler_ray.relops import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1], "lv": [1]}))
+    right = _ds(pd.DataFrame({"rk": [1], "rv": [2]}))
+    import pytest
+    bad = pa.schema([("rk", pa.int64()), ("rv_typo", pa.int64())])
+    with pytest.raises(Exception, match="not in the declared schema"):
+        hash_join(left, right, on=["k"], right_on=["rk"], how="inner",
+                  right_schema=bad).to_pandas()
