@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_props_sum": rel.q_events_props_sum,
         "q_customers_with_big_orders": rel.q_customers_with_big_orders,
         "q_events_daily_type_balance": rel.q_events_daily_type_balance,
+        "q_events_retention": rel.q_events_retention,
         # --- training-data ops: dedup / text / ANN / multimodal -------
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_counts": _docs_token_counts,
@@ -732,6 +733,19 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_purchases, 0) AS n_purchases,
                    COALESCE(c.n_errors, 0) AS n_errors
             FROM p FULL JOIN c ON c.day = p.day ORDER BY day
+        """,
+        "q_events_retention": """
+            WITH wk AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                      date_trunc('day', ts)) // 7 AS BIGINT) AS week
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, MIN(week) AS cohort FROM wk GROUP BY user_id
+            )
+            SELECT c.cohort, wk.week, COUNT(*) AS n_users
+            FROM wk JOIN c ON c.user_id = wk.user_id
+            GROUP BY c.cohort, wk.week ORDER BY cohort, week
         """,
         "ann_knn_join": """
             SELECT vec_id, neighbor_id, rank FROM (

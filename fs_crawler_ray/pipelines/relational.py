@@ -579,6 +579,44 @@ def q_events_daily_type_balance(sf_dir: str):
     ).reset_index(drop=True)
 
 
+_RETENTION_ANCHOR = pd.Timestamp("2024-01-01")
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention: users bucketed into weekly cohorts by their
+    FIRST active week, counted in every later week they return — the
+    classic engagement matrix. Shape: per-batch (user, week) pair dedup
+    → bucketed distinct → per-user min-week (cohort) → hash_join of the
+    O(users×weeks) pair set against the O(users) cohort table → tiny
+    (cohort, week) count. Nothing bigger than the distinct pair set
+    ever shuffles. Restricted to the conversion event (purchases) so
+    the sf0.01 cohort matrix is non-degenerate (2 cohorts × weeks, not
+    one everyone-active-week-0 row)."""
+    from fs_crawler_ray.relops import bucketed_agg, distinct, hash_join
+
+    ev = _t(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        days = (df["ts"].dt.floor("D") - _RETENTION_ANCHOR).dt.days
+        df = df.assign(week=(days // 7).astype("int64"))
+        return df[["user_id", "week"]].drop_duplicates()
+
+    pairs = distinct(ev.map_batches(to_pairs, batch_format="pandas"),
+                     ["user_id", "week"], 16)
+    cohort = bucketed_agg(pairs, ["user_id"], [("week", "min", "cohort")],
+                          num_buckets=16)
+    j = hash_join(
+        pairs, cohort, on=["user_id"], how="inner", num_buckets=16,
+        left_schema=pa.schema([("user_id", pa.int64()), ("week", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("cohort", pa.int64())]),
+    )
+    out = bucketed_agg(j, ["cohort", "week"], [("week", "count", "n_users")],
+                       num_buckets=8).to_pandas()
+    return out.astype({"cohort": "int64", "week": "int64", "n_users": "int64"}
+                      ).sort_values(["cohort", "week"]).reset_index(drop=True)
+
+
 def q_events_lag(sf_dir: str):
     """Per-user inter-event gap (windows.lag_deltas: LAG window as one
     key-bucket shuffle + an across-key vectorized diff kernel); gaps in
