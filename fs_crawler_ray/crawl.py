@@ -939,8 +939,13 @@ class Crawler:
         sm = self.sm
 
         def classify(batch: pa.Table) -> pa.Table:
-            src_in = sm.contains(VISITED, as_key_array(batch["source"]))
-            dst_in = sm.contains(VISITED, as_key_array(batch["destination"]))
+            # ONE scatter-gather for both endpoints: concatenate the
+            # source+destination keys, split the result — halves the
+            # per-batch membership RPC count (8 RPCs at 8 shards, not 16)
+            n = len(batch)
+            both = sm.contains(VISITED, np.concatenate([
+                as_key_array(batch["source"]), as_key_array(batch["destination"])]))
+            src_in, dst_in = both[:n], both[n:]
             within = int((src_in & dst_in).sum())
             frontier = int((~src_in & ~dst_in).sum())
             return pa.table(
