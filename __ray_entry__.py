@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated": _docs_decontaminated,
         "docs_repetition": _docs_repetition,
         "docs_length_filtered": _docs_length_filtered,
+        # --- r3 wave 7: link analysis + behavioral windows -------------
+        "graph_degree_hist": cq.graph_degree_hist,
+        "graph_pagerank": cq.graph_pagerank,
+        "q_events_moving_sum": rel.q_events_moving_sum,
+        "q_events_top_type_per_user": rel.q_events_top_type_per_user,
+        "q_events_median_gap": rel.q_events_median_gap,
     }
 
 
@@ -768,5 +774,35 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM q CROSS JOIN embeddings e
             ) WHERE rn <= {ANN_K}
+        """,
+        "graph_degree_hist": osql.graph_degree_hist(d),
+        "graph_pagerank": osql.graph_pagerank(d, iters=5),
+        "q_events_moving_sum": """
+            SELECT user_id, event_id,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_cents
+            FROM events ORDER BY user_id, event_id
+        """,
+        "q_events_top_type_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type AS top_type, cnt FROM c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY cnt DESC, event_type) = 1
+            ORDER BY user_id
+        """,
+        "q_events_median_gap": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+                FROM events
+            )
+            SELECT user_id, quantile_disc(delta_us, 0.5) AS median_gap_us
+            FROM d WHERE delta_us IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
     }

@@ -1,0 +1,130 @@
+"""Graph analytics over an edge table: degree distribution and a
+fixed-iteration PageRank — the link-analysis surface a web-scale crawl
+feeds (quality priors for training-data selection, crawl-frontier
+prioritization). Beyond-reference training-data components (no
+reference analog; the reference stops at building the adjacency
+matrix, ``rel_db_reader.py``).
+
+Design notes for the 100 TB case:
+
+- The edge table is the big side; every stage below touches it only
+  through hash-bucketed shuffles (``relops``) or map-only passes — no
+  driver materialization, no all-pairs work.
+- PageRank runs in SCALED-INTEGER arithmetic: ranks are int64 in units
+  of ``scale/V``, shares are ``r // outdeg``, and the damping update is
+  ``((100-d)*base)//100 + (d*sum_shares)//100``.  Integer addition is
+  exactly associative, so the result is bit-identical regardless of
+  summation order — which makes a 5-iteration PageRank *strictly
+  oracle-checkable* against an unrolled DuckDB CTE (float PageRank can
+  never be hash-compared across engines; the quantization error vs
+  float PageRank is < V/scale per vertex per iteration).
+- The per-iteration rank table is O(V) — tiny next to the edges — so
+  the edges×shares join goes through :func:`relops.lookup_join`, which
+  broadcasts the rank side below ``BROADCAST_LIMIT`` and degrades to
+  the bucketed shuffle join above it (the standard scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from fs_crawler_ray.relops import bucketed_agg, distinct, lookup_join
+
+
+def _project(ds: ray.data.Dataset, col: str, out: str) -> ray.data.Dataset:
+    return ds.map_batches(lambda t: pa.table({out: t[col]}), batch_format="pyarrow")
+
+
+def degree_histogram(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Total-degree histogram over the DISTINCT directed edge set:
+    ``degree(v) = outdeg(v) + indeg(v)`` → ``(degree, n_vertices)``.
+    Three bucketed shuffles, each strictly smaller than the last
+    (edges → per-vertex degree → per-degree count); all-integer output.
+    """
+    e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets)
+    ends = _project(e, src, "v").union(_project(e, dst, "v"))
+    deg = bucketed_agg(ends, ["v"], [("v", "count", "degree")], num_buckets)
+    hist = bucketed_agg(deg, ["degree"], [("v", "count", "n_vertices")], 8)
+    return hist
+
+
+def pagerank_scaled(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank in scaled-integer arithmetic (see the
+    module docstring for why integers): returns ``(id, rank_scaled)``
+    with ``rank_scaled ≈ pagerank(id) * scale``.
+
+    Per iteration: shares ``r // outdeg`` (map-only over the O(V) state),
+    one edges×shares join (broadcast below ``BROADCAST_LIMIT``, bucketed
+    shuffle above), one bucketed sum per destination, one O(V) state
+    join. Sink mass (vertices with no out-edges) is dropped, identically
+    on both engines — the spec IS the oracle SQL's unrolled CTE.
+    """
+    e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets).materialize()
+    verts = distinct(
+        _project(e, src, "id").union(_project(e, dst, "id")), ["id"], num_buckets
+    ).materialize()
+    n_v = verts.count()
+    if n_v == 0:
+        return verts
+    base = scale // n_v
+    tele = ((100 - damping_pct) * base) // 100
+
+    outdeg = bucketed_agg(e, [src], [(dst, "count", "outdeg")], num_buckets)
+    state = lookup_join(verts, outdeg, on="id", right_on=src, how="left")
+
+    def init(t: pa.Table) -> pa.Table:
+        od = pc.coalesce(t["outdeg"], pa.scalar(0, pa.int64())).cast(pa.int64())
+        return pa.table({
+            "id": t["id"], "outdeg": od,
+            "r": pa.array(np.full(len(t), base, dtype=np.int64)),
+        })
+
+    state = state.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        def shares_fn(t: pa.Table) -> pa.Table:
+            od = t["outdeg"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False)
+            keep = od > 0
+            return pa.table({
+                "id": t["id"].filter(pa.array(keep)),
+                "share": pa.array(r[keep] // od[keep]),
+            })
+
+        shares = state.map_batches(shares_fn, batch_format="pyarrow")
+        contrib = lookup_join(e, shares, on=src, right_on="id", how="inner")
+        sums = bucketed_agg(contrib, [dst], [("share", "sum", "s")], num_buckets)
+        joined = lookup_join(state.select_columns(["id", "outdeg"]), sums,
+                             on="id", right_on=dst, how="left")
+
+        def update(t: pa.Table) -> pa.Table:
+            s = pc.coalesce(t["s"], pa.scalar(0, pa.int64())).cast(pa.int64())
+            s_np = s.to_numpy(zero_copy_only=False)
+            r = tele + (damping_pct * s_np) // 100
+            return pa.table({
+                "id": t["id"],
+                "outdeg": t["outdeg"].cast(pa.int64()),
+                "r": pa.array(r.astype(np.int64)),
+            })
+
+        state = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"id": t["id"], "rank_scaled": t["r"]}),
+        batch_format="pyarrow")

@@ -258,6 +258,45 @@ def span_edges(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _span_edges_ds(sf_dir: str) -> ray.data.Dataset:
+    """The parsed child→parent edge stream as a Dataset (the graph the
+    link-analysis queries run over)."""
+    from fs_crawler_ray.stages.parse import parse_documents
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    rec = ds.map_batches(parse_documents, batch_format="pyarrow")
+    return rec.map_batches(
+        lambda t: t.filter(pc.equal(t["rec_kind"], "edge")).select(
+            ["source", "destination"]),
+        batch_format="pyarrow",
+    )
+
+
+def graph_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Total-degree histogram of the parsed relationship graph
+    (graph.degree_histogram): distinct directed edges → per-vertex
+    in+out degree → (degree, n_vertices). All-integer output."""
+    from fs_crawler_ray.graph import degree_histogram
+
+    out = degree_histogram(_span_edges_ds(sf_dir)).to_pandas()
+    return out.astype({"degree": "int64", "n_vertices": "int64"}).sort_values(
+        "degree").reset_index(drop=True)
+
+
+def graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed 5-iteration PageRank over the parsed relationship graph in
+    scaled-integer arithmetic (graph.pagerank_scaled) — bit-exact vs the
+    unrolled DuckDB CTE oracle because every update is an int64
+    floor-divide/sum (integer addition is order-independent, float
+    addition is not)."""
+    from fs_crawler_ray.graph import pagerank_scaled
+
+    out = pagerank_scaled(_span_edges_ds(sf_dir), iters=5).to_pandas()
+    return out[["id", "rank_scaled"]].astype({"rank_scaled": "int64"}).sort_values(
+        "id").reset_index(drop=True)
+
+
 def span_media(sf_dir: str) -> pd.DataFrame:
     from fs_crawler_ray.stages.parse import parse_documents
 

@@ -455,6 +455,57 @@ WHERE u.kind = 'child_parent'
 """
 
 
+def _distinct_edges_cte(docs: str) -> str:
+    """Shared CTE: the DISTINCT directed child→parent edge set parsed
+    from the corpus spans (same extraction as :func:`span_edges`)."""
+    return f"""
+WITH raw AS (
+  SELECT split_part(u.text,'|',1) AS source,
+         split_part(u.text,'|',2) AS destination
+  FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{docs}'))
+  WHERE u.kind = 'child_parent'
+), e AS (SELECT DISTINCT source, destination FROM raw)
+"""
+
+
+def graph_degree_hist(docs: str) -> str:
+    return _distinct_edges_cte(docs) + """
+, ends AS (SELECT source AS v FROM e UNION ALL SELECT destination AS v FROM e),
+deg AS (SELECT v, COUNT(*) AS degree FROM ends GROUP BY v)
+SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+def graph_pagerank(docs: str, iters: int = 5, scale: int = 10**12,
+                   damping_pct: int = 85) -> str:
+    """Unrolled fixed-iteration PageRank in the same scaled-integer
+    arithmetic as ``graph.pagerank_scaled`` — every term is an int64
+    floor-divide/sum, so the two engines agree bit-for-bit (float
+    PageRank could never be hash-compared; see the graph module
+    docstring)."""
+    sql = _distinct_edges_cte(docs) + f"""
+, v AS (SELECT source AS id FROM e UNION SELECT destination AS id FROM e),
+nv AS (SELECT COUNT(*) AS n FROM v),
+od AS (SELECT source AS id, COUNT(*) AS d FROM e GROUP BY source),
+r0 AS (SELECT id, ({scale} // (SELECT n FROM nv)) AS r FROM v)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f"""
+, s{i} AS (
+  SELECT e.destination AS id, SUM({prev}.r // od.d) AS s
+  FROM e JOIN {prev} ON {prev}.id = e.source JOIN od ON od.id = e.source
+  GROUP BY e.destination
+), r{i} AS (
+  SELECT v.id,
+         CAST(({100 - damping_pct} * ({scale} // (SELECT n FROM nv))) // 100
+              + ({damping_pct} * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM v LEFT JOIN s{i} ON s{i}.id = v.id
+)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT id, r AS rank_scaled FROM {prev} ORDER BY id"
+    return sql
+
+
 def span_media(docs: str) -> str:
     return f"""
 SELECT doc_id, u.media_ref AS media_ref, CAST(u."offset" AS BIGINT) AS "offset"

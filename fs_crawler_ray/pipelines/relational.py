@@ -632,3 +632,60 @@ def q_events_lag(sf_dir: str):
     return out[["user_id", "event_id", "delta_us"]].astype(
         {"user_id": "int64", "event_id": "int64", "delta_us": "int64"}
     ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+def q_events_moving_sum(sf_dir: str):
+    """Per-user 3-row moving spend (windows.moving_sum: SUM OVER ... ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) in integer cents — the
+    rows-frame sibling of q_events_cumsum; cumsum-difference kernel, one
+    key-bucket shuffle, exact vs the DuckDB window oracle."""
+    from fs_crawler_ray.windows import moving_sum
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = moving_sum(
+        ev, key="user_id", ts_col="ts", value_col="value", preceding=2,
+        order_cols=["event_id"], carry_cols=["event_id"], out_name="w3_cents",
+    ).to_pandas()
+    return out[["user_id", "event_id", "w3_cents"]].astype(
+        {"user_id": "int64", "event_id": "int64", "w3_cents": "int64"}
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def q_events_top_type_per_user(sf_dir: str):
+    """Per-user modal event type with deterministic tie-break
+    (windows.mode_per_key: highest count, then lexicographically
+    smallest type — ROW_NUMBER(ORDER BY cnt DESC, type) = 1 in the
+    oracle). Per-batch partial counts pre-combine before the single
+    key-bucket shuffle, so hot users ship counts, not rows."""
+    from fs_crawler_ray.windows import mode_per_key
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    out = mode_per_key(
+        ev, key="user_id", cat_col="event_type", out_name="top_type",
+    ).to_pandas()
+    return out[["user_id", "top_type", "cnt"]].astype(
+        {"user_id": "int64", "cnt": "int64"}
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_median_gap(sf_dir: str):
+    """Per-user median inter-event gap: a pure composition of two
+    already-verified operators — windows.lag_deltas (integer-µs gaps)
+    feeding windows.group_quantiles (quantile_disc(0.5) semantics) — the
+    engagement-cadence feature. Users with a single event have no gap
+    and drop out on both sides; integer output end to end."""
+    import pyarrow.compute as _pc
+
+    from fs_crawler_ray.windows import group_quantiles, lag_deltas
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    gaps = lag_deltas(
+        ev, key="user_id", ts_col="ts", order_cols=["event_id"],
+    ).map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["delta_us"], 0)),
+        batch_format="pyarrow",
+    )
+    out = group_quantiles(
+        gaps, "user_id", "delta_us", {"median_gap_us": 0.5}, num_buckets=8,
+    ).to_pandas()
+    return out.astype({"user_id": "int64", "median_gap_us": "int64"}).sort_values(
+        "user_id").reset_index(drop=True)

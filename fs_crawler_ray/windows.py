@@ -536,6 +536,117 @@ def running_total(
     return _bucketed(ds, key, num_buckets, per_bucket)
 
 
+def moving_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    preceding: int = 2,
+    order_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+    out_name: str = "w_cents",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key ROWS-frame moving sum (``SUM(value) OVER (PARTITION BY
+    key ORDER BY ts, *order_cols ROWS BETWEEN <preceding> PRECEDING AND
+    CURRENT ROW)``) — the rows-based sibling of
+    :func:`rolling_time_window` (which frames by TIME). Values convert
+    to integer cents with ``floor(v*100 + 0.5)`` before summing, so the
+    DuckDB window oracle matches bit-for-bit (same contract as
+    :func:`running_total`).
+
+    One hash shuffle into key buckets, then a kernel vectorized across
+    all keys in the bucket: one sort, one cumsum, and the frame sum is
+    ``csum[i] − csum[i−w]`` clamped at each key's first row — no
+    per-key Python, no per-row loop.
+    """
+    order_cols = order_cols or []
+    carry_cols = carry_cols or []
+    w = int(preceding) + 1
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(
+            t, [(key, "ascending"), (ts_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        ).combine_chunks()
+        n = len(t)
+        if n == 0:
+            cols = {key: t[key], **{c: t[c] for c in carry_cols},
+                    out_name: pa.array([], pa.int64())}
+            return pa.table(cols)
+        k = _key_codes(t[key])
+        cents = np.floor(_as_f64(t[value_col]) * 100.0 + 0.5).astype(np.int64)
+        csum = np.cumsum(cents)
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(key_change)
+        gid = np.cumsum(key_change) - 1
+        # sum over the frame [max(i-w+1, start) .. i]  ==  csum[i] minus
+        # the cumsum just BEFORE the frame start; "before start" is the
+        # prefix before the key's first row when the frame is clipped
+        prefix_before = csum[starts] - cents[starts]
+        idx = np.arange(n, dtype=np.int64)
+        lo = idx - w  # index whose csum is subtracted (may precede the key)
+        clipped = lo < starts[gid]
+        sub = np.where(clipped, prefix_before[gid], csum[np.maximum(lo, 0)])
+        out = csum - sub
+        cols = {key: t[key]}
+        for c in carry_cols:
+            cols[c] = t[c]
+        cols[out_name] = pa.array(out)
+        return pa.table(cols)
+
+    return _bucketed(ds, key, num_buckets, per_bucket)
+
+
+def mode_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    cat_col: str,
+    out_name: str = "top_cat",
+    cnt_name: str = "cnt",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key MODE with a deterministic tie-break: the category with
+    the highest count, ties broken by the smaller category value —
+    exactly ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY cnt DESC,
+    cat) = 1`` in SQL. Integer counts + the category value itself, so
+    the oracle comparison is exact (no floats anywhere).
+
+    One hash shuffle: per-batch partial ``(key, cat) → count`` combine
+    (a hot key ships one row per batch per category, not its raw rows),
+    bucket by ``key``, then per bucket ONE Arrow ``group_by`` sum, one
+    sort by ``(key, cnt desc, cat asc)``, and a key-change-mask first
+    gather — vectorized across all keys in the bucket.
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        res = t.group_by([key, cat_col], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({key: res[key], cat_col: res[cat_col],
+                         "__pcnt": res["count_all"].cast(pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        res = t.group_by([key, cat_col], use_threads=False).aggregate([("__pcnt", "sum")])
+        res = pa.table({key: res[key], cat_col: res[cat_col],
+                        cnt_name: res["__pcnt_sum"].cast(pa.int64())})
+        res = _sorted_table(res, [(key, "ascending"), (cnt_name, "descending"),
+                                  (cat_col, "ascending")]).combine_chunks()
+        n = len(res)
+        if n == 0:
+            return pa.table({key: res[key],
+                             out_name: pa.array([], res[cat_col].type),
+                             cnt_name: pa.array([], pa.int64())})
+        k = _key_codes(res[key])
+        first = np.ones(n, dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        sel = pa.array(np.flatnonzero(first))
+        return pa.table({key: res[key].take(sel),
+                         out_name: res[cat_col].take(sel),
+                         cnt_name: res[cnt_name].take(sel)})
+
+    pre_ds = ds.select_columns([key, cat_col]).map_batches(pre, batch_format="pyarrow")
+    return _bucketed(pre_ds, key, num_buckets, per_bucket)
+
+
 def funnel(
     ds: ray.data.Dataset,
     key: str,

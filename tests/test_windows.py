@@ -373,3 +373,62 @@ def test_ntile_exact_sql_semantics():
                  order_cols=["ts", "event_id"], n_tiles=4)
            .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
     assert out["tile"].tolist() == [1, 1, 2, 2, 3, 4, 1, 2]
+
+
+def test_moving_sum_rows_frame_clips_at_key_start():
+    from fs_crawler_ray.windows import moving_sum
+
+    # u1 cents: 100,200,300,400 -> w3: 100,300,600,900
+    # u2 single row must NOT see u1's tail: w3 = 500
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": _ts(0, 1, 2, 3, 0),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = (moving_sum(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                      value_col="value", preceding=2,
+                      order_cols=["event_id"], carry_cols=["event_id"],
+                      out_name="w3_cents")
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert out["w3_cents"].tolist() == [100, 300, 600, 900, 500]
+
+
+def test_moving_sum_matches_pandas_rolling():
+    from fs_crawler_ray.windows import moving_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, 500),
+        "event_id": np.arange(500),
+        "ts": [T0 + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 10_000, 500)],
+        "value": np.round(rng.uniform(0, 100, 500), 2),
+    })
+    out = (moving_sum(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                      value_col="value", preceding=2,
+                      order_cols=["event_id"], carry_cols=["event_id"],
+                      out_name="w3_cents")
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["cents"] = np.floor(ref["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ref["w3"] = (ref.groupby("user_id")["cents"]
+                 .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True))
+    ref = ref.sort_values(["user_id", "event_id"])
+    assert out["w3_cents"].tolist() == ref["w3"].astype("int64").tolist()
+
+
+def test_mode_per_key_tie_breaks_on_smaller_category():
+    from fs_crawler_ray.windows import mode_per_key
+
+    # u1: click x2, view x2 (tie -> "click" wins lexicographically)
+    # u2: purchase x3 beats view x1
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+        "event_type": ["view", "click", "view", "click",
+                       "purchase", "purchase", "view", "purchase"],
+    })
+    out = (mode_per_key(ray.data.from_pandas(df), key="user_id",
+                        cat_col="event_type", out_name="top_type")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["top_type"].tolist() == ["click", "purchase"]
+    assert out["cnt"].tolist() == [2, 3]
