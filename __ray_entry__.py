@@ -27,6 +27,7 @@ import numpy as np
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
 ANN_K = 5
+PACK_BUDGET = 512  # tokens per packed training sequence (docs_pack_chunks)
 ANN_NQ = 5
 HOP_FILTER = 3
 
@@ -48,6 +49,19 @@ def _docs_exact_dedup(sf_dir: str):
     out = exact_dedup(ds, num_buckets=32).to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out[["doc_id", "content_hash"]]
+
+
+def _docs_pack_chunks(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import pack_chunk_assignments
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = pack_chunk_assignments(ds, budget=PACK_BUDGET).to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "n_tokens": np.int64,
+         "seq_first": np.int64, "seq_last": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
 
 
 def _docs_token_counts(sf_dir: str):
@@ -416,6 +430,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_moving_sum": rel.q_events_moving_sum,
         "q_events_top_type_per_user": rel.q_events_top_type_per_user,
         "q_events_median_gap": rel.q_events_median_gap,
+        # --- r3 wave 8: wedge joins + sequence packing ------------------
+        "graph_two_hop": cq.graph_two_hop,
+        "graph_coparents": cq.graph_coparents,
+        "docs_pack_chunks": _docs_pack_chunks,
     }
 
 
@@ -804,5 +822,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, quantile_disc(delta_us, 0.5) AS median_gap_us
             FROM d WHERE delta_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "graph_two_hop": osql.graph_two_hop(d),
+        "graph_coparents": osql.graph_coparents(d),
+        "docs_pack_chunks": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   off // {PACK_BUDGET} AS seq_first,
+                   (off + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET} AS seq_last
+            FROM c ORDER BY doc_id
         """,
     }

@@ -56,6 +56,57 @@ def degree_histogram(
     return hist
 
 
+def two_hop_counts(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-vertex count of DISTINCT 2-hop successors (``id → mid →
+    anc``): the classic wedge self-join (friends-of-friends /
+    grandparent reach). One self-join on the mid vertex — size-aware
+    via :func:`relops.lookup_join`, so below ``BROADCAST_LIMIT`` the
+    edge table broadcasts once and above it the join degrades to the
+    bucketed hash shuffle — then a distinct + count, each one bucketed
+    shuffle over a table no larger than the wedge set. All-integer
+    count output → hash-exact vs the SQL oracle."""
+    e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets).materialize()
+    left = e.map_batches(
+        lambda t: pa.table({"id": t[src], "mid": t[dst]}), batch_format="pyarrow")
+    right = e.map_batches(
+        lambda t: pa.table({"mid2": t[src], "anc": t[dst]}), batch_format="pyarrow")
+    j = lookup_join(left, right, on="mid", right_on="mid2", how="inner")
+    pairs = distinct(
+        j.map_batches(lambda t: pa.table({"id": t["id"], "anc": t["anc"]}),
+                      batch_format="pyarrow"),
+        ["id", "anc"], num_buckets)
+    return bucketed_agg(pairs, ["id"], [("anc", "count", "n_two_hop")], num_buckets)
+
+
+def coparent_pairs(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Canonical co-destination pairs: ``(p1, p2, n_children)`` where
+    ``p1 < p2`` are both destinations of the same source (co-parents
+    sharing a child in the crawl graph; co-cited pages in a web graph).
+    Same wedge shape as :func:`two_hop_counts` but joined on the SOURCE
+    endpoint, with the ``p1 < p2`` canonicalization halving the pair
+    space before the count shuffle."""
+    e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets).materialize()
+    left = e.map_batches(
+        lambda t: pa.table({"child": t[src], "p1": t[dst]}), batch_format="pyarrow")
+    right = e.map_batches(
+        lambda t: pa.table({"child2": t[src], "p2": t[dst]}), batch_format="pyarrow")
+    j = lookup_join(left, right, on="child", right_on="child2", how="inner")
+    canon = j.map_batches(
+        lambda t: t.filter(pc.less(t["p1"], t["p2"])).select(["child", "p1", "p2"]),
+        batch_format="pyarrow")
+    return bucketed_agg(canon, ["p1", "p2"], [("child", "count", "n_children")], num_buckets)
+
+
 def pagerank_scaled(
     edges: ray.data.Dataset,
     src: str = "source",

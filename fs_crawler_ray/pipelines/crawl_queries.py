@@ -297,6 +297,26 @@ def graph_pagerank(sf_dir: str) -> pd.DataFrame:
         "id").reset_index(drop=True)
 
 
+def graph_two_hop(sf_dir: str) -> pd.DataFrame:
+    """Distinct-grandparent counts per vertex (graph.two_hop_counts):
+    the wedge self-join on the mid endpoint. Integer counts only."""
+    from fs_crawler_ray.graph import two_hop_counts
+
+    out = two_hop_counts(_span_edges_ds(sf_dir)).to_pandas()
+    return out.astype({"n_two_hop": "int64"}).sort_values("id").reset_index(drop=True)
+
+
+def graph_coparents(sf_dir: str) -> pd.DataFrame:
+    """Canonical co-parent pairs with shared-child counts
+    (graph.coparent_pairs): the wedge self-join on the source endpoint
+    with p1 < p2 canonicalization. Integer counts only."""
+    from fs_crawler_ray.graph import coparent_pairs
+
+    out = coparent_pairs(_span_edges_ds(sf_dir)).to_pandas()
+    return out.astype({"n_children": "int64"}).sort_values(
+        ["p1", "p2"]).reset_index(drop=True)
+
+
 def span_media(sf_dir: str) -> pd.DataFrame:
     from fs_crawler_ray.stages.parse import parse_documents
 

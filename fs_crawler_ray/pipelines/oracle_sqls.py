@@ -506,6 +506,22 @@ r0 AS (SELECT id, ({scale} // (SELECT n FROM nv)) AS r FROM v)"""
     return sql
 
 
+def graph_two_hop(docs: str) -> str:
+    return _distinct_edges_cte(docs) + """
+SELECT a.source AS id, COUNT(DISTINCT b.destination) AS n_two_hop
+FROM e a JOIN e b ON a.destination = b.source
+GROUP BY a.source ORDER BY id
+"""
+
+
+def graph_coparents(docs: str) -> str:
+    return _distinct_edges_cte(docs) + """
+SELECT a.destination AS p1, b.destination AS p2, COUNT(*) AS n_children
+FROM e a JOIN e b ON a.source = b.source AND a.destination < b.destination
+GROUP BY p1, p2 ORDER BY p1, p2
+"""
+
+
 def span_media(docs: str) -> str:
     return f"""
 SELECT doc_id, u.media_ref AS media_ref, CAST(u."offset" AS BIGINT) AS "offset"

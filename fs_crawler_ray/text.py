@@ -622,6 +622,49 @@ def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+@ray.remote
+def _block_token_sum(t: pa.Table) -> int:
+    return int(t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64).sum())
+
+
+@ray.remote
+def _assign_packs(t: pa.Table, offset: int, budget: int) -> pa.Table:
+    n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    excl = offset + np.cumsum(n) - n  # exclusive prefix: first-token offset
+    first = excl // budget
+    last = (excl + np.maximum(n, 1) - 1) // budget  # 0-token docs stay in seq_first
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(n),
+        "seq_first": pa.array(first),
+        "seq_last": pa.array(last),
+    })
+
+
+def pack_chunk_assignments(ds: ray.data.Dataset, budget: int = 512) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    layout: every document's tokens are laid end to end in ``doc_id``
+    order and the stream is cut into fixed ``budget``-token training
+    sequences. Returns ``(doc_id, n_tokens, seq_first, seq_last)``:
+    the first and last sequence each document lands in (equal unless
+    the document straddles a boundary).
+
+    Distributed the same way as :func:`stages.export.zip_with_index`:
+    global sort by ``doc_id`` → one O(blocks) driver pass over
+    per-block TOKEN SUMS (a few KB, never rows) → per-block exclusive
+    cumsum + integer divisions. Token definition is
+    :func:`token_count`'s ``[A-Za-z0-9]+`` runs, so the DuckDB window
+    oracle (``SUM OVER ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING``)
+    reproduces the assignment bit-for-bit — integers end to end."""
+    tc = token_count(ds).sort("doc_id")
+    refs = tc.to_arrow_refs()
+    sums = ray.get([_block_token_sum.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]]) if len(sums) else []
+    out_refs = [_assign_packs.remote(r, int(o), int(budget))
+                for r, o in zip(refs, offs)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     denom: int = 20,

@@ -79,3 +79,31 @@ def test_pagerank_empty_graph():
                       "destination": pd.Series([], dtype=str)})
     )
     assert pagerank_scaled(empty).count() == 0
+
+
+def test_two_hop_counts_distinct_wedges():
+    from fs_crawler_ray.graph import two_hop_counts
+
+    # a->b->c, a->d->c, b->c, d->c : a reaches c via two mids (counted once)
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "d"],
+        "destination": ["b", "d", "c", "c"],
+    })
+    out = (two_hop_counts(ray.data.from_pandas(df))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["id"].tolist() == ["a"]
+    assert out["n_two_hop"].tolist() == [1]
+
+
+def test_coparent_pairs_canonical_and_counted():
+    from fs_crawler_ray.graph import coparent_pairs
+
+    # children c1, c2 share parents (p, q); c3 has parents (q, r)
+    df = pd.DataFrame({
+        "source": ["c1", "c1", "c2", "c2", "c3", "c3"],
+        "destination": ["q", "p", "p", "q", "r", "q"],
+    })
+    out = (coparent_pairs(ray.data.from_pandas(df))
+           .to_pandas().sort_values(["p1", "p2"]).reset_index(drop=True))
+    assert list(map(tuple, out[["p1", "p2"]].to_numpy())) == [("p", "q"), ("q", "r")]
+    assert out["n_children"].tolist() == [2, 1]

@@ -279,3 +279,22 @@ def test_ngram_frequency_counts_and_order():
     # trigrams: windows never span documents
     out3 = ngram_frequency(ray.data.from_pandas(pd.DataFrame(rows)), n=3, top_n=10).to_pandas()
     assert dict(zip(out3["gram"], out3["cnt"])) == {"a b a": 1, "b a b": 1, "a b c": 1}
+
+
+def test_pack_chunk_assignments_straddles_boundaries():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import pack_chunk_assignments
+
+    # token counts 3, 4, 1, 0 at budget 5:
+    # offsets 0,3,7,8 -> (first,last) = (0,0), (0,1) straddle, (1,1), (1,1)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "d e f g", "h", "!!!"],
+    })
+    out = (pack_chunk_assignments(ray.data.from_pandas(df), budget=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [3, 4, 1, 0]
+    assert out["seq_first"].tolist() == [0, 0, 1, 1]
+    assert out["seq_last"].tolist() == [0, 1, 1, 1]
