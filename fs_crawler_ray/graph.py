@@ -120,33 +120,86 @@ def pagerank_scaled(
     module docstring for why integers): returns ``(id, rank_scaled)``
     with ``rank_scaled ≈ pagerank(id) * scale``.
 
-    Per iteration: shares ``r // outdeg`` (map-only over the O(V) state),
-    one edges×shares join (broadcast below ``BROADCAST_LIMIT``, bucketed
-    shuffle above), one bucketed sum per destination, one O(V) state
-    join. Sink mass (vertices with no out-edges) is dropped, identically
-    on both engines — the spec IS the oracle SQL's unrolled CTE.
+    Setup is two shuffles total: the edge distinct, then ONE tagged
+    endpoint aggregation that yields the vertex set AND per-vertex
+    outdegree together. Below ``BROADCAST_LIMIT`` vertices the O(V)
+    rank state is driver-resident and each iteration is a single
+    Dataset execution over the edges (see the fast-path comment);
+    above it, per iteration: shares ``r // outdeg`` (map-only over the
+    O(V) state Dataset), one edges×shares join, one bucketed sum per
+    destination, one O(V) state join. Sink mass (vertices with no
+    out-edges) is dropped, identically on both engines — the spec IS
+    the oracle SQL's unrolled CTE.
     """
+    import pandas as pd
+
+    from fs_crawler_ray.relops import BROADCAST_LIMIT
+
     e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets).materialize()
-    verts = distinct(
-        _project(e, src, "id").union(_project(e, dst, "id")), ["id"], num_buckets
+
+    def ends_fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = np.concatenate([t[src].to_numpy(zero_copy_only=False),
+                              t[dst].to_numpy(zero_copy_only=False)])
+        is_src = np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)])
+        return pa.table({"id": ids, "is_src": is_src})
+
+    # ONE aggregation yields both the vertex set (every endpoint appears)
+    # and each vertex's outdegree (sum of is_src tags) — replaces a
+    # distinct + a count shuffle with a single bucketed shuffle.
+    state0 = bucketed_agg(
+        e.map_batches(ends_fn, batch_format="pyarrow"),
+        ["id"], [("is_src", "sum", "outdeg")], num_buckets,
     ).materialize()
-    n_v = verts.count()
+    n_v = state0.count()
     if n_v == 0:
-        return verts
+        return state0.select_columns(["id"])
     base = scale // n_v
     tele = ((100 - damping_pct) * base) // 100
 
-    outdeg = bucketed_agg(e, [src], [(dst, "count", "outdeg")], num_buckets)
-    state = lookup_join(verts, outdeg, on="id", right_on=src, how="left")
+    if n_v <= BROADCAST_LIMIT:
+        # Small-state fast path: the O(V) rank vector lives on the
+        # DRIVER (same size class the broadcast joins already pull
+        # driver-side); the O(E) edge table is the only distributed
+        # object and streams exactly once per iteration. Each iteration
+        # is ONE Dataset execution — broadcast shares via ray.put, a
+        # per-batch merge + pre-combined partial destination sums, one
+        # small bucketed shuffle, an O(V) collect — instead of the
+        # large-V path's per-iteration join/materialize chain (~4
+        # executions; measured 0.68 s vs ~1.6 s per iteration on a
+        # 5k-vertex graph, where each execution pays this VM's fixed
+        # shuffle floor).
+        vdf = state0.to_pandas().sort_values("id")
+        ids = vdf["id"].to_numpy()
+        od = vdf["outdeg"].to_numpy().astype(np.int64)
+        r = np.full(n_v, base, dtype=np.int64)
+        nz = od > 0
+        sum_buckets = min(num_buckets, 8)
+        for _ in range(iters):
+            ref = ray.put(pd.DataFrame(
+                {"__sid": ids[nz], "__share": r[nz] // od[nz]}))
 
+            def contrib(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+                sdf = ray.get(_ref)  # plasma-local after first access
+                m = df.merge(sdf, left_on=src, right_on="__sid", how="inner")
+                g = m.groupby(dst, sort=False)["__share"].sum()
+                return pd.DataFrame({dst: g.index, "s": g.to_numpy(dtype=np.int64)})
+
+            sums_df = bucketed_agg(
+                e.map_batches(contrib, batch_format="pandas"),
+                [dst], [("s", "sum", "s")], sum_buckets,
+            ).to_pandas()
+            s = np.zeros(n_v, dtype=np.int64)
+            s[np.searchsorted(ids, sums_df[dst].to_numpy())] = sums_df["s"].to_numpy()
+            r = tele + (damping_pct * s) // 100
+        return ray.data.from_pandas(pd.DataFrame({"id": ids, "rank_scaled": r}))
     def init(t: pa.Table) -> pa.Table:
-        od = pc.coalesce(t["outdeg"], pa.scalar(0, pa.int64())).cast(pa.int64())
         return pa.table({
-            "id": t["id"], "outdeg": od,
+            "id": t["id"], "outdeg": t["outdeg"].cast(pa.int64()),
             "r": pa.array(np.full(len(t), base, dtype=np.int64)),
         })
 
-    state = state.map_batches(init, batch_format="pyarrow").materialize()
+    state = state0.map_batches(init, batch_format="pyarrow").materialize()
 
     for _ in range(iters):
         def shares_fn(t: pa.Table) -> pa.Table:

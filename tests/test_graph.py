@@ -107,3 +107,15 @@ def test_coparent_pairs_canonical_and_counted():
            .to_pandas().sort_values(["p1", "p2"]).reset_index(drop=True))
     assert list(map(tuple, out[["p1", "p2"]].to_numpy())) == [("p", "q"), ("q", "r")]
     assert out["n_children"].tolist() == [2, 1]
+
+
+def test_pagerank_large_state_path_matches_fast_path(monkeypatch):
+    import fs_crawler_ray.relops as relops
+
+    fast = (pagerank_scaled(_ds(), iters=5)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    monkeypatch.setattr(relops, "BROADCAST_LIMIT", 0)
+    big = (pagerank_scaled(_ds(), iters=5)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert fast["id"].tolist() == big["id"].tolist()
+    assert fast["rank_scaled"].tolist() == big["rank_scaled"].tolist()
