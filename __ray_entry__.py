@@ -64,6 +64,17 @@ def _docs_pack_chunks(sf_dir: str):
     ).sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_mix_epochs(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import epoch_oversample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = epoch_oversample(ds, thresholds=(40, 80)).to_pandas()
+    return out.astype({"doc_id": np.int64, "epoch": np.int64}).sort_values(
+        ["doc_id", "epoch"]).reset_index(drop=True)
+
+
 def _docs_token_counts(sf_dir: str):
     import ray.data
 
@@ -434,6 +445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_two_hop": cq.graph_two_hop,
         "graph_coparents": cq.graph_coparents,
         "docs_pack_chunks": _docs_pack_chunks,
+        # --- r3 wave 9: data mixing + rank window -----------------------
+        "docs_mix_epochs": _docs_mix_epochs,
+        "q_events_value_rank": rel.q_events_value_rank,
     }
 
 
@@ -841,5 +855,26 @@ def oracle_sql() -> dict[str, str]:
                    off // {PACK_BUDGET} AS seq_first,
                    (off + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET} AS seq_last
             FROM c ORDER BY doc_id
+        """,
+        "docs_mix_epochs": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       1 + CAST(n >= 40 AS BIGINT) + CAST(n >= 80 AS BIGINT) AS repeats
+                FROM t
+            )
+            SELECT doc_id, CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch
+            FROM r ORDER BY doc_id, epoch
+        """,
+        "q_events_value_rank": """
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC) AS rnk
+            FROM events ORDER BY user_id, event_id
         """,
     }

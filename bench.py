@@ -305,6 +305,21 @@ def run_bench() -> dict:
                            num_partitions=max(8, num_cpus // 2))
     queries["adjacency_export"] = round(time.time() - t0, 3)
 
+    # -- link analysis over the crawled graph (r3 wave-7/8 operators) ---
+    from fs_crawler_ray.graph import degree_histogram, pagerank_scaled
+
+    t0 = time.time()
+    graph_edges = final.select_columns(["source", "destination"]).materialize()
+    n_graph_edges = graph_edges.count()
+    g_buckets = int(max(4, min(max(16, num_cpus), n_graph_edges // 20000 + 4)))
+    degree_histogram(graph_edges, num_buckets=g_buckets).count()
+    n_pr_vertices = pagerank_scaled(graph_edges, iters=5, num_buckets=g_buckets).count()
+    queries["link_analysis"] = round(time.time() - t0, 3)
+    extras["pagerank_vertices"] = int(n_pr_vertices)
+    extras["pagerank_edge_visits_per_sec"] = (
+        round(n_graph_edges * 5 / queries["link_analysis"], 2)
+        if queries["link_analysis"] else 0.0)
+
     # -- text suite over the sf documents table ------------------------
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     # shuffle width proportional to the DATA (like the crawl's

@@ -633,6 +633,34 @@ def q_events_lag(sf_dir: str):
         {"user_id": "int64", "event_id": "int64", "delta_us": "int64"}
     ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
+def q_events_value_rank(sf_dir: str):
+    """Per-user RANK() with ties over integer spend cents
+    (windows.rank_per_key: ties share a rank and leave gaps — the
+    remaining classic window function next to NTILE / ROW_NUMBER /
+    LAG). Cents conversion happens on BOTH sides (floor(v*100+0.5)), so
+    tie detection and the oracle hash are exact."""
+    from fs_crawler_ray.windows import rank_per_key
+
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "value_cents": pc.cast(pc.floor(
+                pc.add(pc.multiply(pc.cast(t["value"], pa.float64()), 100.0), 0.5)
+            ), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = rank_per_key(
+        cents, key="user_id", value_col="value_cents",
+        carry_cols=["event_id"], out_name="rnk",
+    ).to_pandas()
+    return out[["user_id", "event_id", "value_cents", "rnk"]].astype(
+        {"user_id": "int64", "event_id": "int64",
+         "value_cents": "int64", "rnk": "int64"}
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_events_moving_sum(sf_dir: str):
     """Per-user 3-row moving spend (windows.moving_sum: SUM OVER ... ROWS
     BETWEEN 2 PRECEDING AND CURRENT ROW) in integer cents — the

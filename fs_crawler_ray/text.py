@@ -665,6 +665,36 @@ def pack_chunk_assignments(ds: ray.data.Dataset, budget: int = 512) -> ray.data.
     return ray.data.from_arrow_refs(out_refs)
 
 
+def epoch_oversample(
+    ds: ray.data.Dataset,
+    thresholds: tuple[int, int] = (100, 200),
+) -> ray.data.Dataset:
+    """Deterministic epoch-weighted oversampling — the data-MIXING
+    stage of a training pipeline (domain/quality reweighting by
+    repeating documents across epochs rather than floating-point
+    sampling weights). Repeats = 1 + [n_tokens ≥ lo] + [n_tokens ≥ hi]
+    (longer ≈ higher-signal documents appear in more epochs); output is
+    ``(doc_id, epoch)`` with epoch 1..repeats. A pure shuffle-free
+    flat-map: per-batch token counts → ``np.repeat`` + one global-index
+    subtraction for the epoch numbers, no per-row Python. Token
+    definition is :func:`token_count`'s, so the DuckDB
+    ``unnest(generate_series(1, repeats))`` oracle is exact."""
+    lo, hi = int(thresholds[0]), int(thresholds[1])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        repeats = 1 + (n_tokens >= lo).astype(np.int64) + (n_tokens >= hi).astype(np.int64)
+        total = int(repeats.sum())
+        starts = np.concatenate([[0], np.cumsum(repeats)[:-1]])
+        epoch = np.arange(total, dtype=np.int64) - np.repeat(starts, repeats) + 1
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), repeats),
+            "epoch": epoch,
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     denom: int = 20,

@@ -647,6 +647,58 @@ def mode_per_key(
     return _bucketed(pre_ds, key, num_buckets, per_bucket)
 
 
+def rank_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    carry_cols: list[str] | None = None,
+    out_name: str = "rnk",
+    descending: bool = True,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``RANK() OVER (PARTITION BY key ORDER BY value [DESC])`` —
+    ties share a rank and leave gaps (1,1,3 …), completing the window
+    family next to :func:`ntile` / :func:`topk_per_group` (ROW_NUMBER)
+    / :func:`lag_deltas`. ``value_col`` must already be integer (use
+    cents) so tie detection — and therefore the oracle hash — is exact.
+
+    One hash shuffle into key buckets, then a kernel vectorized across
+    all keys in the bucket: one sort by ``(key, value)``, a
+    run-boundary mask, and rank = each row's run-start index relative
+    to its key's first row — two cumulative ops, no per-key Python.
+    """
+    carry_cols = carry_cols or []
+    vdir = "descending" if descending else "ascending"
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = _sorted_table(t, [(key, "ascending"), (value_col, vdir)]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return pa.table({key: t[key], **{c: t[c] for c in carry_cols},
+                             value_col: t[value_col],
+                             out_name: pa.array([], pa.int64())})
+        k = _key_codes(t[key])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = k[1:] != k[:-1]
+        run_start = key_change.copy()
+        run_start[1:] |= v[1:] != v[:-1]
+        # index of each row's run start (runs never span keys, so the
+        # cummax never carries across a key boundary)
+        run_first = np.maximum.accumulate(np.where(run_start, idx, 0))
+        key_first = np.maximum.accumulate(np.where(key_change, idx, 0))
+        rnk = run_first - key_first + 1
+        cols = {key: t[key]}
+        for c in carry_cols:
+            cols[c] = t[c]
+        cols[value_col] = t[value_col]
+        cols[out_name] = pa.array(rnk)
+        return pa.table(cols)
+
+    return _bucketed(ds, key, num_buckets, per_bucket)
+
+
 def funnel(
     ds: ray.data.Dataset,
     key: str,

@@ -298,3 +298,19 @@ def test_pack_chunk_assignments_straddles_boundaries():
     assert out["n_tokens"].tolist() == [3, 4, 1, 0]
     assert out["seq_first"].tolist() == [0, 0, 1, 1]
     assert out["seq_last"].tolist() == [0, 1, 1, 1]
+
+
+def test_epoch_oversample_repeats_by_token_thresholds():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import epoch_oversample
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b", "w " * 45, "w " * 90],  # 2, 45, 90 tokens
+    })
+    out = (epoch_oversample(ray.data.from_pandas(df), thresholds=(40, 80))
+           .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)]

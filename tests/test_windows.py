@@ -432,3 +432,36 @@ def test_mode_per_key_tie_breaks_on_smaller_category():
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     assert out["top_type"].tolist() == ["click", "purchase"]
     assert out["cnt"].tolist() == [2, 3]
+
+
+def test_rank_per_key_ties_share_rank_with_gaps():
+    from fs_crawler_ray.windows import rank_per_key
+
+    # u1 values desc: 500, 300, 300, 100 -> ranks 1, 2, 2, 4
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4, 5],
+        "value_cents": [300, 500, 300, 100, 7],
+    })
+    out = (rank_per_key(ray.data.from_pandas(df), key="user_id",
+                        value_col="value_cents", carry_cols=["event_id"])
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert out["rnk"].tolist() == [2, 1, 2, 4, 1]
+
+
+def test_rank_per_key_matches_pandas_rank():
+    from fs_crawler_ray.windows import rank_per_key
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, 400),
+        "event_id": np.arange(400),
+        "value_cents": rng.integers(0, 30, 400),  # dense -> many ties
+    })
+    out = (rank_per_key(ray.data.from_pandas(df), key="user_id",
+                        value_col="value_cents", carry_cols=["event_id"])
+           .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    ref = df.sort_values(["user_id", "event_id"]).copy()
+    ref["rnk"] = ref.groupby("user_id")["value_cents"].rank(
+        method="min", ascending=False).astype("int64")
+    assert out["rnk"].tolist() == ref["rnk"].tolist()
