@@ -204,6 +204,17 @@ def _embedding_centroids(sf_dir: str):
     return out[["label", "i", "centroid"]].astype({"label": np.int64, "i": np.int64})
 
 
+def _emb_quantized(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.ann import quantize_embeddings
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = quantize_embeddings(ds).to_pandas()
+    return out.astype({"vec_id": np.int64, "i": np.int64, "q": np.int64}).sort_values(
+        ["vec_id", "i"]).reset_index(drop=True)
+
+
 def _media_features(sf_dir: str):
     from fs_crawler_ray.multimodal import media_feature_pipeline
 
@@ -448,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 9: data mixing + rank window -----------------------
         "docs_mix_epochs": _docs_mix_epochs,
         "q_events_value_rank": rel.q_events_value_rank,
+        "emb_quantized": _emb_quantized,
     }
 
 
@@ -876,5 +888,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC) AS rnk
             FROM events ORDER BY user_id, event_id
+        """,
+        "emb_quantized": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ), xi AS (
+                SELECT vec_id, i, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vi
+                FROM x
+            ), mm AS (
+                SELECT i, MIN(vi) AS mn, GREATEST(MAX(vi) - MIN(vi), 1) AS rng
+                FROM xi GROUP BY i
+            )
+            SELECT xi.vec_id, xi.i, ((xi.vi - mm.mn) * 255) // mm.rng AS q
+            FROM xi JOIN mm ON mm.i = xi.i
+            ORDER BY xi.vec_id, xi.i
         """,
     }

@@ -366,6 +366,64 @@ def ivf_topk(
     return _topk_reduce(parts, k).reset_index(drop=True)
 
 
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+    scale: int = 10**6,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Per-dimension scalar (int8-style) quantization of an embedding
+    column — the memory-reduction step before an ANN index ships to
+    serving (4× smaller than float32 at ~1% recall cost in the
+    literature). Returns exploded ``(id, i, q)`` rows with ``i``
+    1-based (DuckDB ``generate_subscripts`` convention) and
+    ``q ∈ [0, levels]``.
+
+    Two passes, both bounded: per-batch per-dimension integer min/max
+    partials (``dim`` rows per batch) → one O(blocks × dim) bucketed
+    shuffle → the O(dim) bounds broadcast once via ``ray.put`` → a
+    map-only quantize pass. PURE INTEGER arithmetic after the initial
+    ``floor(v·scale + 0.5)`` fix-point conversion (the same cents trick
+    every money query uses), so ``((vi − mn) · levels) // max(mx − mn,
+    1)`` is bit-identical in numpy and the DuckDB oracle — a float
+    min-max scaler could never be hash-compared."""
+
+    def minmax(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col])
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        dim = vi.shape[1]
+        return pa.table({"i": np.arange(1, dim + 1, dtype=np.int64),
+                         "mn": vi.min(axis=0), "mx": vi.max(axis=0)})
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    mm = bucketed_agg(
+        ds.select_columns([vec_col]).map_batches(minmax, batch_format="pyarrow"),
+        ["i"], [("mn", "min", "mn"), ("mx", "max", "mx")], num_buckets,
+    ).to_pandas().sort_values("i")
+    mn = mm["mn"].to_numpy()
+    rng = np.maximum(mm["mx"].to_numpy() - mn, 1)
+    ref = ray.put((mn, rng))
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col])
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        mn_, rng_ = ray.get(ref)
+        q = ((vi - mn_) * levels) // rng_
+        n, dim = q.shape
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: np.repeat(ids, dim),
+            "i": np.tile(np.arange(1, dim + 1, dtype=np.int64), n),
+            "q": q.ravel(),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        quant, batch_format="pyarrow")
+
+
 def group_centroids(
     ds: ray.data.Dataset,
     group_col: str = "label",

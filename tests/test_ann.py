@@ -195,3 +195,23 @@ def test_knn_join_ivf_recall(emb):
     assert len(pe & pi) / len(pe) >= 0.7
     # a (query, neighbor) pair can surface in at most one cell → no dups
     assert not iv.duplicated(["vec_id", "neighbor_id"]).any()
+
+
+def test_quantize_embeddings_integer_minmax_scaling():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.ann import quantize_embeddings
+
+    # dim0 spans [0,1] -> q = 0 / 127 / 255; dim1 is CONSTANT -> rng
+    # clamps to 1 and every q = 0
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[0.0, 5.0], [0.5, 5.0], [1.0, 5.0]],
+    })
+    out = (quantize_embeddings(ray.data.from_pandas(df))
+           .to_pandas().sort_values(["vec_id", "i"]).reset_index(drop=True))
+    got = {(r.vec_id, r.i): r.q for r in out.itertuples()}
+    assert got[(1, 1)] == 0 and got[(3, 1)] == 255
+    assert got[(2, 1)] == (500000 * 255) // 1000000  # = 127
+    assert got[(1, 2)] == got[(2, 2)] == got[(3, 2)] == 0
