@@ -360,6 +360,43 @@ def _docs_length_filtered(sf_dir: str):
     return out.astype({"doc_id": np.int64, "n_chars": np.int64})
 
 
+def _docs_curation_funnel(sf_dir: str):
+    """The end-to-end corpus-curation funnel a training pipeline runs
+    before tokenization, composed from already-verified operators:
+    fuzzy-dedup survivors ∩ global length filter ∖ eval slice ∖
+    contaminated docs. Each leg streams; set algebra is size-aware
+    semi/anti joins (broadcast while the id sets are small, bucketed
+    hash join beyond the limit)."""
+    import ray.data
+
+    from fs_crawler_ray.components import near_dup_clusters, near_dup_survivors
+    from fs_crawler_ray.curation import decontaminate, length_percentile_filter
+    from fs_crawler_ray.relops import semi_anti_join
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path)
+    surv = near_dup_survivors(docs, near_dup_clusters(docs))
+    lenf = length_percentile_filter(
+        ray.data.read_parquet(path, columns=["doc_id", "n_chars"]),
+        lo=0.05, hi=0.95,
+    )
+    cont = decontaminate(
+        ray.data.read_parquet(path, columns=["doc_id", "text"]),
+        n=3, eval_mod=53,
+    )
+
+    def drop_eval(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(ids % 53 != 0)
+
+    base = surv.map_batches(drop_eval, batch_format="pyarrow")
+    kept = semi_anti_join(base, lenf, on="doc_id", right_on="doc_id")
+    kept = semi_anti_join(kept, cont, on="doc_id", right_on="doc_id", anti=True)
+    out = kept.to_pandas()
+    return out[["doc_id"]].astype({"doc_id": np.int64}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -460,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix_epochs": _docs_mix_epochs,
         "q_events_value_rank": rel.q_events_value_rank,
         "emb_quantized": _emb_quantized,
+        "docs_curation_funnel": _docs_curation_funnel,
+        "graph_families": cq.graph_families,
     }
 
 
@@ -905,4 +944,18 @@ def oracle_sql() -> dict[str, str]:
             FROM xi JOIN mm ON mm.i = xi.i
             ORDER BY xi.vec_id, xi.i
         """,
+        "docs_curation_funnel": f"""
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (
+                    SELECT doc_id FROM ({osql.docs_dup_clusters(threshold=0.8, shingle_k=3)})
+                    WHERE cluster_id <> doc_id)
+              AND d.n_chars BETWEEN
+                    (SELECT quantile_disc(n_chars, 0.05) FROM documents)
+                AND (SELECT quantile_disc(n_chars, 0.95) FROM documents)
+              AND d.doc_id % 53 <> 0
+              AND d.doc_id NOT IN (
+                    SELECT doc_id FROM ({osql.docs_decontaminated(n=3, eval_mod=53)}))
+            ORDER BY d.doc_id
+        """,
+        "graph_families": osql.graph_families(d),
     }

@@ -64,7 +64,30 @@ def connected_components(
     labels = verts.map_batches(
         lambda t: pa.table({"v": t["v"], "component": t["v"]}), batch_format="pyarrow"
     ).materialize()
-    prev_sum = labels.sum("component")
+
+    def _label_sum(ds: ray.data.Dataset):
+        """Overflow-safe label checksum: int64-sum the HIGH and LOW 32
+        bits separately (each bounded by V·2^32 ≪ 2^63 — a single
+        int64 sum overflows once labels are hash-scale, e.g. the md5
+        label space `graph.family_components` feeds in). Labels only
+        ever DECREASE under min-propagation, so: hi-sum unchanged ⇒
+        every label's high half unchanged ⇒ any change is a strict
+        low-half decrease ⇒ lo-sum strictly decreases. Both halves
+        unchanged IS the fixpoint."""
+        parts = ds.map_batches(
+            lambda t: pa.table({
+                "hi": [int((np.asarray(t["component"].to_numpy(zero_copy_only=False),
+                                       dtype=np.int64) >> 32).sum())],
+                "lo": [int((np.asarray(t["component"].to_numpy(zero_copy_only=False),
+                                       dtype=np.int64) & 0xFFFFFFFF).sum())],
+            }),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if len(parts) == 0:
+            return None
+        return (int(parts["hi"].sum()), int(parts["lo"].sum()))
+
+    prev_sum = _label_sum(labels)
     if prev_sum is None:  # empty pair list -> empty components table
         return labels
 
@@ -83,7 +106,7 @@ def connected_components(
             lambda t: pa.table({"v": t["v"], "component": t["min(component)"]}),
             batch_format="pyarrow",
         ).materialize()
-        cur_sum = labels.sum("component")
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

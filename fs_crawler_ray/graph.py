@@ -43,13 +43,16 @@ def degree_histogram(
     src: str = "source",
     dst: str = "destination",
     num_buckets: int = 32,
+    assume_distinct: bool = False,
 ) -> ray.data.Dataset:
     """Total-degree histogram over the DISTINCT directed edge set:
     ``degree(v) = outdeg(v) + indeg(v)`` → ``(degree, n_vertices)``.
     Three bucketed shuffles, each strictly smaller than the last
     (edges → per-vertex degree → per-degree count); all-integer output.
     """
-    e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets)
+    e = edges.select_columns([src, dst])
+    if not assume_distinct:
+        e = distinct(e, [src, dst], num_buckets)
     ends = _project(e, src, "v").union(_project(e, dst, "v"))
     deg = bucketed_agg(ends, ["v"], [("v", "count", "degree")], num_buckets)
     hist = bucketed_agg(deg, ["degree"], [("v", "count", "n_vertices")], 8)
@@ -107,6 +110,56 @@ def coparent_pairs(
     return bucketed_agg(canon, ["p1", "p2"], [("child", "count", "n_children")], num_buckets)
 
 
+def family_components(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 16,
+    hash_mod: int = 1 << 62,
+) -> ray.data.Dataset:
+    """Connected components of the CO-PARENT graph — family-unit
+    clustering: parents linked whenever they share a child, components
+    = households chained by remarriage. Returns ``(id, family)`` with
+    ``family`` the smallest member hash (the md5-derived canonical
+    representative).
+
+    Composition of two verified operators: :func:`coparent_pairs`
+    (wedge self-join) feeding :func:`components.connected_components`
+    (hash-min label propagation). String ids enter the int64 label
+    space via ``md5_lower64 % 2^62`` — non-negative, so numpy's signed
+    MIN agrees with DuckDB's unsigned ``MIN(md5_number_lower(...))``
+    and the recursive-CTE oracle hash-matches. Unlike the full span
+    graph (one giant component — a reachability-closure oracle would
+    be O(V²)), co-parent components are small and shallow, the same
+    regime the near-dup clustering runs in."""
+    from fs_crawler_ray.components import connected_components
+    from fs_crawler_ray.text import md5_lower64
+
+    pairs = coparent_pairs(edges, src, dst, num_buckets)
+
+    def hashed(t: pa.Table) -> pa.Table:
+        p1 = t["p1"].to_numpy(zero_copy_only=False)
+        p2 = t["p2"].to_numpy(zero_copy_only=False)
+        h1 = (md5_lower64(p1) % np.uint64(hash_mod)).astype(np.int64)
+        h2 = (md5_lower64(p2) % np.uint64(hash_mod)).astype(np.int64)
+        return pa.table({"p1": t["p1"], "p2": t["p2"], "h1": h1, "h2": h2})
+
+    hp = pairs.map_batches(hashed, batch_format="pyarrow").materialize()
+    comp = connected_components(
+        hp.map_batches(lambda t: pa.table({"doc_a": t["h1"], "doc_b": t["h2"]}),
+                       batch_format="pyarrow"))
+    pmap = distinct(
+        hp.map_batches(lambda t: pa.table({
+            "id": pa.chunked_array([t["p1"].combine_chunks(), t["p2"].combine_chunks()]),
+            "h": pa.chunked_array([t["h1"].combine_chunks(), t["h2"].combine_chunks()]),
+        }), batch_format="pyarrow"),
+        ["id", "h"], num_buckets)
+    out = lookup_join(pmap, comp, on="h", right_on="v", how="inner")
+    return out.map_batches(
+        lambda t: pa.table({"id": t["id"], "family": pc.cast(t["component"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def pagerank_scaled(
     edges: ray.data.Dataset,
     src: str = "source",
@@ -115,6 +168,7 @@ def pagerank_scaled(
     scale: int = 10**12,
     damping_pct: int = 85,
     num_buckets: int = 16,
+    assume_distinct: bool = False,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank in scaled-integer arithmetic (see the
     module docstring for why integers): returns ``(id, rank_scaled)``
@@ -135,7 +189,10 @@ def pagerank_scaled(
 
     from fs_crawler_ray.relops import BROADCAST_LIMIT
 
-    e = distinct(edges.select_columns([src, dst]), [src, dst], num_buckets).materialize()
+    e = edges.select_columns([src, dst])
+    if not assume_distinct:
+        e = distinct(e, [src, dst], num_buckets)
+    e = e.materialize()
 
     def ends_fn(t: pa.Table) -> pa.Table:
         n = len(t)

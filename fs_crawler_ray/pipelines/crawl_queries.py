@@ -317,6 +317,17 @@ def graph_coparents(sf_dir: str) -> pd.DataFrame:
         ["p1", "p2"]).reset_index(drop=True)
 
 
+def graph_families(sf_dir: str) -> pd.DataFrame:
+    """Family-unit clustering (graph.family_components): connected
+    components of the co-parent graph, component id = smallest member
+    md5-hash. Strings + int64 only."""
+    from fs_crawler_ray.graph import family_components
+
+    out = family_components(_span_edges_ds(sf_dir)).to_pandas()
+    return out[["id", "family"]].astype({"family": "int64"}).sort_values(
+        "id").reset_index(drop=True)
+
+
 def span_media(sf_dir: str) -> pd.DataFrame:
     from fs_crawler_ray.stages.parse import parse_documents
 

@@ -522,6 +522,38 @@ GROUP BY p1, p2 ORDER BY p1, p2
 """
 
 
+def graph_families(docs: str, hash_mod: int = 1 << 62) -> str:
+    """Oracle for family-unit clustering: the co-parent pair graph in
+    md5-hash label space (``md5_number_lower % 2^62`` mirrors
+    ``text.md5_lower64``'s masking, keeping labels non-negative so
+    unsigned SQL MIN == signed numpy min), closed by a recursive-CTE
+    reachability query, component id = MIN reachable hash."""
+    edges = _distinct_edges_cte(docs).replace("WITH raw", "WITH RECURSIVE raw", 1)
+    return edges + f"""
+, cp AS (
+  SELECT a.destination AS p1, b.destination AS p2
+  FROM e a JOIN e b ON a.source = b.source AND a.destination < b.destination
+  GROUP BY p1, p2
+), hp AS (
+  SELECT p1, p2,
+         CAST(md5_number_lower(p1) % {hash_mod} AS BIGINT) AS h1,
+         CAST(md5_number_lower(p2) % {hash_mod} AS BIGINT) AS h2
+  FROM cp
+), ed AS (SELECT h1 AS s, h2 AS d FROM hp UNION ALL SELECT h2, h1 FROM hp),
+r(v, l) AS (
+  SELECT s, s FROM ed
+  UNION
+  SELECT ed.d, r.l FROM r JOIN ed ON ed.s = r.v
+), comp AS (SELECT v, MIN(l) AS family FROM r GROUP BY v),
+pmap AS (
+  SELECT DISTINCT p, h FROM (
+    SELECT p1 AS p, h1 AS h FROM hp UNION ALL SELECT p2, h2 FROM hp)
+)
+SELECT pmap.p AS id, comp.family FROM pmap JOIN comp ON comp.v = pmap.h
+ORDER BY id
+"""
+
+
 def span_media(docs: str) -> str:
     return f"""
 SELECT doc_id, u.media_ref AS media_ref, CAST(u."offset" AS BIGINT) AS "offset"

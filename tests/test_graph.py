@@ -119,3 +119,19 @@ def test_pagerank_large_state_path_matches_fast_path(monkeypatch):
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert fast["id"].tolist() == big["id"].tolist()
     assert fast["rank_scaled"].tolist() == big["rank_scaled"].tolist()
+
+
+def test_family_components_clusters_coparents():
+    from fs_crawler_ray.graph import family_components
+
+    # families: {p,q,r} chained by shared children; {x,y} separate
+    df = pd.DataFrame({
+        "source": ["c1", "c1", "c2", "c2", "c3", "c3"],
+        "destination": ["p", "q", "q", "r", "x", "y"],
+    })
+    out = (family_components(ray.data.from_pandas(df))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    fam = dict(zip(out["id"], out["family"]))
+    assert set(fam) == {"p", "q", "r", "x", "y"}
+    assert fam["p"] == fam["q"] == fam["r"]
+    assert fam["x"] == fam["y"] != fam["p"]
