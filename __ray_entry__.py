@@ -64,6 +64,18 @@ def _docs_pack_chunks(sf_dir: str):
     ).sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_pack_greedy(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import pack_greedy_assignments
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = pack_greedy_assignments(ds, budget=256, n_shards=8).to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "shard": np.int64, "pack_id": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mix_epochs(sf_dir: str):
     import ray.data
 
@@ -499,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantized": _emb_quantized,
         "docs_curation_funnel": _docs_curation_funnel,
         "graph_families": cq.graph_families,
+        "docs_pack_greedy": _docs_pack_greedy,
     }
 
 
@@ -958,4 +971,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "graph_families": osql.graph_families(d),
+        "docs_pack_greedy": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tok,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rk
+                FROM documents
+            ), r(shard, rk, doc_id, pack_id, cum) AS (
+                SELECT shard, rk, doc_id, CAST(1 AS BIGINT), tok FROM t WHERE rk = 1
+                UNION ALL
+                SELECT t.shard, t.rk, t.doc_id,
+                       CASE WHEN r.cum + t.tok <= 256 THEN r.pack_id
+                            ELSE r.pack_id + 1 END,
+                       CASE WHEN r.cum + t.tok <= 256 THEN r.cum + t.tok
+                            ELSE t.tok END
+                FROM r JOIN t ON t.shard = r.shard AND t.rk = r.rk + 1
+            )
+            SELECT doc_id, shard, pack_id FROM r ORDER BY doc_id
+        """,
     }

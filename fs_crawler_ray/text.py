@@ -665,6 +665,60 @@ def pack_chunk_assignments(ds: ray.data.Dataset, budget: int = 512) -> ray.data.
     return ray.data.from_arrow_refs(out_refs)
 
 
+def pack_greedy_assignments(
+    ds: ray.data.Dataset,
+    budget: int = 256,
+    n_shards: int = 8,
+) -> ray.data.Dataset:
+    """Greedy NO-SPLIT sequence packing — the other standard packing
+    layout next to :func:`pack_chunk_assignments`'s concat-and-chunk:
+    documents never straddle sequences; each doc joins the current pack
+    while the pack's token sum stays ≤ ``budget``, else opens a new one
+    (an over-budget doc sits alone). Greedy packing is inherently
+    sequential, so the parallel unit is a SHARD (``doc_id % n_shards``
+    — deliberately SQL-replicable, unlike a salted hash): shards pack
+    independently and in parallel, the exact layout a multi-node
+    tokenizer fleet produces. Returns ``(doc_id, shard, pack_id)`` with
+    ``pack_id`` 1-based within its shard.
+
+    Per-shard kernel: one sort + cumsum, then a ``searchsorted`` per
+    PACK boundary (work proportional to the number of packs, not a
+    per-row Python loop). Token definition is :func:`token_count`'s, so
+    the DuckDB recursive-CTE oracle (one step per within-shard rank)
+    reproduces the assignment exactly — integers end to end."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_id": ids, "shard": ids % n_shards,
+                             "tok": n_tokens})
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
+        t = t.take(pa.array(order))
+        tok = t["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(tok)
+        csum = np.cumsum(tok)
+        packs = np.empty(n, dtype=np.int64)
+        s, p, base = 0, 0, 0
+        while s < n:
+            p += 1
+            e = int(np.searchsorted(csum, base + budget, side="right"))
+            if e <= s:  # single doc exceeds the budget: its own pack
+                e = s + 1
+            packs[s:e] = p
+            base = int(csum[e - 1])
+            s = e
+        return pa.table({"doc_id": t["doc_id"], "shard": t["shard"],
+                         "pack_id": packs})
+
+    sharded = ds.select_columns(["doc_id", "text"]).map_batches(
+        add_shard, batch_format="pandas")
+    return sharded.groupby("shard", num_partitions=n_shards).map_groups(
+        per_shard, batch_format="pyarrow")
+
+
 def epoch_oversample(
     ds: ray.data.Dataset,
     thresholds: tuple[int, int] = (100, 200),

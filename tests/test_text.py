@@ -314,3 +314,40 @@ def test_epoch_oversample_repeats_by_token_thresholds():
            .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True))
     assert list(map(tuple, out.to_numpy())) == [
         (1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)]
+
+
+def test_pack_greedy_no_split_and_oversized_alone():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import pack_greedy_assignments
+
+    # one shard (n_shards=1); token counts 3, 3, 10, 2, 4 at budget 5:
+    # pack1 = [d1] (3; +3 would exceed), wait: 3+3=6>5 -> d2 new pack.
+    # packs: d1 -> 1, d2 -> 2, d3 (10 > budget) alone -> 3, d4+d5? 2+4=6>5
+    # -> d4 -> 4, d5 -> 5... make d5 1 token so 2+1 fits: d4,d5 -> 4
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c", "d e f", "w " * 10, "x y", "z"],
+    })
+    out = (pack_greedy_assignments(ray.data.from_pandas(df), budget=5, n_shards=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["pack_id"].tolist() == [1, 2, 3, 4, 4]
+    assert out["shard"].tolist() == [0] * 5
+
+
+def test_pack_greedy_shards_pack_independently():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import pack_greedy_assignments
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],          # shards 0,1,0,1 at n_shards=2
+        "text": ["a b", "c d", "e f", "g h"],  # 2 tokens each, budget 4
+    })
+    out = (pack_greedy_assignments(ray.data.from_pandas(df), budget=4, n_shards=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # each shard packs its two docs into ONE pack
+    assert out["pack_id"].tolist() == [1, 1, 1, 1]
+    assert out["shard"].tolist() == [0, 1, 0, 1]
