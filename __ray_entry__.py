@@ -409,6 +409,36 @@ def _docs_curation_funnel(sf_dir: str):
         "doc_id").reset_index(drop=True)
 
 
+def _docs_token_ids(sf_dir: str):
+    """Vocabulary build (rank by global count DESC, token ASC) +
+    corpus encoding into (doc_id, pos, token_id) — the tokenizer
+    fit+transform step of a training pipeline."""
+    import ray.data
+
+    from fs_crawler_ray.text import vocab_encode
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = vocab_encode(ds).to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "pos": np.int64, "token_id": np.int64}
+    ).sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def _events_user_paths(sf_dir: str):
+    """Per-user ordered event-type path — behavioral-sequence build
+    (string_agg ORDER BY ts, event_id), Arrow binary_join kernel."""
+    import ray.data
+
+    from fs_crawler_ray.windows import ordered_paths
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_id", "event_type"])
+    out = ordered_paths(ds, key="user_id", ts_col="ts",
+                        val_col="event_type", tiebreak="event_id").to_pandas()
+    return out.astype({"user_id": np.int64}).sort_values(
+        "user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -512,6 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_funnel": _docs_curation_funnel,
         "graph_families": cq.graph_families,
         "docs_pack_greedy": _docs_pack_greedy,
+        # --- r3 wave 12: tokenizer encode + behavioral paths ------------
+        "docs_token_ids": _docs_token_ids,
+        "q_events_user_paths": _events_user_paths,
     }
 
 
@@ -988,5 +1021,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN t ON t.shard = r.shard AND t.rk = r.rk + 1
             )
             SELECT doc_id, shard, pack_id FROM r ORDER BY doc_id
+        """,
+        "docs_token_ids": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(tk) AS tok,
+                     generate_subscripts(tk, 1) AS pos
+              FROM (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '') AS tk
+                FROM documents)
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS token_id
+              FROM toks GROUP BY tok
+            )
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, v.token_id
+            FROM toks t JOIN vocab v USING (tok)
+            ORDER BY t.doc_id, pos
+        """,
+        "q_events_user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }

@@ -1073,3 +1073,89 @@ def ngram_frequency(
         batch_format="pyarrow",
     )
     return out.sort(["cnt", "gram"], descending=[True, False]).limit(top_n)
+
+
+def vocab_encode(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    agg_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Vocabulary build + corpus encoding — the tokenizer-fit +
+    tokenize step of a training-data pipeline: rank every token by
+    global occurrence count (``cnt DESC, tok ASC`` — the standard
+    frequency-ordered vocabulary), assign ``token_id`` = 1-based rank,
+    then re-encode every document as its ``(doc_id, pos, token_id)``
+    stream (``pos`` = 1-based position among the document's tokens;
+    tokens below ``min_count`` are dropped, i.e. OOV).
+
+    Two passes, both corpus-streaming:
+      1. vocabulary counts — per-batch dictionary-encode + bincount
+         partials, so the shuffle moves O(vocabulary) rows per batch,
+         not the token stream; the final rank-sort runs on the
+         vocabulary table only (O(100k-1M) rows for a real corpus),
+         which is collected and broadcast ONCE via ``ray.put`` (the
+         canonical small-side broadcast, like the TF-IDF DF table).
+      2. encode — each batch tokenizes vectorized (Arrow RE2) and maps
+         token → id with ONE Arrow ``index_in`` kernel against the
+         broadcast vocabulary; no Python dict lookups.
+    """
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cnt_part": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"tok": enc.dictionary, "cnt_part": cnt.astype(np.int64)})
+
+    agg = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
+        num_buckets=agg_partitions,
+    )
+    vocab_tbl = pa.Table.from_pandas(agg.to_pandas())  # vocabulary-sized
+    cnts = vocab_tbl["sum(cnt_part)"]
+    if min_count > 1:
+        vocab_tbl = vocab_tbl.filter(pc.greater_equal(cnts, min_count))
+    order = pc.sort_indices(vocab_tbl, sort_keys=[("sum(cnt_part)", "descending"),
+                                                  ("tok", "ascending")])
+    ranked = vocab_tbl["tok"].take(order).combine_chunks()
+    if isinstance(ranked, pa.ChunkedArray):
+        ranked = ranked.combine_chunks()
+    vref = ray.put(ranked)
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        vocab = ray.get(vref)
+        texts = pa.array(df["text"], type=pa.string())
+        flat, parent, _ = _tokenize_batch(texts)
+        ids = np.asarray(df[id_col], dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token_id": pa.array([], pa.int64())})
+        # 1-based position among the doc's tokens: parent is
+        # nondecreasing in document order, so pos resets at run starts
+        n = len(parent)
+        starts = np.flatnonzero(np.concatenate(([True], parent[1:] != parent[:-1])))
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+        idx = pc.index_in(flat, value_set=vocab)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        token_id = pc.fill_null(idx, -2).to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        return pa.table({id_col: pa.array(ids[parent][valid]),
+                         "pos": pa.array(pos[valid]),
+                         "token_id": pa.array(token_id[valid])})
+
+    return ds.select_columns([id_col, "text"]).map_batches(
+        encode, batch_format="pandas")

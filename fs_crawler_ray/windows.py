@@ -867,3 +867,53 @@ def lag_deltas(
         return pa.table(cols)
 
     return _bucketed(ds, key, num_buckets, per_bucket)
+
+
+def ordered_paths(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    sep: str = ">",
+    out_name: str = "path",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key ordered value sequence concatenated into one string —
+    the behavioral-sequence builder (user event paths for sequence
+    models / session-trajectory features): SQL
+    ``string_agg(val, sep ORDER BY ts, tiebreak) GROUP BY key``.
+
+    Same shape as the other window kernels: one hash shuffle into key
+    buckets, then a kernel vectorized ACROSS keys — one bucket-wide
+    sort, a key-change mask, and ONE Arrow ``binary_join`` over a
+    ListArray built from the run offsets (the string concatenation
+    happens in C++, no per-key Python join). Output rows are
+    O(distinct keys); the partitioning assumption is the module-wide
+    one (a bucket's rows fit in one worker's heap).
+    """
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             out_name: pa.array([], pa.string())})
+        t = _sorted_table(
+            t, [(key, "ascending"), (ts_col, "ascending"), (tiebreak, "ascending")]
+        ).combine_chunks()
+        n = len(t)
+        k = _key_codes(t[key])
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        # int32 list offsets: a single bucket holds < 2^31 rows under the
+        # module-wide bucket-fits-in-heap assumption
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        vals = t[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        runs = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                        vals.cast(pa.string()))
+        path = pc.binary_join(runs, sep)
+        sel = pa.array(starts)
+        return pa.table({key: t[key].take(sel), out_name: path})
+
+    return _bucketed(ds.select_columns([key, ts_col, tiebreak, val_col]),
+                     key, num_buckets, per_bucket)

@@ -351,3 +351,33 @@ def test_pack_greedy_shards_pack_independently():
     # each shard packs its two docs into ONE pack
     assert out["pack_id"].tolist() == [1, 1, 1, 1]
     assert out["shard"].tolist() == [0, 1, 0, 1]
+
+
+def test_vocab_encode_ranks_by_count_then_token():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import vocab_encode
+
+    # counts: b=3, a=2, c=1 -> ids: b=1, a=2, c=3
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["b a b", "c b a"]})
+    out = (vocab_encode(ray.data.from_pandas(df))
+           .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, 1, 1), (1, 2, 2), (1, 3, 1),
+        (2, 1, 3), (2, 2, 1), (2, 3, 2)]
+
+
+def test_vocab_encode_min_count_drops_oov():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import vocab_encode
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["b a b", "c b a"]})
+    out = (vocab_encode(ray.data.from_pandas(df), min_count=2)
+           .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    # c (count 1) dropped; positions keep their pre-drop values
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, 1, 1), (1, 2, 2), (1, 3, 1),
+        (2, 2, 1), (2, 3, 2)]

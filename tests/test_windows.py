@@ -465,3 +465,20 @@ def test_rank_per_key_matches_pandas_rank():
     ref["rnk"] = ref.groupby("user_id")["value_cents"].rank(
         method="min", ascending=False).astype("int64")
     assert out["rnk"].tolist() == ref["rnk"].tolist()
+
+
+def test_ordered_paths_joins_in_ts_then_tiebreak_order():
+    from fs_crawler_ray.windows import ordered_paths
+
+    ts = pd.to_datetime([10, 30, 20, 20, 5], unit="s")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": ts,
+        "event_id": [4, 2, 3, 1, 9],  # equal-ts rows break on event_id
+        "event_type": ["view", "buy", "cart", "add", "solo"],
+    })
+    out = (ordered_paths(ray.data.from_pandas(df), key="user_id",
+                         ts_col="ts", val_col="event_type",
+                         tiebreak="event_id")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["path"].tolist() == ["view>add>cart>buy", "solo"]
