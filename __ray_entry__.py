@@ -439,6 +439,33 @@ def _events_user_paths(sf_dir: str):
         "user_id").reset_index(drop=True)
 
 
+def _docs_rarity(sf_dir: str):
+    """Integer token-rarity score (Σ frequency-rank of each doc's
+    tokens) — the rank-based, float-free stand-in for a perplexity
+    quality filter."""
+    import ray.data
+
+    from fs_crawler_ray.text import token_rarity
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = token_rarity(ds).to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "rarity_sum": np.int64, "n_tokens": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (count·k > n) via bounded-memory Misra-Gries
+    candidates + exact recount — the sketch-then-verify scale pattern."""
+    import ray.data
+
+    from fs_crawler_ray.text import heavy_hitters
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = heavy_hitters(ds, k=40).to_pandas()
+    return out.astype({"cnt": np.int64}).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -545,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 12: tokenizer encode + behavioral paths ------------
         "docs_token_ids": _docs_token_ids,
         "q_events_user_paths": _events_user_paths,
+        # --- r3 wave 13: rarity score + heavy hitters -------------------
+        "docs_rarity": _docs_rarity,
+        "docs_heavy_hitters": _docs_heavy_hitters,
     }
 
 
@@ -1045,5 +1075,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "docs_rarity": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+              FROM toks GROUP BY tok
+            )
+            SELECT t.doc_id, SUM(v.rnk) AS rarity_sum,
+                   COUNT(*) AS n_tokens
+            FROM toks t JOIN vocab v USING (tok)
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "docs_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            )
+            SELECT tok, COUNT(*) AS cnt FROM toks
+            GROUP BY tok
+            HAVING COUNT(*) * 40 > (SELECT COUNT(*) FROM toks)
+            ORDER BY cnt DESC, tok
         """,
     }

@@ -1159,3 +1159,172 @@ def vocab_encode(
 
     return ds.select_columns([id_col, "text"]).map_batches(
         encode, batch_format="pandas")
+
+
+def token_rarity(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    agg_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Integer token-rarity quality score — the rank-based stand-in for
+    the perplexity filter of a curation pipeline (CCNet-style): each
+    document scores ``rarity_sum`` = Σ (frequency rank of its tokens)
+    with rank 1 = the globally most frequent token, plus ``n_tokens``
+    so callers can form the mean. Rare-token-heavy (low-quality /
+    off-distribution) docs score high. All-integer outputs, so the
+    DuckDB ROW_NUMBER-vocab oracle matches bit-for-bit — no libm log
+    hazards like a true-NLL score would have.
+
+    Same two-pass shape as ``vocab_encode``: vocabulary-sized count
+    shuffle, ranked vocab broadcast once, then one ``index_in`` +
+    ``bincount``-style reduction per batch; the output is one row per
+    document (no exploded token stream leaves a worker).
+    """
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cnt_part": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"tok": enc.dictionary, "cnt_part": cnt.astype(np.int64)})
+
+    agg = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
+        num_buckets=agg_partitions,
+    )
+    vocab_tbl = pa.Table.from_pandas(agg.to_pandas())  # vocabulary-sized
+    order = pc.sort_indices(vocab_tbl, sort_keys=[("sum(cnt_part)", "descending"),
+                                                  ("tok", "ascending")])
+    ranked = vocab_tbl["tok"].take(order)
+    if isinstance(ranked, pa.ChunkedArray):
+        ranked = ranked.combine_chunks()
+    vref = ray.put(ranked)
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        vocab = ray.get(vref)
+        flat, parent, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        ids = np.asarray(df[id_col], dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rarity_sum": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        rank = pc.index_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1  # 1-based rank
+        rarity = np.zeros(len(df), dtype=np.int64)
+        np.add.at(rarity, parent, rank)
+        keep = n_tokens > 0
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "rarity_sum": pa.array(rarity[keep]),
+                         "n_tokens": pa.array(n_tokens[keep])})
+
+    return ds.select_columns([id_col, "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    capacity: int | None = None,
+    agg_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exact global heavy hitters (tokens with count > n/k) via the
+    canonical sketch-then-verify scale pattern: a bounded-memory
+    Misra-Gries pass generates a small candidate superset, an exact
+    recount restricted to the candidates applies the threshold — so the
+    result is EXACT (oracled by a plain HAVING) while per-batch state
+    and shuffle volume stay O(capacity) per batch even when the
+    vocabulary is web-scale (the pure counting pass used by
+    ``token_doc_frequency`` ships the whole batch vocabulary).
+
+    Guarantee (Agarwal et al., mergeable-summaries): each batch's MG
+    decrement ``d_b`` satisfies ``d_b·(capacity+1) ≤ n_b``, so any
+    token with global count > n/(capacity+1) keeps a positive counter
+    in at least one batch summary and reaches the recount. With
+    ``capacity ≥ k`` (default 4k) every true heavy hitter is a
+    candidate; false candidates are eliminated by the exact recount.
+
+    Output: ``(tok, cnt)`` with exact counts, ``cnt·k > n``, sorted
+    ``(cnt DESC, tok)`` — integers only.
+    """
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    cap = capacity if capacity is not None else 4 * k
+    # "" never appears as a token (the tokenizer drops empties); it
+    # carries each batch's total token count through the same shuffle
+    SENTINEL = ""
+
+    def mg_partial(df: pd.DataFrame) -> pa.Table:
+        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        n_b = len(flat)
+        if n_b == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cnt_part": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        # Misra-Gries trim on the counted batch: decrement everything by
+        # the (cap+1)-th largest count so ≤ cap survivors remain
+        if len(cnt) > cap:
+            d = np.partition(cnt, -(cap + 1))[-(cap + 1)]
+            cnt = cnt - d
+        keep = cnt > 0
+        kept = enc.dictionary.filter(pa.array(keep)).cast(pa.string())
+        toks = pa.concat_arrays([pa.array([SENTINEL], type=pa.string()), kept])
+        vals = np.concatenate([[n_b], cnt[keep]]).astype(np.int64)
+        return pa.table({"tok": toks, "cnt_part": pa.array(vals)})
+
+    summary = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(mg_partial, batch_format="pandas"),
+        ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
+        num_buckets=agg_partitions,
+    ).to_pandas()  # O(batches × capacity) rows
+    n_total = int(summary.loc[summary["tok"] == SENTINEL, "sum(cnt_part)"].sum())
+    cands = pa.array(summary.loc[summary["tok"] != SENTINEL, "tok"].to_numpy(),
+                     type=pa.string())
+    cref = ray.put(cands)
+
+    def recount(df: pd.DataFrame) -> pa.Table:
+        cand = ray.get(cref)
+        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cnt_part": pa.array([], type=pa.int64())})
+        idx = pc.index_in(flat, value_set=cand)
+        pos = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pos[pos >= 0]
+        if len(pos) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cnt_part": pa.array([], type=pa.int64())})
+        cnt = np.bincount(pos, minlength=len(cand))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"tok": cand.take(pa.array(nz)),
+                         "cnt_part": pa.array(cnt[nz].astype(np.int64))})
+
+    exact = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(recount, batch_format="pandas"),
+        ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
+        num_buckets=agg_partitions,
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        cnt = t["sum(cnt_part)"].cast(pa.int64())
+        out = pa.table({"tok": t["tok"], "cnt": cnt})
+        return out.filter(pc.greater(pc.multiply(
+            cnt.combine_chunks() if isinstance(cnt, pa.ChunkedArray) else cnt,
+            pa.scalar(k, pa.int64())), n_total))
+
+    return exact.map_batches(threshold, batch_format="pyarrow").sort(
+        ["cnt", "tok"], descending=[True, False])

@@ -381,3 +381,34 @@ def test_vocab_encode_min_count_drops_oov():
     assert list(map(tuple, out.to_numpy())) == [
         (1, 1, 1), (1, 2, 2), (1, 3, 1),
         (2, 2, 1), (2, 3, 2)]
+
+
+def test_token_rarity_sums_frequency_ranks():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import token_rarity
+
+    # counts: b=3, a=2, c=1 -> ranks b=1, a=2, c=3
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["b a b", "c b a"]})
+    out = (token_rarity(ray.data.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, 1 + 2 + 1, 3), (2, 3 + 1 + 2, 3)]
+
+
+def test_heavy_hitters_exact_through_mg_trim():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import heavy_hitters
+
+    # 40 distinct rare tokens + one hot token per doc; capacity=4 forces
+    # the per-batch Misra-Gries trim, the recount restores exact counts
+    rng = [f"tok{i:02d}" for i in range(40)]
+    docs = [("hot " * 6) + " ".join(rng[i * 8:(i + 1) * 8]) for i in range(5)]
+    df = pd.DataFrame({"doc_id": range(5), "text": docs})
+    out = (heavy_hitters(ray.data.from_pandas(df), k=4, capacity=4)
+           .to_pandas().reset_index(drop=True))
+    # n = 5*(6+8) = 70; threshold n/k = 17.5; only "hot" (30) exceeds it
+    assert list(map(tuple, out.to_numpy())) == [("hot", 30)]
