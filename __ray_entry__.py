@@ -466,6 +466,65 @@ def _docs_heavy_hitters(sf_dir: str):
     return out.astype({"cnt": np.int64}).reset_index(drop=True)
 
 
+def _docs_filter_reasons(sf_dir: str):
+    """Per-rejected-doc drop reason (first failing rule, fixed priority)
+    — the audit ledger of the curation funnel."""
+    import ray.data
+
+    from fs_crawler_ray.curation import filter_reasons
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = filter_reasons(ds).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def _docs_snapshot_diff(sf_dir: str):
+    """Recrawl snapshot diff (added/removed/changed) between the corpus
+    and a deterministically derived second snapshot: drop doc_id%7==0,
+    rewrite text of doc_id%11==0, add doc_id%13==0 under id+1000000."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fs_crawler_ray.curation import snapshot_diff
+
+    a = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def make_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(ids % 7 != 0))
+        kids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.if_else(pa.array(kids % 11 == 0),
+                         pc.binary_join_element_wise(
+                             kept["text"].combine_chunks()
+                             if isinstance(kept["text"], pa.ChunkedArray)
+                             else kept["text"],
+                             " v2", ""),
+                         kept["text"])
+        added = t.filter(pa.array(ids % 13 == 0))
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                kept["doc_id"].combine_chunks()
+                if isinstance(kept["doc_id"], pa.ChunkedArray) else kept["doc_id"],
+                pc.add(added["doc_id"].combine_chunks()
+                       if isinstance(added["doc_id"], pa.ChunkedArray)
+                       else added["doc_id"], 1000000)]),
+            "text": pa.concat_arrays([
+                txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt,
+                added["text"].combine_chunks()
+                if isinstance(added["text"], pa.ChunkedArray) else added["text"]]),
+        })
+
+    b = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"]).map_batches(
+        make_b, batch_format="pyarrow")
+    out = snapshot_diff(a, b).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -575,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 13: rarity score + heavy hitters -------------------
         "docs_rarity": _docs_rarity,
         "docs_heavy_hitters": _docs_heavy_hitters,
+        # --- r3 wave 14: drop-reason ledger + snapshot diff -------------
+        "docs_filter_reasons": _docs_filter_reasons,
+        "docs_snapshot_diff": _docs_snapshot_diff,
     }
 
 
@@ -1103,5 +1165,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             HAVING COUNT(*) * 40 > (SELECT COUNT(*) FROM toks)
             ORDER BY cnt DESC, tok
+        """,
+        "docs_filter_reasons": f"""
+            WITH cont AS (
+              SELECT doc_id FROM ({osql.docs_decontaminated(n=3, eval_mod=53)})
+            ), dup AS (
+              SELECT doc_id FROM ({osql.docs_dup_clusters(threshold=0.8, shingle_k=3)})
+              WHERE cluster_id <> doc_id
+            )
+            SELECT doc_id, reason FROM (
+              SELECT doc_id, CASE
+                WHEN doc_id % 53 = 0 THEN 'eval_slice'
+                WHEN n_chars < (SELECT quantile_disc(n_chars, 0.05) FROM documents)
+                    THEN 'too_short'
+                WHEN n_chars > (SELECT quantile_disc(n_chars, 0.95) FROM documents)
+                    THEN 'too_long'
+                WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+                WHEN doc_id IN (SELECT doc_id FROM dup) THEN 'near_dup'
+              END AS reason FROM documents)
+            WHERE reason IS NOT NULL ORDER BY doc_id
+        """,
+        "docs_snapshot_diff": """
+            WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN md5(text || ' v2')
+                          ELSE md5(text) END AS h
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text) FROM documents
+              WHERE doc_id % 13 = 0
+            )
+            SELECT doc_id, status FROM (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     CASE WHEN a.doc_id IS NULL THEN 'added'
+                          WHEN b.doc_id IS NULL THEN 'removed'
+                          WHEN a.h <> b.h THEN 'changed' END AS status
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            WHERE status IS NOT NULL ORDER BY doc_id
         """,
     }

@@ -341,3 +341,125 @@ def length_percentile_filter(
         lambda t: t.filter(pc.and_(pc.greater_equal(t[value_col], lo_v),
                                    pc.less_equal(t[value_col], hi_v))),
         batch_format="pyarrow")
+
+
+def filter_reasons(
+    ds: ray.data.Dataset,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    eval_mod: int = 53,
+    n: int = 3,
+    dup_threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Drop-reason ledger — the observability twin of the curation
+    funnel: one ``(doc_id, reason)`` row per REJECTED document carrying
+    the FIRST failing rule in a fixed priority order (``eval_slice`` >
+    ``too_short`` > ``too_long`` > ``contaminated`` > ``near_dup``),
+    the per-doc audit trail real curation pipelines (Dolma, RefinedWeb)
+    emit so corpus composition changes can be attributed to rules.
+
+    Reuses the funnel's verified legs: the exact global length
+    quantiles (histogram-sized shuffle), the n-gram decontamination
+    flagger, and the MinHash→Jaccard→components near-dup clusters.
+    Flag sets are O(rejected docs), attached with size-aware lookup
+    joins; the reason cascade itself is one shuffle-free vectorized
+    pass over ``(doc_id, n_chars)``.
+    """
+    from fs_crawler_ray.components import near_dup_clusters
+    from fs_crawler_ray.relops import lookup_join
+
+    lo_v, hi_v = global_quantiles_disc(
+        ds.select_columns(["doc_id", "n_chars"]), "n_chars", [lo, hi])
+
+    cont = decontaminate(ds.select_columns(["doc_id", "text"]),
+                         n=n, eval_mod=eval_mod).map_batches(
+        lambda t: pa.table({"__cid": t["doc_id"],
+                            "__c": pa.array(np.ones(len(t), np.int8))}),
+        batch_format="pyarrow")
+    def dup_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        return pa.table({"__did": ids,
+                         "__d": pa.array(np.ones(len(ids), np.int8))})
+
+    dup = near_dup_clusters(ds, threshold=dup_threshold,
+                            shingle_k=shingle_k).map_batches(
+        dup_fn, batch_format="pyarrow")
+
+    base = ds.select_columns(["doc_id", "n_chars"])
+    j = lookup_join(base, cont, on="doc_id", right_on="__cid", how="left",
+                    right_schema=pa.schema([("__cid", pa.int64()),
+                                            ("__c", pa.int8())]))
+    j = lookup_join(j, dup, on="doc_id", right_on="__did", how="left",
+                    right_schema=pa.schema([("__did", pa.int64()),
+                                            ("__d", pa.int8())]))
+
+    def classify(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        nch = df["n_chars"].to_numpy(dtype=np.int64)
+        c = df["__c"].notna().to_numpy()
+        d = df["__d"].notna().to_numpy()
+        reason = np.where(
+            ids % eval_mod == 0, "eval_slice",
+            np.where(nch < lo_v, "too_short",
+                     np.where(nch > hi_v, "too_long",
+                              np.where(c, "contaminated",
+                                       np.where(d, "near_dup", "")))))
+        keep = reason != ""
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "reason": pa.array(reason[keep].astype(object),
+                                            type=pa.string())})
+
+    return j.map_batches(classify, batch_format="pandas")
+
+
+def snapshot_diff(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Recrawl / CDC snapshot diff: ``(doc_id, status)`` with status in
+    ``added`` (only in ``b``), ``removed`` (only in ``a``), ``changed``
+    (both, different content hash); unchanged docs emit nothing.
+    The incremental-refresh primitive of a crawl pipeline: only the
+    diff re-enters the downstream curation stages.
+
+    Both snapshots reduce to ``(id, md5)`` per batch (shuffle-free),
+    then ONE full-outer ``hash_join`` on the id classifies every doc —
+    no side is ever collected; at 100 TB both hash tables stream
+    through the same key-bucket shuffle.
+    """
+    from fs_crawler_ray.relops import hash_join
+    from fs_crawler_ray.text import add_content_hash
+
+    ha = add_content_hash(a.select_columns([id_col, content_col]),
+                          column=content_col).map_batches(
+        lambda t: pa.table({id_col: t[id_col], "__ha": t["content_hash"]}),
+        batch_format="pyarrow")
+    hb = add_content_hash(b.select_columns([id_col, content_col]),
+                          column=content_col).map_batches(
+        lambda t: pa.table({id_col: t[id_col], "__hb": t["content_hash"]}),
+        batch_format="pyarrow")
+    j = hash_join(ha, hb, on=[id_col], right_on=[id_col],
+                  how="full_outer", num_buckets=num_buckets)
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        ha_v = pc.is_valid(t["__ha"]).to_numpy(zero_copy_only=False)
+        hb_v = pc.is_valid(t["__hb"]).to_numpy(zero_copy_only=False)
+        same = pc.equal(pc.coalesce(t["__ha"], pa.scalar("", pa.string())),
+                        pc.coalesce(t["__hb"], pa.scalar("", pa.string()))
+                        ).to_numpy(zero_copy_only=False)
+        status = np.where(~ha_v, "added",
+                          np.where(~hb_v, "removed",
+                                   np.where(~same, "changed", "")))
+        keep = status != ""
+        return pa.table({id_col: t[id_col].filter(pa.array(keep)),
+                         "status": pa.array(status[keep].astype(object),
+                                            type=pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")

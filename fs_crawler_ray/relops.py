@@ -429,13 +429,21 @@ def lookup_join(
     right_on: str,
     how: str = "inner",
     num_partitions: int = 16,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Hash join that broadcasts a small right side (pandas merge per
-    batch) and falls back to Dataset.join for large ones."""
+    batch) and falls back to Dataset.join for large ones.
+
+    ``right_schema``: static schema hint for the right side — REQUIRED
+    when the right side can be EMPTY (a zero-row Dataset loses its
+    schema entirely, so the per-batch merge would KeyError on the join
+    column; the hint reconstructs a typed empty frame instead)."""
     right = right.materialize()  # sized AND reused — never execute twice
     n = right.count()
     if n <= BROADCAST_LIMIT:
         rdf = right.to_pandas()
+        if right_on not in rdf.columns and right_schema is not None:
+            rdf = right_schema.empty_table().to_pandas()
         out = broadcast_lookup_join(ds, rdf, on=on, right_on=right_on, how="left" if how != "inner" else "inner")
         return out
     # same fallback rationale as semi_anti_join: the bucketed hash_join

@@ -129,3 +129,42 @@ def test_string_ids_supported():
     n_eval = int(_eval_mask(pd.Series([f"url-{i}" for i in range(200)]), 7).sum())
     assert 0 < n_eval < 200
     assert len(out) == 200 - n_eval
+
+
+def test_snapshot_diff_classifies_added_removed_changed():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.curation import snapshot_diff
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["one", "two", "three", "four"]})
+    b = pd.DataFrame({"doc_id": [2, 3, 4, 5],
+                      "text": ["two", "THREE", "four", "five"]})
+    out = (snapshot_diff(ray.data.from_pandas(a), ray.data.from_pandas(b))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, "removed"), (3, "changed"), (5, "added")]
+
+
+def test_filter_reasons_priority_order():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.curation import filter_reasons
+
+    # doc 0: eval slice (0 % 53 == 0) even though it is also shortest;
+    # doc 1: too_short; doc 9: too_long; middle docs pass
+    n = 10
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["w" * (i + 1) for i in range(n)],
+        "n_chars": [i + 1 for i in range(n)],
+    })
+    # quantile_disc(0.25) over 1..10 = 3, quantile_disc(0.8) = 8
+    out = (filter_reasons(ray.data.from_pandas(docs), lo=0.25, hi=0.8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["reason"]))
+    assert got[0] == "eval_slice"
+    assert got[1] == "too_short"
+    assert got[9] == "too_long"
