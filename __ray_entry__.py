@@ -525,6 +525,32 @@ def _docs_snapshot_diff(sf_dir: str):
         "doc_id").reset_index(drop=True)
 
 
+def _docs_postings(sf_dir: str):
+    """Inverted-index build: (tok, df, comma-joined ascending doc-id
+    posting list), min_df=2."""
+    import ray.data
+
+    from fs_crawler_ray.text import inverted_index
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = inverted_index(ds, min_df=2).to_pandas()
+    return out.astype({"df": np.int64}).sort_values("tok").reset_index(drop=True)
+
+
+def _docs_quality_rank(sf_dir: str):
+    """Global 1-based rank by descending mean token rarity (integer
+    permille), ties by doc_id — distributed sort + zip-with-index."""
+    import ray.data
+
+    from fs_crawler_ray.text import quality_rank
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = quality_rank(ds).to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "mean_rarity_milli": np.int64, "qrank": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -637,6 +663,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 14: drop-reason ledger + snapshot diff -------------
         "docs_filter_reasons": _docs_filter_reasons,
         "docs_snapshot_diff": _docs_snapshot_diff,
+        # --- r3 wave 15: inverted index + global quality rank -----------
+        "docs_postings": _docs_postings,
+        "docs_quality_rank": _docs_quality_rank,
     }
 
 
@@ -1203,5 +1232,38 @@ def oracle_sql() -> dict[str, str]:
                           WHEN a.h <> b.h THEN 'changed' END AS status
               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
             WHERE status IS NOT NULL ORDER BY doc_id
+        """,
+        "docs_postings": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            )
+            SELECT tok, COUNT(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM pairs GROUP BY tok HAVING COUNT(*) >= 2 ORDER BY tok
+        """,
+        "docs_quality_rank": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+              FROM toks GROUP BY tok
+            ), r AS (
+              SELECT t.doc_id, SUM(v.rnk) AS rarity_sum, COUNT(*) AS n_tokens
+              FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+            )
+            SELECT doc_id,
+                   (rarity_sum * 1000) // n_tokens AS mean_rarity_milli,
+                   ROW_NUMBER() OVER (
+                     ORDER BY (rarity_sum * 1000) // n_tokens DESC, doc_id
+                   ) AS qrank
+            FROM r ORDER BY doc_id
         """,
     }

@@ -1328,3 +1328,117 @@ def heavy_hitters(
 
     return exact.map_batches(threshold, batch_format="pyarrow").sort(
         ["cnt", "tok"], descending=[True, False])
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Inverted-index build — the classic IR / retrieval-pipeline
+    fan-in: ``(tok, df, postings)`` with ``postings`` the comma-joined
+    ascending doc-id list of every document containing the token,
+    ``df`` its length, tokens below ``min_df`` dropped.
+
+    Per batch the (doc, token) pair stream dedups with one np.unique
+    over packed int64 codes (so a token repeated in a doc ships once);
+    one hash shuffle on the token co-locates each posting list; the
+    per-bucket kernel is vectorized ACROSS tokens — one sort, a
+    token-change mask, run-offset ListArray + ONE Arrow ``binary_join``
+    (C++ concat, no per-token Python). Postings are strings, ids and
+    df integers — hash-exact vs the ``string_agg`` oracle. Partitioning
+    assumption: one token's posting list fits in a worker's heap (at
+    web scale cap or shard ultra-common tokens — they are stopwords and
+    fall to ``min_df``'s sibling ``max_df`` in practice).
+    """
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        ids = np.asarray(df[id_col], dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        uniq = np.unique(parent.astype(np.int64) * v + codes)
+        return pa.table({id_col: pa.array(ids[uniq // v]),
+                         "tok": enc.dictionary.take(pa.array(uniq % v))})
+
+    pair_ds = ds.select_columns([id_col, "text"]).map_batches(
+        pairs, batch_format="pandas")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        t = t.take(pc.sort_indices(t, sort_keys=[("tok", "ascending"),
+                                                 (id_col, "ascending")]))
+        t = t.combine_chunks()
+        tok = t["tok"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = pc.dictionary_encode(tok).indices.to_numpy(zero_copy_only=False)
+        n = len(t)
+        starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+        lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        keep = lens >= min_df
+        ids_str = t[id_col].cast(pa.string())
+        if isinstance(ids_str, pa.ChunkedArray):
+            ids_str = ids_str.combine_chunks()
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        runs = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), ids_str)
+        postings = pc.binary_join(runs, ",")
+        sel = pa.array(starts[keep])
+        mask = pa.array(keep)
+        return pa.table({"tok": tok.take(sel),
+                         "df": pa.array(lens[keep]),
+                         "postings": postings.filter(mask)})
+
+    return _add_bucket(pair_ds, ["tok"], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(
+        lambda g: per_bucket(g.drop_columns([_BUCKET_COL])),
+        batch_format="pyarrow")
+
+
+def quality_rank(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Global corpus-quality ranking: every document's 1-based rank by
+    descending mean token rarity (``mean_rarity_milli`` =
+    ``rarity_sum*1000 // n_tokens``, ties broken by doc id) — the
+    "sort the whole corpus by a quality score" step quality-pruned
+    training runs use (keep the best X%, or curriculum-order epochs).
+
+    Composition of two verified distributed pieces: :func:`token_rarity`
+    (one vocabulary-sized shuffle) and the adjacency exporter's
+    ``zip_with_index`` (global range-partitioned sort + per-block
+    offset enumeration — the same machinery that numbers crawl
+    vertices). Integers end-to-end.
+    """
+    from fs_crawler_ray.stages.export import zip_with_index
+
+    scores = token_rarity(ds, id_col=id_col)
+
+    def derive(t: pa.Table) -> pa.Table:
+        rs = t["rarity_sum"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        m = rs * 1000 // nt
+        return pa.table({id_col: t[id_col],
+                         "mean_rarity_milli": pa.array(m),
+                         "__neg": pa.array(-m)})
+
+    ranked = zip_with_index(
+        scores.map_batches(derive, batch_format="pyarrow"),
+        ["__neg", id_col], "qrank")
+    return ranked.map_batches(
+        lambda t: t.drop_columns(["__neg"]), batch_format="pyarrow")

@@ -412,3 +412,34 @@ def test_heavy_hitters_exact_through_mg_trim():
            .to_pandas().reset_index(drop=True))
     # n = 5*(6+8) = 70; threshold n/k = 17.5; only "hot" (30) exceeds it
     assert list(map(tuple, out.to_numpy())) == [("hot", 30)]
+
+
+def test_inverted_index_postings_and_min_df():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["a b a", "a c", "b a"],  # a in {1,2,3}, b in {2,3}, c in {1}
+    })
+    out = (inverted_index(ray.data.from_pandas(df), min_df=2)
+           .to_pandas().sort_values("tok").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", 3, "1,2,3"), ("b", 2, "2,3")]
+
+
+def test_quality_rank_orders_by_mean_rarity_desc():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import quality_rank
+
+    # counts: a=4, b=2, c=1 -> ranks a=1, b=2, c=3
+    # doc 1 "a a" mean=1000; doc 2 "b c" mean=(2+3)*1000//2=2500; doc 3 "a a b" mean=(1+1+2)*1000//3=1333
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a a", "b c", "a a b"]})
+    out = (quality_rank(ray.data.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["mean_rarity_milli"].tolist() == [1000, 2500, 1333]
+    assert out["qrank"].tolist() == [3, 1, 2]
