@@ -551,6 +551,38 @@ def _docs_quality_rank(sf_dir: str):
     ).sort_values("doc_id").reset_index(drop=True)
 
 
+def _span_mix_stats(sf_dir: str):
+    """Per-doc modality mix over the interleaved span table (the
+    input_hint's Lance shape): n_spans / n_media / text_chars /
+    media_permille. Map-only, shuffle-free."""
+    import ray.data
+
+    from fs_crawler_ray.corpus import corpus_for_sf
+    from fs_crawler_ray.multimodal import span_composition
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    out = span_composition(ds).to_pandas()
+    return out.astype({"n_spans": np.int64, "n_media": np.int64,
+                       "text_chars": np.int64, "media_permille": np.int64}
+                      ).sort_values("doc_id").reset_index(drop=True)
+
+
+def _span_kind_counts(sf_dir: str):
+    """Span-kind schema profile of the interleaved corpus:
+    (kind, n_spans, n_docs)."""
+    import ray.data
+
+    from fs_crawler_ray.corpus import corpus_for_sf
+    from fs_crawler_ray.multimodal import span_kind_counts
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    out = span_kind_counts(ds).to_pandas()
+    return out.astype({"n_spans": np.int64, "n_docs": np.int64}
+                      ).sort_values("kind").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -666,6 +698,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 15: inverted index + global quality rank -----------
         "docs_postings": _docs_postings,
         "docs_quality_rank": _docs_quality_rank,
+        # --- r3 wave 16: interleaved-span composition profiling ---------
+        "span_mix_stats": _span_mix_stats,
+        "span_kind_counts": _span_kind_counts,
     }
 
 
@@ -1265,5 +1300,21 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY (rarity_sum * 1000) // n_tokens DESC, doc_id
                    ) AS qrank
             FROM r ORDER BY doc_id
+        """,
+        "span_mix_stats": f"""
+            SELECT doc_id,
+                   COUNT(*) AS n_spans,
+                   SUM(CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END) AS n_media,
+                   SUM(length(COALESCE(u.text, ''))) AS text_chars,
+                   (SUM(CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END) * 1000)
+                       // COUNT(*) AS media_permille
+            FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{d}'))
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "span_kind_counts": f"""
+            SELECT u.kind AS kind, COUNT(*) AS n_spans,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{d}'))
+            GROUP BY u.kind ORDER BY kind
         """,
     }

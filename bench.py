@@ -306,17 +306,23 @@ def run_bench() -> dict:
     queries["adjacency_export"] = round(time.time() - t0, 3)
 
     # -- link analysis over the crawled graph (r3 wave-7/8 operators) ---
-    from fs_crawler_ray.graph import degree_histogram, pagerank_scaled
+    from fs_crawler_ray.graph import (degree_histogram, endpoint_degrees,
+                                      pagerank_scaled)
 
     t0 = time.time()
     graph_edges = final.select_columns(["source", "destination"]).materialize()
     n_graph_edges = graph_edges.count()
     g_buckets = int(max(4, min(max(16, num_cpus), n_graph_edges // 20000 + 4)))
     # the crawl's edge table is already deduped on (source, destination)
-    # (D3), so skip the ops' internal distinct shuffles
-    degree_histogram(graph_edges, num_buckets=g_buckets, assume_distinct=True).count()
+    # (D3), so skip the ops' internal distinct shuffles; the degree
+    # histogram and PageRank share ONE endpoint aggregation
+    ge, gstate = endpoint_degrees(graph_edges, num_buckets=g_buckets,
+                                  assume_distinct=True)
+    gstate = gstate.materialize()
+    degree_histogram(graph_edges, degrees=gstate).count()
     n_pr_vertices = pagerank_scaled(
-        graph_edges, iters=5, num_buckets=g_buckets, assume_distinct=True).count()
+        graph_edges, iters=5, num_buckets=g_buckets,
+        setup=(ge, gstate)).count()
     queries["link_analysis"] = round(time.time() - t0, 3)
     extras["pagerank_vertices"] = int(n_pr_vertices)
     extras["pagerank_edge_visits_per_sec"] = (

@@ -67,23 +67,61 @@ def _project(ds: ray.data.Dataset, col: str, out: str) -> ray.data.Dataset:
     return ds.map_batches(lambda t: pa.table({out: t[col]}), batch_format="pyarrow")
 
 
+def endpoint_degrees(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 16,
+    assume_distinct: bool = False,
+):
+    """The shared setup of every link-analysis op: the DISTINCT edge
+    set (materialized once) plus ONE tagged endpoint aggregation that
+    yields, per vertex, its out-degree (sum of source tags) AND its
+    total degree (count of endpoint occurrences = outdeg + indeg)
+    together. Returns ``(edges_materialized, state)`` with ``state``
+    columns ``(id, outdeg, deg)`` — callers share it so a bench stage
+    running the degree histogram and PageRank over the same graph pays
+    the edge scan + shuffle once, not per operator."""
+    e = edges.select_columns([src, dst])
+    if not assume_distinct:
+        e = distinct(e, [src, dst], num_buckets)
+    e = e.materialize()
+
+    def ends_fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = np.concatenate([t[src].to_numpy(zero_copy_only=False),
+                              t[dst].to_numpy(zero_copy_only=False)])
+        is_src = np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)])
+        return pa.table({"id": ids, "is_src": is_src})
+
+    state = bucketed_agg(
+        e.map_batches(ends_fn, batch_format="pyarrow"),
+        ["id"], [("is_src", "sum", "outdeg"), ("is_src", "count", "deg")],
+        num_buckets,
+    )
+    return e, state
+
+
 def degree_histogram(
     edges: ray.data.Dataset,
     src: str = "source",
     dst: str = "destination",
     num_buckets: int = 32,
     assume_distinct: bool = False,
+    degrees: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Total-degree histogram over the DISTINCT directed edge set:
     ``degree(v) = outdeg(v) + indeg(v)`` → ``(degree, n_vertices)``.
-    Three bucketed shuffles, each strictly smaller than the last
-    (edges → per-vertex degree → per-degree count); all-integer output.
-    """
-    e = edges.select_columns([src, dst])
-    if not assume_distinct:
-        e = distinct(e, [src, dst], num_buckets)
-    ends = _project(e, src, "v").union(_project(e, dst, "v"))
-    deg = bucketed_agg(ends, ["v"], [("v", "count", "degree")], num_buckets)
+    Two bucketed shuffles, each strictly smaller than the last (tagged
+    endpoints → per-vertex degree → per-degree count); all-integer
+    output. Pass ``degrees`` (the state from :func:`endpoint_degrees`)
+    to reuse an aggregation already computed for PageRank."""
+    if degrees is None:
+        _, degrees = endpoint_degrees(edges, src, dst, num_buckets,
+                                      assume_distinct)
+    deg = degrees.map_batches(
+        lambda t: pa.table({"v": t["id"], "degree": t["deg"].cast(pa.int64())}),
+        batch_format="pyarrow")
     hist = bucketed_agg(deg, ["degree"], [("v", "count", "n_vertices")], 8)
     return hist
 
@@ -198,45 +236,33 @@ def pagerank_scaled(
     damping_pct: int = 85,
     num_buckets: int = 16,
     assume_distinct: bool = False,
+    setup: tuple | None = None,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank in scaled-integer arithmetic (see the
     module docstring for why integers): returns ``(id, rank_scaled)``
     with ``rank_scaled ≈ pagerank(id) * scale``.
 
-    Setup is two shuffles total: the edge distinct, then ONE tagged
-    endpoint aggregation that yields the vertex set AND per-vertex
-    outdegree together. Below ``BROADCAST_LIMIT`` vertices the O(V)
-    rank state is driver-resident and each iteration is a single
-    Dataset execution over the edges (see the fast-path comment);
-    above it, per iteration: shares ``r // outdeg`` (map-only over the
-    O(V) state Dataset), one edges×shares join, one bucketed sum per
-    destination, one O(V) state join. Sink mass (vertices with no
-    out-edges) is dropped, identically on both engines — the spec IS
-    the oracle SQL's unrolled CTE.
+    Setup is two shuffles total: the edge distinct, then the ONE tagged
+    endpoint aggregation of :func:`endpoint_degrees` that yields the
+    vertex set AND per-vertex outdegree together (pass ``setup`` — its
+    ``(edges, state)`` result — to share that work with a degree
+    histogram over the same graph). Below ``BROADCAST_LIMIT`` vertices
+    the O(V) rank state is driver-resident and the edge shards live in
+    a persistent actor pool (see the fast-path comment); above it, per
+    iteration: shares ``r // outdeg`` (map-only over the O(V) state
+    Dataset), one edges×shares join, one bucketed sum per destination,
+    one O(V) state join. Sink mass (vertices with no out-edges) is
+    dropped, identically on both engines — the spec IS the oracle
+    SQL's unrolled CTE.
     """
     import pandas as pd
 
     from fs_crawler_ray.relops import BROADCAST_LIMIT
 
-    e = edges.select_columns([src, dst])
-    if not assume_distinct:
-        e = distinct(e, [src, dst], num_buckets)
-    e = e.materialize()
-
-    def ends_fn(t: pa.Table) -> pa.Table:
-        n = len(t)
-        ids = np.concatenate([t[src].to_numpy(zero_copy_only=False),
-                              t[dst].to_numpy(zero_copy_only=False)])
-        is_src = np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)])
-        return pa.table({"id": ids, "is_src": is_src})
-
-    # ONE aggregation yields both the vertex set (every endpoint appears)
-    # and each vertex's outdegree (sum of is_src tags) — replaces a
-    # distinct + a count shuffle with a single bucketed shuffle.
-    state0 = bucketed_agg(
-        e.map_batches(ends_fn, batch_format="pyarrow"),
-        ["id"], [("is_src", "sum", "outdeg")], num_buckets,
-    ).materialize()
+    if setup is None:
+        setup = endpoint_degrees(edges, src, dst, num_buckets, assume_distinct)
+    e, state = setup
+    state0 = state.select_columns(["id", "outdeg"]).materialize()
     n_v = state0.count()
     if n_v == 0:
         return state0.select_columns(["id"])

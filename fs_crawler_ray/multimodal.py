@@ -244,3 +244,90 @@ def media_frame_sample_pipeline(sf_dir: str, stride: int = 4) -> pd.DataFrame:
     return out[["doc_id", "media_ref", "frame_idx"]].sort_values(
         ["doc_id", "media_ref", "frame_idx"]
     ).reset_index(drop=True)
+
+
+def span_composition(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document interleave composition over the Lance-shaped span
+    table (``doc_id, spans: list<struct<kind,text,media_ref,offset>>``)
+    — the modality-mix profile a multimodal training pipeline uses to
+    balance batches and filter text-only/media-only docs:
+    ``(doc_id, n_spans, n_media, text_chars, media_permille)``.
+
+    Map-only and shuffle-free: Arrow ``list_flatten`` /
+    ``list_parent_indices`` / ``struct_field`` kernels plus two
+    bincount/scatter-adds per batch; integers out, so the UNNEST +
+    GROUP BY oracle matches exactly.
+    """
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n_docs = len(t)
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = pc.struct_field(flat, "kind")
+        text = pc.struct_field(flat, "text")
+        n_spans = pc.list_value_length(spans).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        med = pc.equal(kind, "media").to_numpy(zero_copy_only=False)
+        n_media = np.bincount(parent[med], minlength=n_docs).astype(np.int64)
+        tc = pc.utf8_length(pc.fill_null(text, "")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        text_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(text_chars, parent, tc)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_spans": pa.array(n_spans),
+            "n_media": pa.array(n_media),
+            "text_chars": pa.array(text_chars),
+            "media_permille": pa.array(
+                np.where(n_spans > 0, n_media * 1000 // np.maximum(n_spans, 1), 0)),
+        })
+
+    return ds.select_columns(["doc_id", "spans"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def span_kind_counts(ds: ray.data.Dataset, agg_partitions: int = 8) -> ray.data.Dataset:
+    """Corpus schema profile of the interleaved span table:
+    ``(kind, n_spans, n_docs)`` — total spans of each kind and the
+    number of documents containing at least one. Per-batch partials
+    (one dictionary-encode + two bincounts), then a kind-cardinality
+    shuffle (a handful of rows per batch)."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = pc.struct_field(flat, "kind")
+        enc = pc.dictionary_encode(kind)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        n_spans = np.bincount(codes, minlength=k).astype(np.int64)
+        # docs containing the kind: unique (doc, kind) pairs per batch
+        uniq = np.unique(parent * k + codes)
+        n_docs = np.bincount(uniq % k, minlength=k).astype(np.int64)
+        return pa.table({"kind": enc.dictionary, "n_spans_p": n_spans,
+                         "n_docs_p": n_docs})
+
+    agg = bucketed_agg(
+        ds.select_columns(["doc_id", "spans"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["kind"],
+        [("n_spans_p", "sum", "sum(n_spans_p)"), ("n_docs_p", "sum", "sum(n_docs_p)")],
+        num_buckets=agg_partitions,
+    )
+    return agg.map_batches(
+        lambda t: pa.table({"kind": t["kind"],
+                            "n_spans": t["sum(n_spans_p)"].cast(pa.int64()),
+                            "n_docs": t["sum(n_docs_p)"].cast(pa.int64())}),
+        batch_format="pyarrow")

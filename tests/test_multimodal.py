@@ -88,3 +88,37 @@ def test_resize_media_fixed_width():
     # deterministic
     out2 = resize_media(ds, target_len=32, concurrency=2, batch_size=2).to_pandas()
     assert np.array_equal(np.stack(out2["resized"].to_numpy()), m)
+
+
+def test_span_composition_counts_and_permille():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from fs_crawler_ray.multimodal import span_composition
+
+    spans_a = [{"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+               {"kind": "media", "text": None, "media_ref": "m1", "offset": 1},
+               {"kind": "media", "text": None, "media_ref": "m2", "offset": 2}]
+    spans_b = [{"kind": "text", "text": "hi", "media_ref": None, "offset": 0}]
+    t = pa.table({"doc_id": ["a", "b"], "spans": [spans_a, spans_b]})
+    out = (span_composition(ray.data.from_arrow(t))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", 3, 2, 5, 666), ("b", 1, 0, 2, 0)]
+
+
+def test_span_kind_counts_spans_vs_docs():
+    import pyarrow as pa
+    import ray.data
+
+    from fs_crawler_ray.multimodal import span_kind_counts
+
+    mk = lambda k: {"kind": k, "text": "x", "media_ref": None, "offset": 0}
+    t = pa.table({"doc_id": ["a", "b"],
+                  "spans": [[mk("text"), mk("text"), mk("media")],
+                            [mk("text")]]})
+    out = (span_kind_counts(ray.data.from_arrow(t))
+           .to_pandas().sort_values("kind").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        ("media", 1, 1), ("text", 3, 2)]
