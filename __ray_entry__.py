@@ -583,6 +583,32 @@ def _span_kind_counts(sf_dir: str):
                       ).sort_values("kind").reset_index(drop=True)
 
 
+def _docs_dup_rate_by_source(sf_dir: str):
+    """Per-source dedup report: (source, n_docs, n_unique,
+    dup_permille)."""
+    import ray.data
+
+    from fs_crawler_ray.text import dup_rate_by_source
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dup_rate_by_source(ds).to_pandas()
+    return out.astype({"n_docs": np.int64, "n_unique": np.int64,
+                       "dup_permille": np.int64}).sort_values(
+        "source").reset_index(drop=True)
+
+
+def _docs_lang_dist(sf_dir: str):
+    """Corpus language composition: (lang, n_docs, permille)."""
+    import ray.data
+
+    from fs_crawler_ray.text import lang_distribution
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = lang_distribution(ds).to_pandas()
+    return out.astype({"n_docs": np.int64, "permille": np.int64}
+                      ).sort_values("lang").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -701,6 +727,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 16: interleaved-span composition profiling ---------
         "span_mix_stats": _span_mix_stats,
         "span_kind_counts": _span_kind_counts,
+        # --- r3 wave 17: provenance composition reports -----------------
+        "docs_dup_rate_by_source": _docs_dup_rate_by_source,
+        "docs_lang_dist": _docs_lang_dist,
     }
 
 
@@ -1316,5 +1345,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{d}'))
             GROUP BY u.kind ORDER BY kind
+        """,
+        "docs_dup_rate_by_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(text)) AS n_unique,
+                   ((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000) // COUNT(*)
+                       AS dup_permille
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "docs_lang_dist": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   (COUNT(*) * 1000) // (SELECT COUNT(*) FROM documents)
+                       AS permille
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -1442,3 +1442,80 @@ def quality_rank(
         ["__neg", id_col], "qrank")
     return ranked.map_batches(
         lambda t: t.drop_columns(["__neg"]), batch_format="pyarrow")
+
+
+def dup_rate_by_source(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-source dedup report — the corpus-composition table a
+    curation run publishes per provenance bucket: ``(source, n_docs,
+    n_unique, dup_permille)`` with ``n_unique`` the count of distinct
+    content hashes and ``dup_permille = (n_docs-n_unique)*1000 //
+    n_docs``. Integers only.
+
+    Two vocabulary-scale shuffles: doc counts pre-combine per batch
+    (one row per (batch, source)); uniques go through the standard
+    hash-bucketed distinct on ``(source, md5)`` then the same per-batch
+    pre-combined count."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg, distinct, lookup_join
+
+    hashed = add_content_hash(ds.select_columns([group_col, "text"]))
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        res = t.group_by([group_col], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({group_col: res[group_col],
+                         "c": res["count_all"].cast(pa.int64())})
+
+    n_docs = bucketed_agg(
+        hashed.map_batches(cnt_partial, batch_format="pyarrow"),
+        [group_col], [("c", "sum", "n_docs")], 8)
+    uniq = distinct(hashed.select_columns([group_col, "content_hash"]),
+                    [group_col, "content_hash"], num_buckets)
+    n_uniq = bucketed_agg(
+        uniq.map_batches(cnt_partial, batch_format="pyarrow"),
+        [group_col], [("c", "sum", "n_unique")], 8)
+    j = lookup_join(n_docs, n_uniq.map_batches(
+        lambda t: pa.table({"__g": t[group_col], "n_unique": t["n_unique"]}),
+        batch_format="pyarrow"), on=group_col, right_on="__g", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nu = t["n_unique"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({group_col: t[group_col],
+                         "n_docs": pa.array(nd), "n_unique": pa.array(nu),
+                         "dup_permille": pa.array((nd - nu) * 1000 // nd)})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def lang_distribution(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus language composition from the metadata column:
+    ``(lang, n_docs, permille)`` with ``permille`` of the total corpus
+    — per-batch pre-combined counts, one tiny shuffle, total resolved
+    with one scalar aggregate."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        res = t.group_by(["lang"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"lang": res["lang"],
+                         "c": res["count_all"].cast(pa.int64())})
+
+    agg = bucketed_agg(
+        ds.select_columns(["lang"]).map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("c", "sum", "n_docs")], 8).materialize()
+    total = int(agg.map_batches(
+        lambda t: pa.table({"s": [int(pc.sum(t["n_docs"]).as_py() or 0)]}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"lang": t["lang"], "n_docs": pa.array(n),
+                         "permille": pa.array(n * 1000 // max(total, 1))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

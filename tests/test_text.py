@@ -443,3 +443,31 @@ def test_quality_rank_orders_by_mean_rarity_desc():
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["mean_rarity_milli"].tolist() == [1000, 2500, 1333]
     assert out["qrank"].tolist() == [3, 1, 2]
+
+
+def test_dup_rate_by_source_counts_unique_hashes():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import dup_rate_by_source
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s1", "s2"],
+        "text": ["same", "same", "diff", "only"],
+    })
+    out = (dup_rate_by_source(ray.data.from_pandas(df))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        ("s1", 3, 2, 333), ("s2", 1, 1, 0)]
+
+
+def test_lang_distribution_permille_of_total():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import lang_distribution
+
+    df = pd.DataFrame({"lang": ["en", "en", "en", "fr"]})
+    out = (lang_distribution(ray.data.from_pandas(df))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [("en", 3, 750), ("fr", 1, 250)]
