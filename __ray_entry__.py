@@ -609,6 +609,18 @@ def _docs_lang_dist(sf_dir: str):
                       ).sort_values("lang").reset_index(drop=True)
 
 
+def _docs_bpe_pairs(sf_dir: str):
+    """Top adjacent-char pair counts inside word tokens — the BPE
+    trainer's merge statistic (fixed 65536-bin per-batch partial)."""
+    import ray.data
+
+    from fs_crawler_ray.text import bpe_pair_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = bpe_pair_counts(ds, top_n=50).to_pandas()
+    return out.astype({"cnt": np.int64}).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -730,6 +742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 17: provenance composition reports -----------------
         "docs_dup_rate_by_source": _docs_dup_rate_by_source,
         "docs_lang_dist": _docs_lang_dist,
+        # --- r3 wave 18: BPE merge-pair statistic ------------------------
+        "docs_bpe_pairs": _docs_bpe_pairs,
     }
 
 
@@ -1358,5 +1372,20 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(*) * 1000) // (SELECT COUNT(*) FROM documents)
                        AS permille
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "docs_bpe_pairs": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), prs AS (
+              SELECT unnest(list_transform(
+                  generate_series(1, length(tok) - 1),
+                  i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+              FROM toks WHERE length(tok) >= 2
+            )
+            SELECT pair, COUNT(*) AS cnt FROM prs
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
         """,
     }

@@ -1519,3 +1519,69 @@ def lang_distribution(ds: ray.data.Dataset) -> ray.data.Dataset:
                          "permille": pa.array(n * 1000 // max(total, 1))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset,
+    top_n: int = 50,
+    agg_partitions: int = 4,
+) -> ray.data.Dataset:
+    """The merge-pair statistic of one BPE tokenizer-training step:
+    global counts of ADJACENT CHARACTER pairs inside word tokens, top
+    ``top_n`` by ``(cnt DESC, pair ASC)`` — the argmax of this table is
+    the pair a BPE trainer would merge first.
+
+    The per-batch partial is FIXED-SIZE regardless of batch content:
+    tokens join into one byte buffer with a NUL separator, adjacent
+    byte pairs pack into a uint16 code, and one ``np.bincount`` over
+    65,536 bins counts every pair in the batch (tokens are
+    ``[a-z0-9]+`` so byte == char). The shuffle therefore moves at most
+    one row per (batch, observed pair) — bounded by 65k — and the final
+    aggregation is over the pair vocabulary only. No Python loop
+    touches the token stream.
+    """
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"code": pa.array([], pa.int64()),
+                          "cnt_part": pa.array([], pa.int64())})
+        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return empty
+        arr = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        arr = arr.cast(pa.string())
+        # zero-copy over the Arrow string buffers: contiguous token
+        # bytes + the offsets that mark token boundaries
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        buf = data[offs[0]:offs[-1]]
+        if len(buf) < 2:
+            return empty
+        rel = (offs - offs[0]).astype(np.int64)
+        a, b = buf[:-1], buf[1:]
+        valid = np.ones(len(buf) - 1, dtype=bool)
+        valid[rel[1:-1] - 1] = False  # pairs straddling token boundaries
+        codes = a[valid].astype(np.int64) * 256 + b[valid]
+        cnt = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "cnt_part": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ["code"], [("cnt_part", "sum", "sum(cnt_part)")],
+        num_buckets=agg_partitions,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        code = t["code"].to_numpy(zero_copy_only=False)
+        pairs = [chr(c // 256) + chr(c % 256) for c in code]  # O(pair vocab)
+        return pa.table({"pair": pa.array(pairs, type=pa.string()),
+                         "cnt": t["sum(cnt_part)"].cast(pa.int64())})
+
+    return agg.map_batches(decode, batch_format="pyarrow").sort(
+        ["cnt", "pair"], descending=[True, False]).limit(top_n)

@@ -471,3 +471,16 @@ def test_lang_distribution_permille_of_total():
     out = (lang_distribution(ray.data.from_pandas(df))
            .to_pandas().sort_values("lang").reset_index(drop=True))
     assert list(map(tuple, out.to_numpy())) == [("en", 3, 750), ("fr", 1, 250)]
+
+
+def test_bpe_pair_counts_inside_tokens_only():
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.text import bpe_pair_counts
+
+    # "ab ab" -> pair "ab" x2 (no cross-token pair "b a"); "abc" -> ab, bc
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab", "abc"]})
+    out = (bpe_pair_counts(ray.data.from_pandas(df), top_n=10)
+           .to_pandas().reset_index(drop=True))
+    assert list(map(tuple, out.to_numpy())) == [("ab", 3), ("bc", 1)]
