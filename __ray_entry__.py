@@ -87,6 +87,28 @@ def _docs_mix_epochs(sf_dir: str):
         ["doc_id", "epoch"]).reset_index(drop=True)
 
 
+def _docs_chunk_overlap(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import chunk_spans
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = chunk_spans(ds, size=64, stride=32).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _emb_dim_stats(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.ann import dim_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = dim_stats(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "dim").reset_index(drop=True)
+
+
 def _docs_token_counts(sf_dir: str):
     import ray.data
 
@@ -744,6 +766,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_dist": _docs_lang_dist,
         # --- r3 wave 18: BPE merge-pair statistic ------------------------
         "docs_bpe_pairs": _docs_bpe_pairs,
+        # --- r3 wave 19: chunking, transitions, dim stats, triangles,
+        #     group-share window --------------------------------------
+        "docs_chunk_overlap": _docs_chunk_overlap,
+        "q_events_type_transitions": rel.q_events_type_transitions,
+        "emb_dim_stats": _emb_dim_stats,
+        "graph_triangles": cq.graph_triangles,
+        "q_orders_share_per_segment": rel.q_orders_share_per_segment,
     }
 
 
@@ -1387,5 +1416,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, COUNT(*) AS cnt FROM prs
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+        """,
+        "docs_chunk_overlap": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                            AS BIGINT) AS n
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n <= 64 THEN 1
+                            ELSE (n - 64 + 31) // 32 + 1 END AS k
+                FROM t WHERE n > 0
+            ), x AS (
+                SELECT doc_id, n,
+                       CAST(unnest(generate_series(1, k)) AS BIGINT) AS i
+                FROM c
+            )
+            SELECT doc_id, i - 1 AS chunk_id, (i - 1) * 32 AS start_tok,
+                   LEAST((i - 1) * 32 + 64, n) AS end_tok
+            FROM x ORDER BY doc_id, chunk_id
+        """,
+        "q_events_type_transitions": """
+            WITH l AS (
+                SELECT event_type AS next_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, next_type, COUNT(*) AS cnt
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+        """,
+        "emb_dim_stats": """
+            WITH x AS (
+                SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                  + 0.5) AS BIGINT) AS fp
+                FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+                   CAST(SUM(fp) AS BIGINT) AS sum_fp,
+                   MIN(fp) AS min_fp, MAX(fp) AS max_fp
+            FROM x GROUP BY dim ORDER BY dim
+        """,
+        "graph_triangles": osql.graph_triangles(d),
+        "q_orders_share_per_segment": """
+            WITH oc AS (
+                SELECT o.o_orderkey, c.c_mktsegment AS segment,
+                       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            ), s AS (
+                SELECT segment, SUM(cents) AS seg_cents FROM oc GROUP BY segment
+            )
+            SELECT oc.o_orderkey, oc.segment, oc.cents,
+                   (oc.cents * 1000000) // s.seg_cents AS share_ppm
+            FROM oc JOIN s USING (segment) ORDER BY o_orderkey
         """,
     }

@@ -628,3 +628,44 @@ def knn_join(
         lambda t: pa.table({id_col: t[id_col], "neighbor_id": t["neighbor_id"],
                             "rank": t["rank"]}),
         batch_format="pyarrow")
+
+
+def dim_stats(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Per-dimension corpus statistics of an embedding column —
+    ``(dim, n, sum_fp, min_fp, max_fp)`` in ``floor(v·scale + 0.5)``
+    fixed-point (the feature-scaling / drift-monitoring table a vector
+    pipeline publishes; the same cents trick as
+    :func:`quantize_embeddings`, so int64 sums are order-independent
+    and the DuckDB oracle hash-matches bit-for-bit — float means could
+    never be).
+
+    One ``map_batches`` pass emitting ``dim`` partial rows per batch
+    (O(blocks × dim) total — never O(rows)), then one bucketed Arrow
+    aggregation over the dim key. ``dim`` is 0-based."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col])
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        n, dim = vi.shape
+        return pa.table({
+            "dim": np.arange(dim, dtype=np.int64),
+            "n": np.full(dim, n, dtype=np.int64),
+            "sum_fp": vi.sum(axis=0),
+            "min_fp": vi.min(axis=0),
+            "max_fp": vi.max(axis=0),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    return bucketed_agg(
+        ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        [("n", "sum", "n"), ("sum_fp", "sum", "sum_fp"),
+         ("min_fp", "min", "min_fp"), ("max_fp", "max", "max_fp")],
+        num_buckets,
+    )

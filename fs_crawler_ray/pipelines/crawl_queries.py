@@ -358,3 +358,13 @@ def spanning_edges(sf_dir: str) -> pd.DataFrame:
 def frontier_edges(sf_dir: str) -> pd.DataFrame:
     """J1 as a table: edges with neither endpoint resolved."""
     return _edge_category_table(sf_dir, "frontier")
+
+
+def graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Canonical triangles u<v<w of the co-parent graph
+    (graph.coparent_triangles): wedge self-join + closing-edge semi
+    join. String ids only — hash-exact vs the 3-way-join oracle."""
+    from fs_crawler_ray.graph import coparent_triangles
+
+    out = coparent_triangles(_span_edges_ds(sf_dir)).to_pandas()
+    return out[["u", "v", "w"]].sort_values(["u", "v", "w"]).reset_index(drop=True)

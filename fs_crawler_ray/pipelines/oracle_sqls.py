@@ -800,3 +800,18 @@ SELECT doc_id, n_chars FROM documents
 WHERE n_chars BETWEEN (SELECT quantile_disc(n_chars, {lo}) FROM documents)
               AND (SELECT quantile_disc(n_chars, {hi}) FROM documents)
 """
+
+
+def graph_triangles(docs: str) -> str:
+    """Triangle enumeration oracle: canonical co-parent edges (p1<p2)
+    three-way-joined the textbook way (a.v=b.u, closing edge (a.u,b.v))."""
+    return _distinct_edges_cte(docs) + """
+, cp AS (
+  SELECT a.destination AS u, b.destination AS v
+  FROM e a JOIN e b ON a.source = b.source AND a.destination < b.destination
+  GROUP BY u, v
+)
+SELECT a.u AS u, a.v AS v, b.v AS w
+FROM cp a JOIN cp b ON b.u = a.v JOIN cp c ON c.u = a.u AND c.v = b.v
+ORDER BY u, v, w
+"""

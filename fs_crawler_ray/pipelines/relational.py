@@ -717,3 +717,60 @@ def q_events_median_gap(sf_dir: str):
     ).to_pandas()
     return out.astype({"user_id": "int64", "median_gap_us": "int64"}).sort_values(
         "user_id").reset_index(drop=True)
+
+
+def q_orders_share_per_segment(sf_dir: str):
+    """Each order's share of its customer segment's total spend in
+    integer parts-per-million — the SQL ``SUM() OVER (PARTITION BY)``
+    share-of-group window, done the scale way: the segment totals are
+    O(segments) rows (one tiny bucketed aggregation after a broadcast
+    dim join), broadcast back once, and the share is a map-only integer
+    floor-divide — no row-sized shuffle anywhere. Integer ppm (cents ×
+    1e6 // segment cents) keeps the oracle hash exact where a float
+    ratio could not be."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    oc = lookup_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     how="inner").map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "segment": t["c_mktsegment"],
+            "cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)),
+                pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    seg = bucketed_agg(oc, ["segment"], [("cents", "sum", "seg_cents")],
+                       num_buckets=4).to_pandas()
+    ref = ray.put((pa.array(seg["segment"].astype(str)),
+                   seg["seg_cents"].to_numpy().astype(np.int64)))
+
+    def share(t: pa.Table) -> pa.Table:
+        seg_names, seg_cents = ray.get(ref)
+        pos = pc.index_in(t["segment"], value_set=seg_names).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "share_ppm", pa.array(cents * 1_000_000 // seg_cents[pos]))
+
+    out = oc.map_batches(share, batch_format="pyarrow").to_pandas()
+    return out[["o_orderkey", "segment", "cents", "share_ppm"]].astype(
+        {"cents": "int64", "share_ppm": "int64"}).sort_values(
+        "o_orderkey").reset_index(drop=True)
+
+
+def q_events_type_transitions(sf_dir: str):
+    """Global Markov transition counts between consecutive event types
+    per user (windows.transition_counts) — the LAG-then-GROUP-BY
+    transition matrix. Output is type-cardinality-sized."""
+    from fs_crawler_ray.windows import transition_counts
+
+    ev = _t(sf_dir, "events",
+            columns=["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts(ev).to_pandas()
+    return out.astype({"cnt": "int64"}).sort_values(
+        ["prev_type", "next_type"]).reset_index(drop=True)

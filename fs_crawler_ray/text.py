@@ -1585,3 +1585,46 @@ def bpe_pair_counts(
 
     return agg.map_batches(decode, batch_format="pyarrow").sort(
         ["cnt", "pair"], descending=[True, False]).limit(top_n)
+
+
+def chunk_spans(
+    ds: ray.data.Dataset,
+    size: int = 64,
+    stride: int = 32,
+) -> ray.data.Dataset:
+    """Sliding-window chunk layout with overlap — the RAG / long-context
+    chunking step: each document's token stream (same ``[A-Za-z0-9]+``
+    tokenization as :func:`token_count`, so the DuckDB oracle can
+    reproduce the counts) is cut into windows of ``size`` tokens
+    advancing by ``stride`` (< size ⇒ overlapping context windows).
+    Emits ``(doc_id, chunk_id, start_tok, end_tok)`` — boundary indices
+    only, so the output is O(chunks) integers regardless of text width
+    and the downstream text-slice stage can stay a zero-copy take.
+
+    Map-only: chunk counts derive from per-doc token counts inside one
+    ``map_batches`` pass (Arrow RE2 tokenize + ``np.repeat``/``arange``
+    explode) — no shuffle at any corpus size. Zero-token docs emit no
+    chunks (nothing to retrieve)."""
+    if not (0 < stride <= size):
+        raise ValueError("require 0 < stride <= size")
+
+    def f(t: pa.Table) -> pa.Table:
+        _, _, n_tokens = _tokenize_batch(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = n_tokens > 0
+        ids, n = ids[mask], n_tokens[mask]
+        k = np.where(n <= size, 1, (n - size + stride - 1) // stride + 1)
+        doc = np.repeat(ids, k)
+        nn = np.repeat(n, k)
+        first = np.cumsum(k) - k
+        chunk_id = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(first, k)
+        start = chunk_id * stride
+        return pa.table({
+            "doc_id": doc,
+            "chunk_id": chunk_id,
+            "start_tok": start,
+            "end_tok": np.minimum(start + size, nn),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

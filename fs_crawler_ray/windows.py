@@ -917,3 +917,58 @@ def ordered_paths(
 
     return _bucketed(ds.select_columns([key, ts_col, tiebreak, val_col]),
                      key, num_buckets, per_bucket)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Markov transition counts over per-key ordered event streams:
+    global ``(prev_type, next_type, cnt)`` for every consecutive pair
+    within a key's timeline — the behavioral-analytics transition
+    matrix (and the bigram statistic of a session-sequence model).
+
+    SQL shape: ``LAG(type) OVER (PARTITION BY key ORDER BY ts, id)``
+    then ``GROUP BY prev, next``. One hash shuffle into key buckets;
+    the per-bucket kernel is vectorized across keys — one sort, one
+    dictionary-encode, one ``bincount`` over packed pair codes — and
+    emits at most ``n_types²`` partial rows per bucket, so the final
+    re-aggregation shuffle is type-cardinality-sized, not row-sized.
+    """
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) < 2:
+            return empty
+        t = _sorted_table(
+            t, [(key, "ascending"), (ts_col, "ascending"), (tiebreak, "ascending")]
+        ).combine_chunks()
+        k = _key_codes(t[key])
+        enc = pc.dictionary_encode(t[type_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        n_types = len(vocab)
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        pair = codes[:-1][same] * n_types + codes[1:][same]
+        cnt = np.bincount(pair, minlength=n_types * n_types)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "prev_type": vocab.take(pa.array(nz // n_types)),
+            "next_type": vocab.take(pa.array(nz % n_types)),
+            "cnt": cnt[nz].astype(np.int64),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    partials = _bucketed(ds.select_columns([key, ts_col, tiebreak, type_col]),
+                         key, num_buckets, per_bucket)
+    return bucketed_agg(partials, ["prev_type", "next_type"],
+                        [("cnt", "sum", "cnt")], num_buckets=8)
