@@ -109,6 +109,61 @@ def _emb_dim_stats(sf_dir: str):
         "dim").reset_index(drop=True)
 
 
+def _span_transitions(sf_dir: str):
+    """Modality-interleaving transition matrix over the Lance-shaped
+    span table (multimodal.span_transitions)."""
+    import ray.data
+
+    from fs_crawler_ray.corpus import corpus_for_sf
+    from fs_crawler_ray.multimodal import span_transitions
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    out = span_transitions(ds).to_pandas()
+    return out.astype({"cnt": np.int64}).sort_values(
+        ["prev_kind", "next_kind"]).reset_index(drop=True)
+
+
+def _docs_jaccard_pairs(sf_dir: str):
+    import ray.data
+
+    from fs_crawler_ray.text import jaccard_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = jaccard_pairs(ds, min_permille=300, max_df=100).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _docs_winsorized(sf_dir: str):
+    """Global percentile winsorization of token counts
+    (curation.winsorize): exact quantile_disc bounds from an O(distinct
+    values) histogram shuffle, then a shuffle-free integer clamp."""
+    import ray.data
+
+    from fs_crawler_ray.curation import winsorize
+    from fs_crawler_ray.text import token_count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = winsorize(token_count(ds), "n_tokens", 0.05, 0.95).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def _emb_knn_label_vote(sf_dir: str):
+    """kNN-classifier majority-label vote (ann.knn_label_vote, exact
+    conformance mode; the IVF path is the scale mode)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import knn_label_vote
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_label_vote(ds, k=5, exact=True).to_pandas()
+    return out.astype({"vec_id": np.int64, "voted_label": np.int64,
+                       "cnt": np.int64}).sort_values("vec_id").reset_index(drop=True)
+
+
 def _docs_token_counts(sf_dir: str):
     import ray.data
 
@@ -773,6 +828,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_stats": _emb_dim_stats,
         "graph_triangles": cq.graph_triangles,
         "q_orders_share_per_segment": rel.q_orders_share_per_segment,
+        # --- r3 wave 20: interleave transitions, Jaccard join, robust
+        #     outliers, star-join top-k ---------------------------------
+        "span_transitions": _span_transitions,
+        "docs_jaccard_pairs": _docs_jaccard_pairs,
+        "q_events_outliers": rel.q_events_outliers,
+        "q_top_suppliers_by_nation": rel.q_top_suppliers_by_nation,
+        # --- r3 wave 21: winsorize, kNN label vote, cohort first-touch --
+        "docs_winsorized": _docs_winsorized,
+        "emb_knn_label_vote": _emb_knn_label_vote,
+        "q_events_daily_new_users": rel.q_events_daily_new_users,
     }
 
 
@@ -1460,6 +1525,130 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(fp) AS BIGINT) AS sum_fp,
                    MIN(fp) AS min_fp, MAX(fp) AS max_fp
             FROM x GROUP BY dim ORDER BY dim
+        """,
+        "span_transitions": f"""
+            WITH s AS (
+                SELECT doc_id, u.kind AS kind, ord
+                FROM (SELECT doc_id, UNNEST(spans) AS u,
+                             generate_subscripts(spans, 1) AS ord
+                      FROM read_parquet('{d}'))
+            ), l AS (
+                SELECT kind AS next_kind,
+                       LAG(kind) OVER (PARTITION BY doc_id ORDER BY ord)
+                           AS prev_kind
+                FROM s
+            )
+            SELECT prev_kind, next_kind, COUNT(*) AS cnt
+            FROM l WHERE prev_kind IS NOT NULL
+            GROUP BY prev_kind, next_kind ORDER BY prev_kind, next_kind
+        """,
+        "docs_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '') AS tk
+              FROM documents
+            ), p AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+            dd AS (SELECT tok FROM p GROUP BY tok HAVING COUNT(*) <= 100),
+            k AS (SELECT p.doc_id, p.tok FROM p JOIN dd USING (tok)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS inter
+                  FROM k a JOIN k b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni,
+                   (inter * 1000) // (sa.n + sb.n - inter) AS jacc_permille
+            FROM i JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter * 1000 >= 300 * (sa.n + sb.n - inter)
+            ORDER BY doc_a, doc_b
+        """,
+        "q_events_outliers": """
+            WITH c AS (
+                SELECT event_id, user_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), m AS (
+                SELECT user_id, quantile_disc(cents, 0.5) AS med
+                FROM c GROUP BY user_id
+            ), dv AS (
+                SELECT c.user_id, c.event_id, c.cents, m.med,
+                       abs(c.cents - m.med) AS adev
+                FROM c JOIN m USING (user_id)
+            ), md AS (
+                SELECT user_id, quantile_disc(adev, 0.5) AS mad
+                FROM dv GROUP BY user_id
+            )
+            SELECT dv.user_id, dv.event_id, dv.cents, dv.med, md.mad
+            FROM dv JOIN md USING (user_id)
+            WHERE dv.adev > 3 * md.mad
+            ORDER BY user_id, event_id
+        """,
+        "q_top_suppliers_by_nation": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(FLOOR(
+                           l_extendedprice * (1 - l_discount) * 100 + 0.5
+                       ) AS BIGINT)) AS BIGINT) AS rev_cents
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT n.n_name AS nation,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY rev.rev_cents DESC, rev.l_suppkey
+                   ) AS rnk,
+                   rev.l_suppkey AS suppkey, rev.rev_cents
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+                     JOIN nation n ON n.n_nationkey = s.s_nationkey
+            QUALIFY rnk <= 3 ORDER BY nation, rnk
+        """,
+        "docs_winsorized": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), b AS (
+                SELECT quantile_disc(n_tokens, 0.05) AS lo,
+                       quantile_disc(n_tokens, 0.95) AS hi
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   LEAST(GREATEST(n_tokens, b.lo), b.hi) AS n_tokens_winsor
+            FROM t, b ORDER BY doc_id
+        """,
+        "emb_knn_label_vote": f"""
+            WITH nn AS (
+                SELECT vec_id, neighbor_id FROM (
+                    SELECT a.vec_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   a.embedding, b.embedding) DESC, b.vec_id
+                           ) AS rn
+                    FROM embeddings a JOIN embeddings b
+                         ON a.vec_id <> b.vec_id
+                ) WHERE rn <= 5
+            ), v AS (
+                SELECT nn.vec_id, CAST(e.label AS BIGINT) AS label,
+                       COUNT(*) AS cnt
+                FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+                GROUP BY nn.vec_id, label
+            )
+            SELECT vec_id, label AS voted_label, cnt FROM v
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cnt DESC, label) = 1
+            ORDER BY vec_id
+        """,
+        "q_events_daily_new_users": """
+            WITH f AS (
+                SELECT user_id, MIN(ts) AS first_ts FROM events
+                GROUP BY user_id
+            )
+            SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS new_users
+            FROM f GROUP BY day ORDER BY day
         """,
         "graph_triangles": osql.graph_triangles(d),
         "q_orders_share_per_segment": """

@@ -669,3 +669,46 @@ def dim_stats(
          ("min_fp", "min", "min_fp"), ("max_fp", "max", "max_fp")],
         num_buckets,
     )
+
+
+def knn_label_vote(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    exact: bool = True,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """kNN-classifier label vote: each vector's majority label among its
+    ``k`` cosine nearest neighbors (self excluded) — the standard
+    embedding-quality / label-noise probe (a vector whose neighbors
+    disagree with its own label is a mislabeled or boundary point).
+    Deterministic tie-break ``(cnt DESC, label ASC)`` keeps the oracle
+    hash exact.
+
+    Composition of verified pieces: :func:`knn_join` (exact mode for
+    conformance, IVF mode for scale) → neighbor labels via a size-aware
+    :func:`relops.lookup_join` (the id→label table broadcasts below the
+    limit, shuffles above) → per-(vec, label) counts through one
+    bucketed Arrow aggregation → ``windows.topk_per_group(k=1)`` for
+    the argmax. Emits ``(vec_id, voted_label, cnt)``."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+    from fs_crawler_ray.windows import topk_per_group
+
+    nn = knn_join(ds, k=k, id_col=id_col, vec_col=vec_col, exact=exact)
+    labels = ds.select_columns([id_col, label_col]).map_batches(
+        lambda t: pa.table({"nbr": t[id_col],
+                            label_col: pc.cast(t[label_col], pa.int64())}),
+        batch_format="pyarrow")
+    j = lookup_join(nn, labels, on="neighbor_id", right_on="nbr",
+                    how="inner")
+    votes = bucketed_agg(
+        j.select_columns([id_col, label_col]),
+        [id_col, label_col], [(label_col, "count", "cnt")], num_buckets)
+    top = topk_per_group(votes, id_col, ["cnt", label_col],
+                         [True, False], k=1, rank_name="__r")
+    return top.map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "voted_label": t[label_col], "cnt": t["cnt"]}),
+        batch_format="pyarrow")

@@ -463,3 +463,32 @@ def snapshot_diff(
                                             type=pa.string())})
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def winsorize(
+    ds: ray.data.Dataset,
+    value_col: str = "n_tokens",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> ray.data.Dataset:
+    """Global percentile winsorization — clamp (not drop) a column to
+    the corpus's exact ``[quantile_disc(lo), quantile_disc(hi)]``
+    bounds: the robust-statistics sibling of
+    :func:`length_percentile_filter` (training pipelines winsorize
+    per-doc weights/lengths before mixing so tail outliers can't
+    dominate a batch). Same scale shape: one O(distinct values)
+    histogram shuffle for the exact bounds, then a shuffle-free
+    per-batch integer clamp. Emits ``(doc_id, value_col, <col>_winsor)``."""
+    lo_v, hi_v = global_quantiles_disc(ds, value_col, [lo, hi])
+    out_name = f"{value_col}_winsor"
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            value_col: pa.array(v),
+            out_name: pa.array(np.clip(v, lo_v, hi_v)),
+        })
+
+    return ds.select_columns(["doc_id", value_col]).map_batches(
+        clamp, batch_format="pyarrow")

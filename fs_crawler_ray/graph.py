@@ -292,7 +292,12 @@ def pagerank_scaled(
         nz = od > 0
 
         refs = e.to_arrow_refs()
-        n_actors = max(1, min(len(refs), max(2, num_buckets // 2)))
+        # Cap the pool at the cluster's CPU count: each shard actor pins
+        # one CPU, so asking for more than exist leaves actors pending
+        # forever and the ray.get below deadlocks (seen on a 4-CPU test
+        # session with the default 8-shard pool).
+        avail_cpus = int(ray.cluster_resources().get("CPU", 1))
+        n_actors = max(1, min(len(refs), max(2, num_buckets // 2), avail_cpus))
         ids_ref = ray.put(ids)
         actors = [
             _PageRankShard.remote(refs[i::n_actors], src, dst, ids_ref)

@@ -331,3 +331,59 @@ def span_kind_counts(ds: ray.data.Dataset, agg_partitions: int = 8) -> ray.data.
                             "n_spans": t["sum(n_spans_p)"].cast(pa.int64()),
                             "n_docs": t["sum(n_docs_p)"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def span_transitions(ds: ray.data.Dataset, num_buckets: int = 8) -> ray.data.Dataset:
+    """Modality-interleaving transition matrix over the Lance-shaped
+    span table: global ``(prev_kind, next_kind, cnt)`` for every
+    adjacent span pair inside a document, in array order — the
+    structure statistic an interleaved text+media pipeline uses to
+    learn/validate layout (how often media follows narrative, etc.).
+
+    Map-only partials: ``list_flatten`` + ``list_parent_indices`` give
+    the flattened kind stream with document boundaries; a boundary mask
+    drops cross-document pairs, one dictionary-encode + bincount over
+    packed pair codes emits ≤ n_kinds² rows per batch, and the final
+    re-aggregation shuffle is kind-cardinality-sized. No per-row
+    Python, no row-sized shuffle at any corpus size."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({"prev_kind": pa.array([], pa.string()),
+                      "next_kind": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        if len(flat) < 2:
+            return empty
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = pc.struct_field(flat, "kind")
+        if isinstance(kind, pa.ChunkedArray):
+            kind = kind.combine_chunks()
+        enc = pc.dictionary_encode(kind)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        n_kinds = len(vocab)
+        same_doc = parent[1:] == parent[:-1]
+        if not same_doc.any():
+            return empty
+        pair = codes[:-1][same_doc] * n_kinds + codes[1:][same_doc]
+        cnt = np.bincount(pair, minlength=n_kinds * n_kinds)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "prev_kind": vocab.take(pa.array(nz // n_kinds)),
+            "next_kind": vocab.take(pa.array(nz % n_kinds)),
+            "cnt": cnt[nz].astype(np.int64),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    partials = ds.select_columns(["spans"]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_agg(partials, ["prev_kind", "next_kind"],
+                        [("cnt", "sum", "cnt")], num_buckets)

@@ -774,3 +774,116 @@ def q_events_type_transitions(sf_dir: str):
     out = transition_counts(ev).to_pandas()
     return out.astype({"cnt": "int64"}).sort_values(
         ["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def q_events_outliers(sf_dir: str):
+    """Per-user robust outlier flags: events whose spend deviates from
+    the user's median by more than 3× the user's MAD (median absolute
+    deviation) — the standard robust anomaly rule, done entirely in
+    integer cents + exact discrete quantiles so the oracle hash is
+    exact (a mean/stddev z-score could never be). Composition of
+    verified pieces: two windows.group_quantiles passes (median, then
+    MAD of |cents−median|), each an O(users)-row table that rides a
+    size-aware lookup join back onto the stream; the event table itself
+    is never shuffled twice."""
+    from fs_crawler_ray.relops import lookup_join
+    from fs_crawler_ray.windows import group_quantiles
+
+    ev = _t(sf_dir, "events",
+            columns=["event_id", "user_id", "value"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(t["value"], pa.float64()), 100.0), 0.5)), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    med = group_quantiles(ev, "user_id", "cents", {"med": 0.5})
+    med_schema = pa.schema([("user_id", pa.int64()), ("med", pa.int64())])
+    with_med = lookup_join(ev, med, on="user_id", right_on="user_id",
+                           how="inner", right_schema=med_schema)
+    dev = with_med.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "cents": t["cents"], "med": t["med"],
+            "adev": pc.abs(pc.subtract(t["cents"], t["med"])),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    mad = group_quantiles(dev, "user_id", "adev", {"mad": 0.5})
+    mad_schema = pa.schema([("user_id", pa.int64()), ("mad", pa.int64())])
+    out = lookup_join(dev, mad, on="user_id", right_on="user_id",
+                      how="inner", right_schema=mad_schema).map_batches(
+        lambda t: t.filter(pc.greater(
+            t["adev"], pc.multiply(t["mad"], pa.scalar(3, pa.int64())))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = out[["user_id", "event_id", "cents", "med", "mad"]]
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+
+
+def q_top_suppliers_by_nation(sf_dir: str):
+    """Top-3 suppliers per nation by lineitem revenue — the classic
+    three-table star join + per-group top-k: revenue pre-aggregates to
+    O(suppliers) rows inside the lineitem pass (per-batch partial sums,
+    one supplier-key shuffle), the supplier→nation dimension join
+    broadcasts, and the final ranking is windows.topk_per_group with a
+    deterministic (revenue DESC, suppkey ASC) tiebreak. Revenue is
+    integer cents of extendedprice·(1−discount), same expression both
+    sides."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+    from fs_crawler_ray.windows import topk_per_group
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0, pa.float64()),
+                        pc.cast(t["l_discount"], pa.float64()))),
+            100.0), 0.5)), pa.int64())
+        b = pa.table({"l_suppkey": t["l_suppkey"], "rev_cents": cents})
+        g = b.group_by("l_suppkey", use_threads=False).aggregate(
+            [("rev_cents", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "rev_cents": g["rev_cents_sum"]})
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        partial, batch_format="pyarrow")
+    per_supp = bucketed_agg(li, ["l_suppkey"],
+                            [("rev_cents", "sum", "rev_cents")], 16)
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = _t(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j = lookup_join(per_supp, supp, on="l_suppkey", right_on="s_suppkey",
+                    how="inner")
+    j = lookup_join(j, nation, on="s_nationkey", right_on="n_nationkey",
+                    how="inner").map_batches(
+        lambda t: pa.table({"nation": t["n_name"], "suppkey": t["l_suppkey"],
+                            "rev_cents": t["rev_cents"]}),
+        batch_format="pyarrow")
+    out = topk_per_group(j, "nation", ["rev_cents", "suppkey"],
+                         [True, False], k=3, rank_name="rnk").to_pandas()
+    out = out[["nation", "rnk", "suppkey", "rev_cents"]]
+    return out.astype({"rnk": "int64", "suppkey": "int64",
+                       "rev_cents": "int64"}).sort_values(
+        ["nation", "rnk"]).reset_index(drop=True)
+
+
+def q_events_daily_new_users(sf_dir: str):
+    """Daily new-user cohort sizes: each user's FIRST event timestamp
+    (global min per user — one user-key bucketed Arrow aggregation),
+    floored to day, then a day-cardinality count shuffle. The
+    first-touch / acquisition-cohort primitive; all group state is
+    O(users) then O(days)."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+    first = bucketed_agg(ev, ["user_id"], [("ts", "min", "first_ts")], 16)
+    days = first.map_batches(
+        lambda t: pa.table({
+            "day": pc.floor_temporal(t["first_ts"], unit="day")}),
+        batch_format="pyarrow")
+    out = bucketed_agg(days, ["day"], [("day", "count", "new_users")],
+                       4).to_pandas()
+    return out.astype({"new_users": "int64"}).sort_values(
+        "day").reset_index(drop=True)

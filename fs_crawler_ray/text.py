@@ -1628,3 +1628,132 @@ def chunk_spans(
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def jaccard_pairs(
+    ds: ray.data.Dataset,
+    min_permille: int = 300,
+    max_df: int = 100,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT token-set Jaccard similarity join: every document pair with
+    ``J(A,B) = |A∩B| / |A∪B| ≥ min_permille/1000``, where A is a doc's
+    set of tokens with global document frequency ≤ ``max_df`` — the
+    sparse (lexical) complement of the embedding near-dup join, and the
+    exact verifier behind MinHash candidates. Dropping ultra-common
+    tokens is both the semantics (stopwords carry no similarity signal)
+    and the scale bound: a token contributes O(df²) intersection pairs,
+    so capping df caps the quadratic blowup the way prefix filtering
+    does in the set-similarity-join literature.
+
+    Plan: distinct (doc, tok) pairs (per-batch packed-code np.unique) →
+    one token-hash shuffle whose per-bucket kernel computes df, filters
+    to df ≤ max_df, and emits BOTH the per-token intersection pairs
+    (vectorized repeat/arange wedge explode, O(Σ df²) bounded rows) and
+    the filtered pair stream for set sizes → two tiny bucketed
+    aggregations → a size lookup join → integer cross-multiplied
+    threshold (1000·inter ≥ permille·union — no floats anywhere, so the
+    SQL oracle hash-matches). Output ``(doc_a, doc_b, inter, uni,
+    jacc_permille)`` with ``doc_a < doc_b``."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, bucketed_agg, lookup_join
+    from fs_crawler_ray.windows import _key_codes
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        ids = np.asarray(df["doc_id"], dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        uniq = np.unique(parent.astype(np.int64) * v + codes)
+        return pa.table({"doc_id": pa.array(ids[uniq // v]),
+                         "tok": enc.dictionary.take(pa.array(uniq % v))})
+
+    pair_ds = ds.select_columns(["doc_id", "text"]).map_batches(
+        pairs, batch_format="pandas")
+
+    kept_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "tok": pa.array([], pa.string())})
+
+    def keep_rare(t: pa.Table) -> pa.Table:
+        """All rows of a token land in one bucket: df is exact here."""
+        if t.num_columns == 0 or len(t) == 0:
+            return kept_empty
+        t = t.drop_columns([_BUCKET_COL]).combine_chunks()
+        codes = _key_codes(t["tok"])
+        df_per_tok = np.bincount(codes)
+        return t.filter(pa.array(df_per_tok[codes] <= max_df))
+
+    kept = _add_bucket(pair_ds, ["tok"], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(keep_rare, batch_format="pyarrow").materialize()
+
+    sizes = bucketed_agg(kept, ["doc_id"], [("tok", "count", "n_tok")],
+                         num_buckets)
+
+    wedge_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64())})
+
+    def wedges(t: pa.Table) -> pa.Table:
+        """Per-token doc-pair explode (a < b), vectorized across tokens."""
+        if t.num_columns == 0 or len(t) == 0:
+            return wedge_empty
+        t = t.drop_columns([_BUCKET_COL])
+        t = t.take(pc.sort_indices(t, sort_keys=[("tok", "ascending"),
+                                                 ("doc_id", "ascending")]))
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _key_codes(t["tok"])
+        n = len(docs)
+        starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+        lens = np.diff(np.concatenate([starts, [n]]))
+        # for each token run of length L emit all L*(L-1)/2 ordered pairs
+        k = lens * (lens - 1) // 2
+        tot = int(k.sum())
+        if tot == 0:
+            return wedge_empty
+        run_of = np.repeat(np.arange(len(lens)), k)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+        # map the flat within-run pair index -> (i, j), i < j, via the
+        # standard triangular decode (vectorized)
+        L = lens[run_of]
+        i = (L - 0.5 - np.sqrt((L - 0.5) ** 2 - 2 * within)).astype(np.int64)
+        off = i * L - i * (i + 1) // 2
+        j = within - off + i + 1
+        base = starts[run_of]
+        return pa.table({"doc_a": docs[base + i], "doc_b": docs[base + j]})
+
+    inter = bucketed_agg(
+        _add_bucket(kept, ["tok"], num_buckets).groupby(
+            _BUCKET_COL, num_partitions=num_buckets
+        ).map_groups(wedges, batch_format="pyarrow"),
+        ["doc_a", "doc_b"], [("doc_a", "count", "inter")], num_buckets)
+
+    size_schema = pa.schema([("doc_id", pa.int64()), ("n_tok", pa.int64())])
+    j = lookup_join(inter, sizes, on="doc_a", right_on="doc_id",
+                    how="inner", right_schema=size_schema)
+    j = j.map_batches(lambda t: pa.table({
+        "doc_a": t["doc_a"], "doc_b": t["doc_b"], "inter": t["inter"],
+        "na": t["n_tok"]}), batch_format="pyarrow")
+    j = lookup_join(j, sizes, on="doc_b", right_on="doc_id",
+                    how="inner", right_schema=size_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter_ = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = na + nb - inter_
+        keep = inter_ * 1000 >= min_permille * uni
+        return pa.table({
+            "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
+            "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
+            "inter": inter_[keep], "uni": uni[keep],
+            "jacc_permille": inter_[keep] * 1000 // uni[keep],
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
