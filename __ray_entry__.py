@@ -109,6 +109,19 @@ def _emb_dim_stats(sf_dir: str):
         "dim").reset_index(drop=True)
 
 
+def _emb_label_scatter(sf_dir: str):
+    """Within-cluster scatter per label in fixed-point integer
+    arithmetic (ann.label_scatter): scatter_fp = Σ_d (n·Σx̃²−(Σx̃)²)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import label_scatter
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = label_scatter(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "label").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -838,6 +851,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winsorized": _docs_winsorized,
         "emb_knn_label_vote": _emb_knn_label_vote,
         "q_events_daily_new_users": rel.q_events_daily_new_users,
+        # --- r3 wave 22: cluster scatter, k-core peel, market basket ----
+        "emb_label_scatter": _emb_label_scatter,
+        "graph_kcore": cq.graph_kcore,
+        "q_part_pairs": rel.q_part_pairs,
     }
 
 
@@ -1663,5 +1680,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT oc.o_orderkey, oc.segment, oc.cents,
                    (oc.cents * 1000000) // s.seg_cents AS share_ppm
             FROM oc JOIN s USING (segment) ORDER BY o_orderkey
+        """,
+        "emb_label_scatter": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), pd AS (
+                SELECT label, dim, COUNT(*) AS n,
+                       SUM(v) AS s, SUM(v * v) AS ss
+                FROM x GROUP BY label, dim
+            )
+            SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+                   CAST(SUM(n * ss - s * s) AS BIGINT) AS scatter_fp
+            FROM pd GROUP BY label ORDER BY label
+        """,
+        "graph_kcore": osql.graph_kcore(d),
+        "q_part_pairs": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), pc AS (
+                SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cnt
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                GROUP BY p1, p2
+            )
+            SELECT p1, p2, cnt FROM pc ORDER BY cnt DESC, p1, p2 LIMIT 20
         """,
     }

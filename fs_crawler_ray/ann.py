@@ -712,3 +712,71 @@ def knn_label_vote(
         lambda t: pa.table({id_col: t[id_col],
                             "voted_label": t[label_col], "cnt": t["cnt"]}),
         batch_format="pyarrow")
+
+
+def label_scatter(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**4,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Within-cluster scatter per label — ``(label, n_vecs,
+    scatter_fp)`` with ``scatter_fp = Σ_d (n·Σx̃²_d − (Σx̃_d)²)`` over
+    fixed-point coordinates ``x̃ = floor(v·scale + 0.5)`` (the k-means
+    inertia / cluster-tightness diagnostic, times n to stay integer:
+    ``scatter = n² · Σ_d var_d``). The sum-of-squares identity keeps
+    every term an int64 — no float mean is ever formed — so partial
+    sums are order-independent and the DuckDB oracle hash-matches
+    bit-for-bit.
+
+    One ``map_batches`` pass emits O(labels×dim) partial rows per batch
+    (per-label scatter-add of ``x̃`` and ``x̃²`` — never O(rows) leaves
+    the batch), one bucketed aggregation on ``(label, dim)``, then an
+    O(labels×dim) → O(labels) finish. Overflow bound: ``n·Σx̃²`` needs
+    ``n² · scale² < 2^63``, i.e. ≲ 9·10⁵ rows per label at the default
+    scale — shard labels (salt + re-sum, all terms associative) past
+    that."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        n_lab, dim = len(uniq), vi.shape[1]
+        n = np.bincount(codes, minlength=n_lab).astype(np.int64)
+        s = np.zeros((n_lab, dim), np.int64)
+        ss = np.zeros((n_lab, dim), np.int64)
+        np.add.at(s, codes, vi)
+        np.add.at(ss, codes, vi * vi)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), n_lab),
+            "n": np.repeat(n, dim),
+            "s": s.reshape(-1),
+            "ss": ss.reshape(-1),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    per_dim = bucketed_agg(
+        ds.select_columns([label_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("n", "sum", "n"), ("s", "sum", "s"), ("ss", "sum", "ss")],
+        num_buckets,
+    )
+
+    def per_dim_scatter(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        return pa.table({"label": t["label"], "n": n,
+                         "scatter_d": n * ss - s * s})
+
+    return bucketed_agg(
+        per_dim.map_batches(per_dim_scatter, batch_format="pyarrow"),
+        ["label"],
+        [("n", "max", "n_vecs"), ("scatter_d", "sum", "scatter_fp")],
+        4,
+    )

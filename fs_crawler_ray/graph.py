@@ -401,3 +401,56 @@ def coparent_triangles(
     return closed.map_batches(
         lambda t: pa.table({"u": t["u"], "v": t["v"], "w": t["w"]}),
         batch_format="pyarrow")
+
+
+def kcore_peel(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    k: int = 2,
+    rounds: int = 3,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Fixed-round k-core peeling of the CO-PARENT graph: repeatedly
+    drop vertices of degree < ``k`` (with the edges they carry) for
+    ``rounds`` rounds, then return the surviving subgraph's degree
+    table ``(id, deg)``. The bounded-unroll variant of k-core
+    decomposition — the dense-community extractor (spam-farm / clique
+    detection on a web graph; multi-marriage family nuclei here) —
+    chosen over run-to-fixpoint so the oracle is a plain unrolled CTE
+    chain, exactly like :func:`pagerank_scaled`'s iteration bound.
+
+    Per round: one endpoint-count aggregation (O(E) rows in, O(V) out)
+    and two size-aware semi joins of the shrinking edge set against the
+    surviving vertex set (broadcast below ``BROADCAST_LIMIT``, bucketed
+    shuffle above). Each round's edge set is materialized — it only
+    ever shrinks, and the next round reads it twice."""
+    from fs_crawler_ray.relops import semi_anti_join
+
+    e = coparent_pairs(edges, src, dst, num_buckets).map_batches(
+        lambda t: pa.table({"u": t["p1"], "v": t["p2"]}),
+        batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"w": pa.chunked_array(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])})
+
+    for _ in range(rounds):
+        deg = bucketed_agg(
+            e.map_batches(ends, batch_format="pyarrow"),
+            ["w"], [("w", "count", "deg")], num_buckets)
+        keep = deg.map_batches(
+            lambda t: pa.table(
+                {"w": t["w"].filter(pc.greater_equal(t["deg"], k))}),
+            batch_format="pyarrow")
+        e = semi_anti_join(e, keep, on="u", right_on="w",
+                           num_partitions=num_buckets)
+        e = semi_anti_join(e, keep, on="v", right_on="w",
+                           num_partitions=num_buckets).materialize()
+
+    out = bucketed_agg(
+        e.map_batches(ends, batch_format="pyarrow"),
+        ["w"], [("w", "count", "deg")], num_buckets)
+    return out.map_batches(
+        lambda t: pa.table({"id": t["w"], "deg": t["deg"].cast(pa.int64())}),
+        batch_format="pyarrow")

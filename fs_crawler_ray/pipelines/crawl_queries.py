@@ -368,3 +368,13 @@ def graph_triangles(sf_dir: str) -> pd.DataFrame:
 
     out = coparent_triangles(_span_edges_ds(sf_dir)).to_pandas()
     return out[["u", "v", "w"]].sort_values(["u", "v", "w"]).reset_index(drop=True)
+
+
+def graph_kcore(sf_dir: str) -> pd.DataFrame:
+    """Fixed-round 2-core peeling of the co-parent graph
+    (graph.kcore_peel): 3 unrolled drop-degree-<2 rounds, then the
+    surviving subgraph's (id, deg) table. Integer degrees only."""
+    from fs_crawler_ray.graph import kcore_peel
+
+    out = kcore_peel(_span_edges_ds(sf_dir)).to_pandas()
+    return out.astype({"deg": "int64"}).sort_values("id").reset_index(drop=True)

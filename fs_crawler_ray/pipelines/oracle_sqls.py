@@ -815,3 +815,28 @@ SELECT a.u AS u, a.v AS v, b.v AS w
 FROM cp a JOIN cp b ON b.u = a.v JOIN cp c ON c.u = a.u AND c.v = b.v
 ORDER BY u, v, w
 """
+
+
+def graph_kcore(docs: str, k: int = 2, rounds: int = 3) -> str:
+    """Unrolled k-core peeling oracle: each round keeps the vertices of
+    degree >= k and the edges both of whose endpoints survive — the
+    same fixed-round spec as ``graph.kcore_peel``."""
+    parts = [_distinct_edges_cte(docs) + """
+, e0 AS (
+  SELECT a.destination AS u, b.destination AS v
+  FROM e a JOIN e b ON a.source = b.source AND a.destination < b.destination
+  GROUP BY u, v
+)"""]
+    for r in range(rounds):
+        parts.append(f"""
+, d{r} AS (SELECT w, COUNT(*) AS deg FROM
+            (SELECT u AS w FROM e{r} UNION ALL SELECT v FROM e{r}) GROUP BY w),
+s{r} AS (SELECT w FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS (SELECT u, v FROM e{r}
+             WHERE u IN (SELECT w FROM s{r}) AND v IN (SELECT w FROM s{r}))""")
+    parts.append(f"""
+SELECT w AS id, COUNT(*) AS deg FROM
+  (SELECT u AS w FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY w ORDER BY id
+""")
+    return "".join(parts)

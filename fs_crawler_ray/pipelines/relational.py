@@ -887,3 +887,35 @@ def q_events_daily_new_users(sf_dir: str):
                        4).to_pandas()
     return out.astype({"new_users": "int64"}).sort_values(
         "day").reset_index(drop=True)
+
+
+def q_part_pairs(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence: the top-k part pairs most often
+    bought together in one order (`p1 < p2` canonical, tiebreak
+    ``cnt DESC, p1, p2``). The association-rule / co-view mining
+    primitive. Plan: DISTINCT (orderkey, partkey) pairs (per-batch
+    pre-dedup before one bucketed shuffle), a size-aware self-join on
+    the orderkey (broadcast below ``BROADCAST_LIMIT``, bucketed hash
+    shuffle above — the same wedge shape as `graph.coparent_pairs`),
+    canonicalize ``p1 < p2``, count per pair, then a distributed
+    (cnt DESC, p1, p2) sort + limit. Work is O(Σ per-order items²) —
+    basket-bounded, not corpus-bounded."""
+    from fs_crawler_ray.relops import bucketed_agg, distinct, lookup_join
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = distinct(li, ["l_orderkey", "l_partkey"], 16).materialize()
+    left = op.map_batches(
+        lambda t: pa.table({"o": t["l_orderkey"], "p1": t["l_partkey"]}),
+        batch_format="pyarrow")
+    right = op.map_batches(
+        lambda t: pa.table({"o2": t["l_orderkey"], "p2": t["l_partkey"]}),
+        batch_format="pyarrow")
+    j = lookup_join(left, right, on="o", right_on="o2", how="inner")
+    canon = j.map_batches(
+        lambda t: t.filter(pc.less(t["p1"], t["p2"])).select(["o", "p1", "p2"]),
+        batch_format="pyarrow")
+    counts = bucketed_agg(canon, ["p1", "p2"], [("o", "count", "cnt")], 16)
+    top = counts.sort(["cnt", "p1", "p2"],
+                      descending=[True, False, False]).limit(k).to_pandas()
+    return top[["p1", "p2", "cnt"]].astype(
+        {"p1": "int64", "p2": "int64", "cnt": "int64"}).reset_index(drop=True)
