@@ -122,6 +122,34 @@ def _emb_label_scatter(sf_dir: str):
         "label").reset_index(drop=True)
 
 
+def _emb_kmeans_assign(sf_dir: str):
+    """One k-means E-step in fixed-point integer distance
+    (ann.kmeans_assign): nearest of the k smallest-id centroid
+    vectors, ties to the smallest centroid id."""
+    import ray.data
+
+    from fs_crawler_ray.ann import kmeans_assign
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = kmeans_assign(ds, k=8).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "vec_id").reset_index(drop=True)
+
+
+def _docs_rarity_tiles(sf_dir: str):
+    """CCNet-style quality tertiles by mean token rarity
+    (text.rarity_tiles): exact SQL NTILE semantics on the global
+    quality ordering."""
+    import ray.data
+
+    from fs_crawler_ray.text import rarity_tiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = rarity_tiles(ds, n_tiles=3).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -855,6 +883,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_scatter": _emb_label_scatter,
         "graph_kcore": cq.graph_kcore,
         "q_part_pairs": rel.q_part_pairs,
+        # --- r3 wave 23: k-means E-step, quality tertiles, YoY growth ---
+        "emb_kmeans_assign": _emb_kmeans_assign,
+        "docs_rarity_tertiles": _docs_rarity_tiles,
+        "q_orders_yearly_growth": rel.q_orders_yearly_growth,
     }
 
 
@@ -1707,5 +1739,61 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY p1, p2
             )
             SELECT p1, p2, cnt FROM pc ORDER BY cnt DESC, p1, p2 LIMIT 20
+        """,
+        "emb_kmeans_assign": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cid, dim, v AS cv FROM x
+                WHERE vec_id IN
+                    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), dst AS (
+                SELECT x.vec_id, c.cid,
+                       SUM((x.v - c.cv) * (x.v - c.cv)) AS dist
+                FROM x JOIN cent c USING (dim) GROUP BY x.vec_id, c.cid
+            ), r AS (
+                SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM dst
+            )
+            SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_fp
+            FROM r WHERE rn = 1 ORDER BY vec_id
+        """,
+        "docs_rarity_tertiles": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+              FROM toks GROUP BY tok
+            ), r AS (
+              SELECT t.doc_id, SUM(v.rnk) AS rarity_sum, COUNT(*) AS n_tokens
+              FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+            )
+            SELECT doc_id,
+                   (rarity_sum * 1000) // n_tokens AS mean_rarity_milli,
+                   NTILE(3) OVER (
+                     ORDER BY (rarity_sum * 1000) // n_tokens DESC, doc_id
+                   ) AS tile
+            FROM r ORDER BY doc_id
+        """,
+        "q_orders_yearly_growth": """
+            WITH y AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS rev_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT year, CAST(rev_cents AS BIGINT) AS rev_cents,
+                   CAST(rev_cents - COALESCE(
+                       LAG(rev_cents) OVER (ORDER BY year), rev_cents)
+                       AS BIGINT) AS delta_cents
+            FROM y ORDER BY year
         """,
     }

@@ -780,3 +780,50 @@ def label_scatter(
         [("n", "max", "n_vecs"), ("scatter_d", "sum", "scatter_fp")],
         4,
     )
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+) -> ray.data.Dataset:
+    """One k-means assignment step (the E-step): centroids are the
+    ``k`` vectors with the smallest ids (deterministic seeding — the
+    plain-init round a distributed k-means starts from), every vector
+    is assigned to its nearest centroid by FIXED-POINT squared L2
+    distance ``Σ_d (x̃−c̃)²`` with ``x̃ = floor(v·scale + 0.5)``, ties
+    broken by smallest centroid id. Returns ``(vec_id, cluster,
+    dist_fp)`` — all int64, so the assignment is bit-identical to the
+    DuckDB oracle's argmin (a float distance could flip an argmin
+    across engines).
+
+    The O(k×dim) centroid matrix is collected once (sort + limit on
+    the id column) and broadcast via ``ray.put``; assignment is one
+    map-only pass — int64 matmul against the centroid transpose per
+    batch, ``argmin`` row-wise (numpy argmin takes the FIRST minimum,
+    and centroid rows are id-sorted, so the tiebreak is free). No
+    shuffle at any corpus size."""
+    cent = ds.sort(id_col).limit(k).to_pandas()
+    cm = _emb_matrix(pa.chunked_array([pa.array(list(cent[vec_col]))]))
+    ci = np.floor(cm.astype(np.float64) * scale + 0.5).astype(np.int64)
+    cids = cent[id_col].to_numpy().astype(np.int64)
+    c_sq = (ci * ci).sum(axis=1)
+    cent_ref = ray.put((cids, ci, c_sq))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cids_, ci_, c_sq_ = ray.get(cent_ref)
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        # ||x−c||² = ||x||² − 2·x·c + ||c||², all int64
+        d = (vi * vi).sum(axis=1)[:, None] - 2 * (vi @ ci_.T) + c_sq_[None, :]
+        best = np.argmin(d, axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": cids_[best],
+            "dist_fp": d[np.arange(len(d)), best],
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")

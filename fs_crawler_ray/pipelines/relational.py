@@ -919,3 +919,33 @@ def q_part_pairs(sf_dir: str, k: int = 20):
                       descending=[True, False, False]).limit(k).to_pandas()
     return top[["p1", "p2", "cnt"]].astype(
         {"p1": "int64", "p2": "int64", "cnt": "int64"}).reset_index(drop=True)
+
+
+def q_orders_yearly_growth(sf_dir: str):
+    """Year-over-year revenue: ``(year, rev_cents, delta_cents)`` with
+    ``delta_cents`` the change vs the previous calendar year (0 for
+    the first). Revenue aggregates distributed — per-batch Arrow
+    partial sums of integer cents, one year-cardinality shuffle — and
+    the LAG runs on the O(years) result driver-side (documented: the
+    final table is a handful of rows at any corpus size; the lag is a
+    presentation step, not a data-scale one)."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)), pa.int64())
+        b = pa.table({"year": yr, "cents": cents})
+        g = b.group_by("year", use_threads=False).aggregate([("cents", "sum")])
+        return pa.table({"year": pc.cast(g["year"], pa.int64()),
+                         "cents": g["cents_sum"]})
+
+    orders = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    per_year = bucketed_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["year"], [("cents", "sum", "rev_cents")], 4).to_pandas()
+    per_year = per_year.sort_values("year").reset_index(drop=True)
+    prev = per_year["rev_cents"].shift(1).fillna(per_year["rev_cents"].iloc[0]
+                                                 if len(per_year) else 0)
+    per_year["delta_cents"] = (per_year["rev_cents"] - prev).astype("int64")
+    return per_year.astype({"year": "int64", "rev_cents": "int64"})

@@ -1757,3 +1757,50 @@ def jaccard_pairs(
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def rarity_tiles(
+    ds: ray.data.Dataset,
+    n_tiles: int = 3,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CCNet-style quality bucketing: the corpus split into ``n_tiles``
+    equal-size tiers (head / middle / tail) by descending mean token
+    rarity, ties by doc id — the "keep the best third, down-weight the
+    rest" mixing decision a curated pretraining run makes. Returns
+    ``(doc_id, mean_rarity_milli, tile)`` with ``tile`` following SQL
+    NTILE semantics exactly (first ``n % k`` tiles get the extra row).
+
+    Composition of :func:`token_rarity` (one vocabulary-sized shuffle)
+    and the exporter's ``zip_with_index`` (distributed global sort +
+    per-block offset enumeration); the tile id is pure integer
+    arithmetic on the global rank, so the map stays shuffle-free and
+    the DuckDB ``NTILE`` oracle hash-matches."""
+    from fs_crawler_ray.stages.export import zip_with_index
+
+    scores = token_rarity(ds, id_col=id_col)
+
+    def derive(t: pa.Table) -> pa.Table:
+        rs = t["rarity_sum"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        m = rs * 1000 // nt
+        return pa.table({id_col: t[id_col],
+                         "mean_rarity_milli": pa.array(m),
+                         "__neg": pa.array(-m)})
+
+    ranked = zip_with_index(
+        scores.map_batches(derive, batch_format="pyarrow"),
+        ["__neg", id_col], "__rank").materialize()
+    n = ranked.count()
+    q, r = divmod(n, n_tiles)
+
+    def tile_fn(t: pa.Table) -> pa.Table:
+        rk = t["__rank"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = np.where(rk < big, rk // (q + 1) + 1,
+                        r + (rk - big) // max(q, 1) + 1)
+        return pa.table({id_col: t[id_col],
+                         "mean_rarity_milli": t["mean_rarity_milli"],
+                         "tile": tile.astype(np.int64)})
+
+    return ranked.map_batches(tile_fn, batch_format="pyarrow")
