@@ -150,6 +150,39 @@ def _docs_rarity_tiles(sf_dir: str):
         "doc_id").reset_index(drop=True)
 
 
+def _docs_gopher_stats(sf_dir: str):
+    """Gopher-style composite quality rules in all-integer form
+    (text.gopher_stats): token-count bounds, stopword permille floor,
+    mean-word-length deci-char band, plus the combined verdict."""
+    import ray.data
+
+    from fs_crawler_ray.text import gopher_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = gopher_stats(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def _emb_centroid_dists(sf_dir: str):
+    """Inter-centroid squared-L2 separation matrix in offset fixed
+    point (ann.centroid_dists)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import centroid_dists
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = centroid_dists(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["label_a", "label_b"]).reset_index(drop=True)
+
+
+def _media_type_stats(sf_dir: str):
+    from fs_crawler_ray.multimodal import media_type_stats
+
+    return media_type_stats(sf_dir)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -887,6 +920,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_assign": _emb_kmeans_assign,
         "docs_rarity_tertiles": _docs_rarity_tiles,
         "q_orders_yearly_growth": rel.q_orders_yearly_growth,
+        # --- r3 wave 24: Gopher rules, media composition, centroid
+        #     separation -------------------------------------------------
+        "docs_gopher_stats": _docs_gopher_stats,
+        "media_type_stats": _media_type_stats,
+        "emb_centroid_dists": _emb_centroid_dists,
     }
 
 
@@ -1795,5 +1833,67 @@ def oracle_sql() -> dict[str, str]:
                        LAG(rev_cents) OVER (ORDER BY year), rev_cents)
                        AS BIGINT) AS delta_cents
             FROM y ORDER BY year
+        """,
+        "docs_gopher_stats": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '') AS tk
+              FROM documents
+            ), f AS (
+              SELECT doc_id, len(tk) AS n_tokens,
+                     len(list_filter(tk, t -> list_contains(
+                         ['a','and','for','in','is','it','of','that',
+                          'the','to'], t))) AS stops,
+                     COALESCE(list_aggregate(
+                         list_transform(tk, t -> len(t)), 'sum'), 0) AS chars
+              FROM toks
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(stops * 1000 // GREATEST(n_tokens, 1) AS BIGINT)
+                       AS stop_pm,
+                   CAST(chars * 10 // GREATEST(n_tokens, 1) AS BIGINT)
+                       AS mwl10,
+                   CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
+                         AND stops * 1000 // GREATEST(n_tokens, 1) >= 20
+                         AND chars * 10 // GREATEST(n_tokens, 1)
+                             BETWEEN 40 AND 47
+                        THEN 1 ELSE 0 END AS BIGINT) AS passed
+            FROM f ORDER BY doc_id
+        """,
+        "media_type_stats": f"""
+            WITH seeded AS (
+              SELECT doc_id, u.media_ref AS media_ref,
+                     CAST(concat('0x', substr(md5(u.media_ref), 1, 8))
+                          AS BIGINT) AS seed
+              FROM (SELECT doc_id, UNNEST(spans) AS u
+                    FROM read_parquet('{d}'))
+              WHERE u.kind = 'media'
+            )
+            SELECT CASE seed % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+                   COUNT(*) AS n_media,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   CAST(SUM(64 + (seed % 192)) AS BIGINT) AS total_len
+            FROM seeded GROUP BY 1 ORDER BY 1
+        """,
+        "emb_centroid_dists": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), pd AS (
+                SELECT label, dim, COUNT(*) AS n, SUM(v) AS s
+                FROM x GROUP BY label, dim
+            ), m AS (
+                SELECT label, dim, (s + n * 160000) // n AS mv FROM pd
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(SUM((a.mv - b.mv) * (a.mv - b.mv)) AS BIGINT)
+                       AS dist_fp
+            FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY label_a, label_b ORDER BY label_a, label_b
         """,
     }

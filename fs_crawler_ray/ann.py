@@ -827,3 +827,67 @@ def kmeans_assign(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def centroid_dists(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**4,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Inter-centroid separation matrix: squared L2 distance between
+    every pair of per-label mean vectors, ``(label_a, label_b,
+    dist_fp)`` with ``label_a < label_b`` — the cluster-margin
+    diagnostic read next to :func:`label_scatter` (tight clusters far
+    apart = good labels). Means are FIXED-POINT floor divisions with a
+    non-negative offset: numpy ``//`` floors while SQL ``//`` truncates
+    toward zero, so ``(s + n·16·scale) // n`` (dividend forced ≥ 0 for
+    any |v| ≤ 16) makes both engines agree bit-for-bit; the constant
+    offset cancels in the differences.
+
+    Same O(labels×dim) partial shuffle as :func:`label_scatter`; the
+    pairwise step runs on the driver over the O(labels×dim) centroid
+    table (labels are a handful at any corpus size — documented)."""
+    off = 16 * scale
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        n_lab, dim = len(uniq), vi.shape[1]
+        n = np.bincount(codes, minlength=n_lab).astype(np.int64)
+        s = np.zeros((n_lab, dim), np.int64)
+        np.add.at(s, codes, vi)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), n_lab),
+            "n": np.repeat(n, dim),
+            "s": s.reshape(-1),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    per_dim = bucketed_agg(
+        ds.select_columns([label_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("n", "sum", "n"), ("s", "sum", "s")],
+        num_buckets,
+    ).to_pandas()
+
+    piv = per_dim.pivot(index="label", columns="dim", values="s")
+    ns = per_dim.groupby("label")["n"].max()
+    labels = piv.index.to_numpy().astype(np.int64)
+    sm = piv.to_numpy().astype(np.int64)
+    nv = ns.loc[piv.index].to_numpy().astype(np.int64)
+    means = (sm + nv[:, None] * off) // nv[:, None]
+    ia, ib = np.triu_indices(len(labels), k=1)
+    d = ((means[ia] - means[ib]) ** 2).sum(axis=1)
+    import pandas as pd
+
+    out = pd.DataFrame({"label_a": labels[ia], "label_b": labels[ib],
+                        "dist_fp": d}).sort_values(
+        ["label_a", "label_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)

@@ -387,3 +387,49 @@ def span_transitions(ds: ray.data.Dataset, num_buckets: int = 8) -> ray.data.Dat
         partial, batch_format="pyarrow")
     return bucketed_agg(partials, ["prev_kind", "next_kind"],
                         [("cnt", "sum", "cnt")], num_buckets)
+
+
+def media_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-modality corpus report over the decode pipeline's output:
+    ``(media_type, n_media, n_docs, total_len)`` — the composition
+    table a multimodal ingest publishes (how much image/audio/video,
+    referenced from how many documents, total decoded bytes). The
+    decode is the container's deterministic fake, so every column is a
+    pure function of ``md5(media_ref)`` and the whole actor-pool path
+    stays SQL-checkable.
+
+    Aggregation is distributed: per-batch Arrow partial counts/sums
+    (type-cardinality rows per batch), one 3-key shuffle; the distinct
+    document count rides a (media_type, doc_id) pre-dedup — the same
+    two-phase COUNT(DISTINCT) plan as `q_events_daily_users`."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.pipelines.crawl_queries import span_media
+    from fs_crawler_ray.relops import bucketed_agg, distinct
+
+    refs = span_media(sf_dir)
+    if len(refs) == 0:
+        return pd.DataFrame({"media_type": [], "n_media": [],
+                             "n_docs": [], "total_len": []})
+    ds = decode_media(ray.data.from_arrow(synthesize_media_payloads(refs)))
+
+    stats = bucketed_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                "media_type": t["media_type"],
+                "decoded_len": pc.cast(t["decoded_len"], pa.int64())}),
+            batch_format="pyarrow"),
+        ["media_type"],
+        [("decoded_len", "count", "n_media"),
+         ("decoded_len", "sum", "total_len")], 4)
+    docs = bucketed_agg(
+        distinct(ds.map_batches(
+            lambda t: pa.table({"media_type": t["media_type"],
+                                "doc_id": t["doc_id"]}),
+            batch_format="pyarrow"), ["media_type", "doc_id"], 4),
+        ["media_type"], [("doc_id", "count", "n_docs")], 4)
+
+    out = stats.to_pandas().merge(docs.to_pandas(), on="media_type")
+    return out[["media_type", "n_media", "n_docs", "total_len"]].astype(
+        {"n_media": "int64", "n_docs": "int64", "total_len": "int64"}
+    ).sort_values("media_type").reset_index(drop=True)

@@ -1804,3 +1804,54 @@ def rarity_tiles(
                          "tile": tile.astype(np.int64)})
 
     return ranked.map_batches(tile_fn, batch_format="pyarrow")
+
+
+def gopher_stats(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_lo: int = 30,
+    n_hi: int = 90,
+    stop_pm_min: int = 20,
+    mwl_lo: int = 40,
+    mwl_hi: int = 47,
+) -> ray.data.Dataset:
+    """Gopher-style composite quality-rule table — per doc the three
+    repetition-free heuristics of the Gopher/MassiveText filter family
+    in ALL-INTEGER form plus the combined verdict: ``(doc_id,
+    n_tokens, stop_pm, mwl10, passed)`` where ``stop_pm`` is the
+    English-stopword share in permille and ``mwl10`` the mean token
+    length in deci-chars (``Σlen·10 // n``). Integer rule arithmetic
+    (no float ratios) keeps the verdict bit-identical to the SQL
+    oracle — the reason the thresholds are expressed in permille /
+    deci-chars rather than the papers' fractional forms.
+
+    One map-only pass: Arrow RE2 tokenize, ``is_in`` against the
+    broadcast-by-closure stopword list, ``bincount`` segment sums. No
+    shuffle at any corpus size."""
+    stop = pa.array(sorted(_STOPWORDS["en"]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        flat, parent, n_tokens = _tokenize_batch(texts)
+        n_docs = len(t)
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        stops = np.bincount(parent, weights=is_stop.astype(np.float64),
+                            minlength=n_docs).astype(np.int64)
+        chars = np.bincount(parent, weights=tok_len.astype(np.float64),
+                            minlength=n_docs).astype(np.int64)
+        nn = np.maximum(n_tokens, 1)
+        stop_pm = stops * 1000 // nn
+        mwl10 = chars * 10 // nn
+        passed = ((n_tokens >= n_lo) & (n_tokens <= n_hi)
+                  & (stop_pm >= stop_pm_min)
+                  & (mwl10 >= mwl_lo) & (mwl10 <= mwl_hi)).astype(np.int64)
+        return pa.table({id_col: t[id_col], "n_tokens": n_tokens,
+                         "stop_pm": stop_pm, "mwl10": mwl10,
+                         "passed": passed})
+
+    return ds.select_columns([id_col, "text"]).map_batches(
+        fn, batch_format="pyarrow")
