@@ -784,8 +784,8 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int | None = 100,
     final groupby-sum + sort is over the vocabulary only."""
     import pyarrow.compute as pc
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
         if len(flat) == 0:
             return pa.table({"tok": pa.array([], type=pa.string()),
                              "df_part": pa.array([], type=pa.int64())})
@@ -802,7 +802,7 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int | None = 100,
     from fs_crawler_ray.relops import bucketed_agg
 
     agg = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
         ["tok"], [("df_part", "sum", "sum(df_part)")],
         num_buckets=agg_partitions,
     )
@@ -840,39 +840,60 @@ def tfidf_top_terms(
     import pyarrow.compute as pc
 
     df_tbl = token_doc_frequency(ds, top_n=None).to_pandas()
-    df_ref = ray.put(dict(zip(df_tbl["tok"], df_tbl["df"].astype(np.int64))))
+    # Broadcast the DF table as (Arrow token array, int64 values): per
+    # batch it is consulted with ONE C++ hash lookup (pc.index_in) over
+    # the batch's dictionary — no per-pair Python dict probes.
+    df_ref = ray.put((pa.array(df_tbl["tok"], type=pa.string()),
+                      df_tbl["df"].to_numpy().astype(np.int64)))
 
-    def score_fn(df: pd.DataFrame) -> pd.DataFrame:
-        df_map = ray.get(df_ref)
-        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "tok": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        tok_arr, df_vals = ray.get(df_ref)
+        flat, parent, _ = _tokenize_batch(t["text"])
         if len(flat) == 0:
-            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
-                                 "tok": pd.Series(dtype=object),
-                                 "tf": pd.Series(dtype=np.int64),
-                                 "df": pd.Series(dtype=np.int64),
-                                 "score": pd.Series(dtype=np.int64)})
+            return empty
         enc = pc.dictionary_encode(flat)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        vocab = enc.dictionary
         v = len(vocab)
         packed, tf = np.unique(parent.astype(np.int64) * v + codes, return_counts=True)
         doc_idx, code = packed // v, packed % v
-        dfs = np.fromiter((df_map[t] for t in vocab[code]), dtype=np.int64, count=len(code))
+        vocab_df = df_vals[
+            pc.index_in(vocab, value_set=tok_arr).to_numpy(zero_copy_only=False)]
+        dfs = vocab_df[code]
         score = (tf.astype(np.int64) * 1_000_000) // dfs
-        out = pd.DataFrame({
-            id_col: df[id_col].to_numpy()[doc_idx],
-            "tok": vocab[code],
-            "tf": tf.astype(np.int64),
-            "df": dfs,
-            "score": score,
+        # tok ASC tie-break without Python string compares: rank each
+        # dictionary code by the batch vocabulary's sorted order (one
+        # Arrow C++ sort), then lexsort over pure-int keys.
+        vrank = np.empty(v, dtype=np.int64)
+        vrank[pc.sort_indices(vocab).to_numpy(zero_copy_only=False)] = \
+            np.arange(v, dtype=np.int64)
+        order = np.lexsort((vrank[code], -score, doc_idx))
+        d_s, score_s, tf_s, dfs_s, code_s = (
+            doc_idx[order], score[order], tf[order], dfs[order], code[order])
+        run_start = np.zeros(len(d_s), dtype=np.int64)
+        new_doc = np.flatnonzero(np.diff(d_s)) + 1
+        run_start[new_doc] = new_doc
+        np.maximum.accumulate(run_start, out=run_start)
+        keep = (np.arange(len(d_s)) - run_start) < top_n
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({
+            id_col: ids.take(pa.array(d_s[keep])),
+            "tok": vocab.take(pa.array(code_s[keep])),
+            "tf": tf_s[keep].astype(np.int64),
+            "df": dfs_s[keep],
+            "score": score_s[keep],
         })
-        out = out.sort_values([id_col, "score", "tok"],
-                              ascending=[True, False, True], kind="stable")
-        return out.groupby(id_col, sort=False).head(top_n)
 
-    return ds.select_columns([id_col, "text"]).map_batches(score_fn, batch_format="pandas")
+    return ds.select_columns([id_col, "text"]).map_batches(score_fn, batch_format="pyarrow")
 
 
 def dup_passages(
@@ -903,14 +924,18 @@ def dup_passages(
     w, s = int(window), int(stride)
     pw = _FP_PRIME ** np.arange(w - 1, -1, -1, dtype=np.uint64)  # P^(w-1) .. P^0
 
-    def chunk_fn(df: pd.DataFrame) -> pd.DataFrame:
-        flat, parent, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def chunk_fn(t: pa.Table) -> pa.Table:
+        flat, parent, n_tokens = _tokenize_batch(t["text"])
+        if len(t) == 0 or int(n_tokens.sum()) == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "pos": pa.array([], pa.int64()),
+                             "chunk_hash": pa.array([], pa.int64())})
         n_win = np.where(n_tokens >= w, (n_tokens - w) // s + 1, 0)
         total = int(n_win.sum())
         if total == 0:
-            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
-                                 "pos": pd.Series(dtype=np.int64),
-                                 "chunk_hash": pd.Series(dtype=np.int64)})
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "pos": pa.array([], pa.int64()),
+                             "chunk_hash": pa.array([], pa.int64())})
         h = _md5_tokens(flat)
         doc_starts = np.concatenate([[0], np.cumsum(n_tokens)[:-1]])
         # local window offsets: per doc d, 0, s, 2s, ... (n_win[d]-1)*s
@@ -919,22 +944,36 @@ def dup_passages(
         local = (np.arange(total) - first[doc_of_win]) * s
         g = doc_starts[doc_of_win] + local  # global window starts
         fp = (h[g[:, None] + np.arange(w)[None, :]] * pw).sum(axis=1, dtype=np.uint64)
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy()[doc_of_win],
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of_win)),
             "pos": local.astype(np.int64),
             "chunk_hash": fp.view(np.int64),
         })
 
-    chunks = ds.select_columns([id_col, "text"]).map_batches(chunk_fn, batch_format="pandas")
+    chunks = ds.select_columns([id_col, "text"]).map_batches(chunk_fn, batch_format="pyarrow")
 
-    def multi_doc(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.groupby("chunk_hash")[id_col].transform("nunique") > 1
-        return g[keep].drop(columns=[_BUCKET_COL])
+    def multi_doc(g: pa.Table) -> pa.Table:
+        # keep fingerprints spanning >= 2 DISTINCT docs: dedup (hash,
+        # doc) pairs with one lexsort, count docs per hash, mask — no
+        # pandas groupby-transform (object-dtype round-trip) needed
+        h = g["chunk_hash"].to_numpy(zero_copy_only=False)
+        d = _sortable_ids(g[id_col])
+        order = np.lexsort((d, h))
+        hs, ds_ = h[order], d[order]
+        new_pair = np.ones(len(hs), dtype=bool)
+        new_pair[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        uh, docs_per = np.unique(hs[new_pair], return_counts=True)
+        multi = uh[docs_per > 1]
+        keep = multi[np.searchsorted(multi, h).clip(max=len(multi) - 1)] == h \
+            if len(multi) else np.zeros(len(h), dtype=bool)
+        return g.drop_columns([_BUCKET_COL]).filter(pa.array(keep))
 
     return _add_bucket(chunks, ["chunk_hash"], num_buckets).groupby(
         _BUCKET_COL, num_partitions=num_buckets
     ).map_groups(
-        multi_doc, batch_format="pandas"
+        multi_doc, batch_format="pyarrow"
     )
 
 
@@ -1028,8 +1067,8 @@ def ngram_frequency(
     oracle. Output: ``(gram, cnt)``."""
     import pyarrow.compute as pc
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
         empty = pa.table({"gram": pa.array([], type=pa.string()),
                           "cnt_part": pa.array([], type=pa.int64())})
         if len(flat) < n:
@@ -1064,7 +1103,7 @@ def ngram_frequency(
     from fs_crawler_ray.relops import bucketed_agg
 
     agg = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
         ["gram"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     )
@@ -1104,8 +1143,8 @@ def vocab_encode(
 
     from fs_crawler_ray.relops import bucketed_agg
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize_batch(t["text"])
         if len(flat) == 0:
             return pa.table({"tok": pa.array([], type=pa.string()),
                              "cnt_part": pa.array([], type=pa.int64())})
@@ -1117,7 +1156,7 @@ def vocab_encode(
         return pa.table({"tok": enc.dictionary, "cnt_part": cnt.astype(np.int64)})
 
     agg = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
         ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     )
@@ -1209,17 +1248,17 @@ def token_rarity(
         ranked = ranked.combine_chunks()
     vref = ray.put(ranked)
 
-    def score(df: pd.DataFrame) -> pa.Table:
+    def score(t: pa.Table) -> pa.Table:
         vocab = ray.get(vref)
-        flat, parent, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
-        ids = np.asarray(df[id_col], dtype=np.int64)
+        flat, parent, n_tokens = _tokenize_batch(t["text"])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "rarity_sum": pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64())})
         rank = pc.index_in(flat, value_set=vocab).to_numpy(
             zero_copy_only=False).astype(np.int64) + 1  # 1-based rank
-        rarity = np.zeros(len(df), dtype=np.int64)
+        rarity = np.zeros(len(t), dtype=np.int64)
         np.add.at(rarity, parent, rank)
         keep = n_tokens > 0
         return pa.table({id_col: pa.array(ids[keep]),
@@ -1227,7 +1266,7 @@ def token_rarity(
                          "n_tokens": pa.array(n_tokens[keep])})
 
     return ds.select_columns([id_col, "text"]).map_batches(
-        score, batch_format="pandas")
+        score, batch_format="pyarrow")
 
 
 def heavy_hitters(
