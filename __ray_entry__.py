@@ -183,6 +183,71 @@ def _media_type_stats(sf_dir: str):
     return media_type_stats(sf_dir)
 
 
+def _docs_split_assign(sf_dir: str):
+    """Deterministic train/valid/test hash split (text.split_assign)."""
+    import ray.data
+
+    from fs_crawler_ray.text import split_assign
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = split_assign(ds).to_pandas()
+    return out.astype({"doc_id": np.int64, "bucket": np.int64}).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def _docs_length_buckets(sf_dir: str):
+    """Power-of-two token-length histogram (text.length_buckets)."""
+    import ray.data
+
+    from fs_crawler_ray.text import length_buckets
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = length_buckets(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "bucket").reset_index(drop=True)
+
+
+def _docs_edit_distance_pairs(sf_dir: str):
+    """Levenshtein distance on the verified near-dup pair set
+    (text.edit_distance_pairs)."""
+    import ray.data
+
+    from fs_crawler_ray.text import edit_distance_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = edit_distance_pairs(ds, threshold=0.8, shingle_k=3).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _span_media_position(sf_dir: str):
+    """Media-span position deciles within interleaved docs
+    (multimodal.span_media_position)."""
+    from fs_crawler_ray.corpus import corpus_for_sf
+    from fs_crawler_ray.multimodal import span_media_position
+
+    import ray.data
+
+    info = corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(info.documents_path)
+    out = span_media_position(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "decile").reset_index(drop=True)
+
+
+def _emb_label_deviation(sf_dir: str):
+    """Per-member deviation from the label centroid in exact n²-scaled
+    integers (ann.label_deviation)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import label_deviation
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = label_deviation(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "vec_id").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -925,6 +990,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_stats": _docs_gopher_stats,
         "media_type_stats": _media_type_stats,
         "emb_centroid_dists": _emb_centroid_dists,
+        # --- r3 wave 26: hash split, length buckets, edit-distance
+        #     verify -----------------------------------------------------
+        "docs_split_assign": _docs_split_assign,
+        "docs_length_buckets": _docs_length_buckets,
+        "docs_edit_distance_pairs": _docs_edit_distance_pairs,
+        # --- r3 wave 27: media layout, label deviation, weekday profile -
+        "span_media_position": _span_media_position,
+        "emb_label_deviation": _emb_label_deviation,
+        "q_events_weekday_profile": rel.q_events_weekday_profile,
     }
 
 
@@ -1895,5 +1969,78 @@ def oracle_sql() -> dict[str, str]:
                        AS dist_fp
             FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
             GROUP BY label_a, label_b ORDER BY label_a, label_b
+        """,
+        "docs_split_assign": """
+            SELECT doc_id,
+                   CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                        AS BIGINT) AS bucket,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 100 < 80 THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_length_buckets": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '') AS tk
+              FROM documents
+            ), n AS (SELECT doc_id, len(tk) AS n FROM toks)
+            SELECT CAST(CASE WHEN n = 0 THEN 0
+                        ELSE length(format('{:b}', n)) END AS BIGINT)
+                       AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens
+            FROM n GROUP BY 1 ORDER BY 1
+        """,
+        "docs_edit_distance_pairs": f"""
+            WITH p AS ({osql.docs_near_dup_pairs(threshold=0.8, shingle_k=3)})
+            SELECT p.doc_a, p.doc_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+            FROM p JOIN documents a ON a.doc_id = p.doc_a
+                   JOIN documents b ON b.doc_id = p.doc_b
+            ORDER BY doc_a, doc_b
+        """,
+        "span_media_position": f"""
+            WITH s AS (
+              SELECT doc_id, u.kind AS kind,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY ord) - 1 AS ordinal,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n_spans
+              FROM (SELECT doc_id, UNNEST(spans) AS u,
+                           generate_subscripts(spans, 1) AS ord
+                    FROM read_parquet('{d}'))
+            )
+            SELECT (ordinal * 10) // n_spans AS decile,
+                   COUNT(*) AS n_media
+            FROM s WHERE kind = 'media'
+            GROUP BY decile ORDER BY decile
+        """,
+        "emb_label_deviation": """
+            WITH x AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), pd AS (
+                SELECT label, dim, COUNT(*) AS n, SUM(v) AS s
+                FROM x GROUP BY label, dim
+            )
+            SELECT x.vec_id, x.label,
+                   CAST(SUM((pd.n * x.v - pd.s) * (pd.n * x.v - pd.s))
+                        AS BIGINT) AS nsq_dist_fp
+            FROM x JOIN pd ON pd.label = x.label AND pd.dim = x.dim
+            GROUP BY x.vec_id, x.label ORDER BY x.vec_id
+        """,
+        "q_events_weekday_profile": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS isodow, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM events GROUP BY isodow, event_type
+            ORDER BY isodow, event_type
         """,
     }

@@ -891,3 +891,73 @@ def centroid_dists(
                         "dist_fp": d}).sort_values(
         ["label_a", "label_b"]).reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+def label_deviation(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Per-member deviation from the label centroid WITHOUT ever
+    forming a float mean: ``nsq_dist_fp = Σ_d (n·x̃_d − s_d)² =
+    n²·||x̃ − mean||²`` — all int64 (the n² factor is the price of
+    exactness; compare rows within one label, where n is constant).
+    The outlier-member table of an embedding-quality audit (mislabeled
+    or off-distribution vectors rank first within their label).
+
+    Two passes: the O(labels×dim) sum table (same partial as
+    :func:`label_scatter`) collected once and broadcast via
+    ``ray.put`` (labels are a handful), then one map-only scoring pass.
+    Overflow: |n·x̃ − s| ≤ 2n·scale ⇒ needs ``4n²·scale²·dim < 2^63``,
+    ~5·10⁵ rows per label at the defaults."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        n_lab, dim = len(uniq), vi.shape[1]
+        n = np.bincount(codes, minlength=n_lab).astype(np.int64)
+        s = np.zeros((n_lab, dim), np.int64)
+        np.add.at(s, codes, vi)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), n_lab),
+            "n": np.repeat(n, dim),
+            "s": s.reshape(-1),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    sums = bucketed_agg(
+        ds.select_columns([label_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("n", "sum", "n"), ("s", "sum", "s")],
+        num_buckets,
+    ).to_pandas()
+    piv = sums.pivot(index="label", columns="dim", values="s").sort_index()
+    ns = sums.groupby("label")["n"].max().loc[piv.index]
+    lab_sorted = piv.index.to_numpy().astype(np.int64)
+    state_ref = ray.put((lab_sorted,
+                         ns.to_numpy().astype(np.int64),
+                         piv.to_numpy().astype(np.int64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        labs, nv, sm = ray.get(state_ref)
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        li = np.searchsorted(labs, t[label_col].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        diff = nv[li][:, None] * vi - sm[li]
+        return pa.table({
+            id_col: t[id_col],
+            "label": pc.cast(t[label_col], pa.int64()),
+            "nsq_dist_fp": (diff * diff).sum(axis=1),
+        })
+
+    return ds.select_columns([id_col, label_col, vec_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -433,3 +433,45 @@ def media_type_stats(sf_dir: str) -> pd.DataFrame:
     return out[["media_type", "n_media", "n_docs", "total_len"]].astype(
         {"n_media": "int64", "n_docs": "int64", "total_len": "int64"}
     ).sort_values("media_type").reset_index(drop=True)
+
+
+def span_media_position(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Where do media spans sit inside interleaved documents?
+    ``(decile, n_media)`` with ``decile = ordinal·10 // n_spans`` (0 =
+    opening tenth of the doc, 9 = closing tenth) — the layout statistic
+    a text+media pipeline checks before training (lead images vs
+    trailing galleries need different truncation strategies). Map-only
+    partials via the same ``list_flatten`` / ``list_parent_indices``
+    kernels as :func:`span_composition`; the span ordinal within its
+    doc comes from one arange-minus-run-start subtraction; the final
+    shuffle is 10 rows per batch."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n_spans = pc.list_value_length(spans).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(parent) == 0:
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "n_media": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(n_spans)[:-1]])
+        ordinal = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        med = pc.equal(pc.struct_field(flat, "kind"),
+                       "media").to_numpy(zero_copy_only=False)
+        decile = (ordinal[med] * 10) // n_spans[parent[med]]
+        cnt = np.bincount(decile, minlength=10).astype(np.int64)
+        return pa.table({"decile": np.arange(10, dtype=np.int64),
+                         "n_media": cnt})
+
+    agg = bucketed_agg(
+        ds.select_columns(["spans"]).map_batches(partial, batch_format="pyarrow"),
+        ["decile"], [("n_media", "sum", "n_media")], 2)
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_media"], 0)),
+        batch_format="pyarrow")

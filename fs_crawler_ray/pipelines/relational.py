@@ -949,3 +949,35 @@ def q_orders_yearly_growth(sf_dir: str):
                                                  if len(per_year) else 0)
     per_year["delta_cents"] = (per_year["rev_cents"] - prev).astype("int64")
     return per_year.astype({"year": "int64", "rev_cents": "int64"})
+
+
+def q_events_weekday_profile(sf_dir: str):
+    """Weekly seasonality profile: events per (ISO weekday, event_type)
+    with integer-cents value totals — the day-of-week load/revenue
+    matrix a capacity plan reads. Per-batch Arrow partials (one
+    temporal kernel + a (7×types)-bounded group_by per batch), then a
+    (7×types)-cardinality shuffle. Arrow's day_of_week counts from
+    0=Monday, so +1 equals DuckDB's isodow — pinned by the oracle."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), 1).cast(pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 100.0), 0.5)), pa.int64())
+        b = pa.table({"isodow": dow, "event_type": t["event_type"],
+                      "cents": cents})
+        g = b.group_by(["isodow", "event_type"], use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"isodow": g["isodow"], "event_type": g["event_type"],
+                         "n_events": g["cents_count"].cast(pa.int64()),
+                         "total_cents": g["cents_sum"]})
+
+    ev = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = bucketed_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["isodow", "event_type"],
+        [("n_events", "sum", "n_events"), ("total_cents", "sum", "total_cents")],
+        4).to_pandas()
+    return out.astype({"isodow": "int64", "n_events": "int64",
+                       "total_cents": "int64"}).sort_values(
+        ["isodow", "event_type"]).reset_index(drop=True)

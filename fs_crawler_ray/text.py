@@ -1894,3 +1894,122 @@ def gopher_stats(
 
     return ds.select_columns([id_col, "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def split_assign(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    denom: int = 100,
+    train_lt: int = 80,
+    valid_lt: int = 90,
+) -> ray.data.Dataset:
+    """Deterministic train/valid/test split assignment — the holdout
+    step of a training-data pipeline: ``bucket = md5(str(id)) % denom``
+    and ``split = train | valid | test`` by the ``train_lt``/``valid_lt``
+    cut points (defaults: 80/10/10). Content-addressed like
+    :func:`hash_sample`, so the split is identical on every run,
+    machine and cluster size, and membership can be recomputed from
+    the id alone (no split table to ship). Pure per-batch map — no
+    shuffle, no RNG state."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = (md5_lower64(np.char.mod("%d", ids.astype(np.int64)))
+             % np.uint64(denom)).astype(np.int64)
+        split = np.where(h < train_lt, "train",
+                         np.where(h < valid_lt, "valid", "test"))
+        return pa.table({id_col: t[id_col], "bucket": h,
+                         "split": pa.array(split.astype(object), pa.string())})
+
+    return ds.select_columns([id_col]).map_batches(f, batch_format="pyarrow")
+
+
+def length_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Power-of-two token-length histogram ``(bucket, n_docs,
+    total_tokens)`` with ``bucket = bit_length(n_tokens)`` (0 for empty
+    docs) — the length-bucketed-batching table a training run uses to
+    size dynamic batches / pick a max_seq_len. ``np.frexp`` exponents
+    give the bit length exactly (no float log2 at bucket boundaries);
+    the SQL oracle uses the binary-format length, also exact. Per-batch
+    pre-combined partials, one bucket-cardinality shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, n_tokens = _tokenize_batch(t["text"])
+        bucket = np.frexp(n_tokens.astype(np.float64))[1].astype(np.int64)
+        ub, inv = np.unique(bucket, return_inverse=True)
+        n_docs = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(ub), np.int64)
+        np.add.at(tot, inv, n_tokens)
+        return pa.table({"bucket": ub, "n_docs": n_docs,
+                         "total_tokens": tot})
+
+    return bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["bucket"],
+        [("n_docs", "sum", "n_docs"), ("total_tokens", "sum", "total_tokens")],
+        4,
+    )
+
+
+def _levenshtein_row(a: str, b_chars: np.ndarray) -> int:
+    """Vectorized two-row Levenshtein: O(len(a)) numpy row updates; the
+    insert-chain dependency is resolved with the classic
+    ``min.accumulate(x - arange) + arange`` running-min trick."""
+    lb = len(b_chars)
+    rng = np.arange(lb + 1, dtype=np.int64)
+    prev = rng.copy()
+    for i, ca in enumerate(a):
+        cost = (b_chars != ca).astype(np.int64)
+        t = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        full = np.concatenate(([i + 1], t))
+        cur = np.minimum.accumulate(full - rng) + rng
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distance_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> ray.data.Dataset:
+    """Exact Levenshtein distance on the VERIFIED near-dup pair set —
+    the character-level second opinion a dedup pipeline runs before
+    destructive merging (shingle Jaccard is word-order-blind; edit
+    distance is not). Composition of three verified pieces: MinHash-LSH
+    candidates → true-Jaccard verify → text joined back onto the
+    surviving pairs (size-aware lookup joins), then a per-pair
+    vectorized two-row DP. The DP's per-pair Python loop runs ONLY on
+    the verified pair set — bounded like ``ngram_jaccard_verify``'s,
+    never corpus-scale. Output: ``(doc_a, doc_b, edit_dist)``."""
+    from fs_crawler_ray.relops import lookup_join
+
+    cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
+                                  shingle_k=shingle_k)
+    pairs = ngram_jaccard_verify(cand, ds, threshold=threshold,
+                                 shingle_k=shingle_k)
+
+    def _project(key: str, val: str):
+        return lambda t: pa.table({key: t["doc_id"], val: t["text"]})
+
+    j1 = lookup_join(
+        pairs, ds.map_batches(_project("__ta", "text_a"), batch_format="pyarrow"),
+        on="doc_a", right_on="__ta", how="inner")
+    j2 = lookup_join(
+        j1, ds.map_batches(_project("__tb", "text_b"), batch_format="pyarrow"),
+        on="doc_b", right_on="__tb", how="inner")
+
+    def dist_fn(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        d = np.empty(len(ta), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            if len(a) < len(b):  # iterate the shorter string
+                a, b = b, a
+            d[i] = _levenshtein_row(a, np.array(list(b)))
+        return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                         "edit_dist": d})
+
+    return j2.map_batches(dist_fn, batch_format="pyarrow")
