@@ -248,6 +248,46 @@ def _emb_label_deviation(sf_dir: str):
         "vec_id").reset_index(drop=True)
 
 
+def _docs_dup_spans_merged(sf_dir: str):
+    """Maximal duplicated regions per doc (text.dup_spans_merged):
+    duplicate passages merged into disjoint intervals — gaps-and-
+    islands interval union."""
+    import ray.data
+
+    from fs_crawler_ray.text import dup_spans_merged
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dup_spans_merged(ds, window=16, stride=8).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def _docs_shard_manifest(sf_dir: str):
+    """Resumable-output shard manifest (text.shard_manifest): per-shard
+    row count + order-independent XOR content checksum."""
+    import ray.data
+
+    from fs_crawler_ray.text import shard_manifest
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = shard_manifest(ds, num_shards=16)
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "shard").reset_index(drop=True)
+
+
+def _events_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user
+    (windows.user_streaks) — gaps-and-islands."""
+    import ray.data
+
+    from fs_crawler_ray.windows import user_streaks
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = user_streaks(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "user_id").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -999,6 +1039,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_media_position": _span_media_position,
         "emb_label_deviation": _emb_label_deviation,
         "q_events_weekday_profile": rel.q_events_weekday_profile,
+        # --- r3 wave 28: dup-region merge, activity streaks, shard
+        #     manifest ---------------------------------------------------
+        "docs_dup_spans_merged": _docs_dup_spans_merged,
+        "q_events_user_streaks": _events_user_streaks,
+        "docs_shard_manifest": _docs_shard_manifest,
     }
 
 
@@ -2042,5 +2087,64 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_cents
             FROM events GROUP BY isodow, event_type
             ORDER BY isodow, event_type
+        """,
+        "docs_dup_spans_merged": f"""
+            WITH dp AS ({osql.docs_dup_passages(window=16, stride=8)}),
+            o AS (
+                SELECT DISTINCT doc_id, pos FROM dp
+            ), pe AS (
+                SELECT doc_id, pos,
+                       MAX(pos + 16) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+                FROM o
+            ), isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS island
+                FROM pe
+            )
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 16 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+        """,
+        "q_events_user_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE)
+                           - DATE '1970-01-01' AS day
+                FROM events
+            ), r AS (
+                SELECT user_id, day, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY day) AS rn
+                FROM d
+            ), s AS (
+                SELECT user_id, grp, COUNT(*) AS len
+                FROM (SELECT user_id, day - rn AS grp FROM r)
+                GROUP BY user_id, grp
+            )
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "docs_shard_manifest": """
+            WITH x AS (
+                SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16
+                            AS BIGINT) AS shard,
+                       md5_number_lower(text) AS h
+                FROM documents
+            ), m AS (
+                SELECT shard, COUNT(*) AS n_docs, bit_xor(h) AS fp
+                FROM x GROUP BY shard
+            )
+            SELECT shard, n_docs,
+                   CAST(CASE WHEN fp >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN CAST(fp AS HUGEINT)
+                                  - CAST(18446744073709551616 AS HUGEINT)
+                             ELSE CAST(fp AS HUGEINT) END AS BIGINT)
+                       AS content_fp
+            FROM m ORDER BY shard
         """,
     }

@@ -2013,3 +2013,106 @@ def edit_distance_pairs(
                          "edit_dist": d})
 
     return j2.map_batches(dist_fn, batch_format="pyarrow")
+
+
+def dup_spans_merged(
+    ds: ray.data.Dataset,
+    window: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Maximal duplicated REGIONS per document: the overlapping
+    ``window``-token duplicate passages of :func:`dup_passages` merged
+    into disjoint intervals ``(doc_id, span_start, span_end)`` — the
+    cut list a surgical dedup pass (remove the copied region, keep the
+    original prose) consumes. The classic gaps-and-islands interval
+    union, vectorized across docs: one doc-key bucket shuffle of the
+    O(duplicate chunks) pair table, per bucket one sort + a running-max
+    of interval ends (reset at doc boundaries via the add-a-large-
+    offset trick) + ``bincount``/``maximum.at`` per island."""
+    from fs_crawler_ray.windows import _bucketed
+
+    dp = dup_passages(ds, window=window, stride=stride, id_col=id_col,
+                      num_buckets=num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(id_col, "ascending"), ("pos", "ascending")]))
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        dchange = np.ones(n, dtype=bool)
+        dchange[1:] = doc[1:] != doc[:-1]
+        dcode = np.cumsum(dchange) - 1
+        e = pos + window
+        # running max of ends within each doc: offset by doc code so the
+        # accumulate never crosses a boundary (ends are token positions,
+        # far below the 2^40 offset step)
+        off = dcode.astype(np.int64) << np.int64(40)
+        run_end = np.maximum.accumulate(e + off) - off
+        prev_end = np.empty(n, dtype=np.int64)
+        prev_end[0] = -1
+        prev_end[1:] = run_end[:-1]
+        new = dchange | (pos > prev_end)
+        isl = np.cumsum(new) - 1
+        span_end = np.zeros(isl[-1] + 1, dtype=np.int64)
+        np.maximum.at(span_end, isl, e)
+        starts = np.flatnonzero(new)
+        dcol = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({
+            id_col: dcol.take(pa.array(starts)),
+            "span_start": pos[starts].astype(np.int64),
+            "span_end": span_end,
+        })
+
+    dedup = dp.map_batches(
+        lambda t: t.select([id_col, "pos"]), batch_format="pyarrow")
+    return _bucketed(dedup, id_col, num_buckets, per_bucket)
+
+
+def shard_manifest(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> "pd.DataFrame":
+    """Resumable-output manifest: per output shard (``md5(str(id)) %
+    num_shards`` — the same content-addressed routing a partitioned
+    Parquet writer would use), the row count and an order-independent
+    content checksum ``bit_xor(md5_lower64(text))`` — XOR is
+    commutative/associative and stays in 64 bits, so partials combine
+    exactly regardless of batch order and the manifest verifies a
+    restarted run shard-by-shard. Per-batch partials are
+    O(num_shards); the final combine runs on the driver over the
+    O(batches×shards) partial table (manifest-sized, documented)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        shard = (md5_lower64(np.char.mod("%d", ids.astype(np.int64)))
+                 % np.uint64(num_shards)).astype(np.int64)
+        th = md5_lower64(t["text"].to_numpy(zero_copy_only=False))
+        n = np.bincount(shard, minlength=num_shards).astype(np.int64)
+        fp = np.zeros(num_shards, dtype=np.uint64)
+        np.bitwise_xor.at(fp, shard, th)
+        return pa.table({"shard": np.arange(num_shards, dtype=np.int64),
+                         "n_docs": n, "fp_part": fp.view(np.int64)})
+
+    parts = ds.select_columns([id_col, "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("shard")
+    fp = g["fp_part"].apply(
+        lambda s: np.bitwise_xor.reduce(s.to_numpy().view(np.uint64)))
+    out = pd.DataFrame({
+        "shard": np.asarray(sorted(g.groups), dtype=np.int64),
+        "n_docs": g["n_docs"].sum().to_numpy().astype(np.int64),
+        "content_fp": fp.to_numpy().astype(np.uint64).view(np.int64),
+    })
+    return out[out["n_docs"] > 0].reset_index(drop=True)

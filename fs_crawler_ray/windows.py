@@ -972,3 +972,71 @@ def transition_counts(
                          key, num_buckets, per_bucket)
     return bucketed_agg(partials, ["prev_type", "next_type"],
                         [("cnt", "sum", "cnt")], num_buckets=8)
+
+
+def user_streaks(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Longest consecutive-day activity streak per key — the classic
+    gaps-and-islands window (retention/engagement reporting). One
+    key-bucket shuffle of pre-deduped ``(key, epoch_day)`` pairs (the
+    shuffle moves at most one row per key per day), then a per-bucket
+    kernel vectorized ACROSS keys: one sort, consecutive-pair dedup,
+    island starts where ``day != prev_day + 1`` or the key changes,
+    ``bincount`` run lengths, ``np.maximum.at`` per-key max. Output:
+    ``(key, max_streak)`` — integers only, hash-exact vs the SQL
+    ``day - ROW_NUMBER()`` islands oracle."""
+    us_per_day = 86_400_000_000
+
+    def pre(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "day": pa.array([], pa.int64())})
+        days = _ts_i64(t[ts_col]) // us_per_day
+        kk = t[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((days, kk))
+        ks, ds_ = kk[order], days[order]
+        m = np.ones(len(ks), dtype=bool)
+        m[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        rows = order[m]
+        kcol = t[key].combine_chunks() if isinstance(
+            t[key], pa.ChunkedArray) else t[key]
+        return pa.table({key: kcol.take(pa.array(rows)),
+                         "day": pa.array(days[rows])})
+
+    pairs = ds.select_columns([key, ts_col]).map_batches(
+        pre, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "max_streak": pa.array([], pa.int64())})
+        t = _sorted_table(t, [(key, "ascending"), ("day", "ascending")])
+        k = _key_codes(t[key])
+        d = t["day"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        idx = np.flatnonzero(keep)
+        k2, d2 = k[idx], d[idx]
+        new = np.ones(len(idx), dtype=bool)
+        new[1:] = (k2[1:] != k2[:-1]) | (d2[1:] != d2[:-1] + 1)
+        sid = np.cumsum(new) - 1
+        slen = np.bincount(sid).astype(np.int64)
+        starts = np.flatnonzero(new)
+        skey = k2[starts]
+        key_change = np.ones(len(starts), dtype=bool)
+        key_change[1:] = skey[1:] != skey[:-1]
+        kid = np.cumsum(key_change) - 1
+        mx = np.zeros(kid[-1] + 1, dtype=np.int64)
+        np.maximum.at(mx, kid, slen)
+        rep = idx[starts[np.flatnonzero(key_change)]]
+        kcol = t[key].combine_chunks() if isinstance(
+            t[key], pa.ChunkedArray) else t[key]
+        return pa.table({key: kcol.take(pa.array(rep)),
+                         "max_streak": mx})
+
+    return _bucketed(pairs, key, num_buckets, per_bucket)
