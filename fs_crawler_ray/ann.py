@@ -65,23 +65,27 @@ def brute_force_topk(
     qref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
     qids = list(query_ids)
 
-    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
         qm = ray.get(qref)                  # (Q, d) — plasma-local, zero-copy
-        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+        m = _normalize(_emb_matrix(t["embedding"]).astype(np.float32))
         scores = m @ qm.T                   # (n, Q)
         n, q = scores.shape
         kk = min(k, n)
-        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (k, Q)
-        out_q, out_v, out_s = [], [], []
-        vec_ids = batch["vec_id"].to_numpy()
-        for qi in range(q):
-            out_q.extend([qids[qi]] * kk)
-            out_v.extend(vec_ids[idx[:, qi]].tolist())
-            out_s.extend(scores[idx[:, qi], qi].tolist())
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
-                             "score": np.round(np.array(out_s, dtype=np.float64), 6)})
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, Q)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_q = np.repeat(np.asarray(qids), kk)
+        out_v = vec_ids[idx.T.reshape(-1)]
+        out_s = np.round(scores[idx, np.arange(q)[None, :]]
+                         .T.reshape(-1).astype(np.float64), 6)
+        return pa.table({"query_id": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "score": pa.array(out_s)})
 
-    parts = ds.map_batches(score_fn, batch_format="pandas", batch_size=4096).to_pandas()
+    parts = ds.map_batches(score_fn, batch_format="pyarrow", batch_size=4096).to_pandas()
     return _topk_reduce(parts, k).reset_index(drop=True)
 
 
@@ -265,28 +269,35 @@ def lsh_topk(
     probe_ref = ray.put(probe)
     h_ref = ray.put(lsh.h)
 
-    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
         qm = ray.get(qref)
         probe_set = ray.get(probe_ref)
         hmat = ray.get(h_ref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+        m = _normalize(_emb_matrix(t["embedding"]).astype(np.float32))
         bits = (m @ hmat) > 0
         sigs = (bits.astype(np.uint64) << np.arange(hmat.shape[1], dtype=np.uint64)).sum(axis=1).astype(np.int64)
         keep = np.fromiter((s in probe_set for s in sigs.tolist()), dtype=bool, count=len(sigs))
         if not keep.any():
-            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+            return empty
         m2 = m[keep]
-        vec_ids = batch["vec_id"].to_numpy()[keep]
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)[keep]
         scores = m2 @ qm.T
-        out = []
         kk = min(k, len(m2))
         idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
-        for qi in range(scores.shape[1]):
-            for j in idx[:, qi]:
-                out.append((qids[qi], vec_ids[j], round(float(scores[j, qi]), 6)))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+        q = scores.shape[1]
+        out_q = np.repeat(np.asarray(qids), kk)
+        out_v = vec_ids[idx.T.reshape(-1)]
+        out_s = np.round(scores[idx, np.arange(q)[None, :]]
+                         .T.reshape(-1).astype(np.float64), 6)
+        return pa.table({"query_id": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "score": pa.array(out_s)})
 
-    parts = ds.map_batches(score_fn, batch_format="pandas", batch_size=4096).to_pandas()
+    parts = ds.map_batches(score_fn, batch_format="pyarrow", batch_size=4096).to_pandas()
     if len(parts) == 0:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
     return _topk_reduce(parts, k).reset_index(drop=True)
@@ -342,25 +353,32 @@ def ivf_topk(
     pref = ray.put(probe)
     qids = list(query_ids)
 
-    def score_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
         qm, cm, pr = ray.get(qref), ray.get(cref), ray.get(pref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float32))
+        m = _normalize(_emb_matrix(t["embedding"]).astype(np.float32))
         assign = np.argmax(m @ cm.T, axis=1)
         keep = np.isin(assign, pr)
         if not keep.any():
-            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+            return empty
         m2 = m[keep]
-        vec_ids = batch["vec_id"].to_numpy()[keep]
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)[keep]
         scores = m2 @ qm.T
         kk = min(k, len(m2))
         idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
-        out = []
-        for qi in range(scores.shape[1]):
-            for j in idx[:, qi]:
-                out.append((qids[qi], vec_ids[j], round(float(scores[j, qi]), 6)))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+        q = scores.shape[1]
+        out_q = np.repeat(np.asarray(qids), kk)
+        out_v = vec_ids[idx.T.reshape(-1)]
+        out_s = np.round(scores[idx, np.arange(q)[None, :]]
+                         .T.reshape(-1).astype(np.float64), 6)
+        return pa.table({"query_id": pa.array(out_q), "vec_id": pa.array(out_v),
+                         "score": pa.array(out_s)})
 
-    parts = ds.map_batches(score_fn, batch_format="pandas", batch_size=4096).to_pandas()
+    parts = ds.map_batches(score_fn, batch_format="pyarrow", batch_size=4096).to_pandas()
     if len(parts) == 0:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
     return _topk_reduce(parts, k).reset_index(drop=True)
