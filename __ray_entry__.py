@@ -288,6 +288,32 @@ def _events_user_streaks(sf_dir: str):
         "user_id").reset_index(drop=True)
 
 
+def _docs_skipgram_pairs(sf_dir: str):
+    """Windowed token co-occurrence pairs (text.skipgram_pairs): the
+    counting half of a PMI/word2vec association table."""
+    import ray.data
+
+    from fs_crawler_ray.text import skipgram_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = skipgram_pairs(ds, max_dist=3, top_n=50).to_pandas()
+    return out.astype({"cnt": np.int64}).sort_values(
+        ["cnt", "tok_a", "tok_b"],
+        ascending=[False, True, True]).reset_index(drop=True)
+
+
+def _emb_sqnorm_hist(sf_dir: str):
+    """Fixed-point squared-norm histogram (ann.sqnorm_hist)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import sqnorm_hist
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = sqnorm_hist(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "bucket").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1044,6 +1070,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans_merged": _docs_dup_spans_merged,
         "q_events_user_streaks": _events_user_streaks,
         "docs_shard_manifest": _docs_shard_manifest,
+        # --- r3 wave 30: forward as-of, skip-grams, norm histogram ------
+        "q_events_asof_next_click": rel.q_events_asof_next_click,
+        "docs_skipgram_pairs": _docs_skipgram_pairs,
+        "emb_sqnorm_hist": _emb_sqnorm_hist,
     }
 
 
@@ -2146,5 +2176,44 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(fp AS HUGEINT) END AS BIGINT)
                        AS content_fp
             FROM m ORDER BY shard
+        """,
+        "q_events_asof_next_click": """
+            SELECT l.user_id, l.event_id AS purchase_id, l.ts AS purchase_ts,
+                   r.ts AS click_ts, ROUND(r.value, 2) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+            ORDER BY l.user_id, purchase_id
+        """,
+        "docs_skipgram_pairs": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '') AS tk
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     generate_subscripts(tk, 1) AS p
+              FROM tk
+            ), pairs AS (
+              SELECT LEAST(a.tok, b.tok) AS ta, GREATEST(a.tok, b.tok) AS tb
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 3
+                   AND a.tok <> b.tok
+            )
+            SELECT ta AS tok_a, tb AS tok_b, COUNT(*) AS cnt
+            FROM pairs GROUP BY tok_a, tok_b
+            ORDER BY cnt DESC, tok_a, tok_b LIMIT 50
+        """,
+        "emb_sqnorm_hist": """
+            WITH x AS (
+                SELECT vec_id,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), s AS (SELECT vec_id, SUM(v * v) AS sq FROM x GROUP BY vec_id)
+            SELECT CAST(sq // 10000000 AS BIGINT) AS bucket,
+                   COUNT(*) AS n_vecs
+            FROM s GROUP BY bucket ORDER BY bucket
         """,
     }

@@ -979,3 +979,32 @@ def label_deviation(
 
     return ds.select_columns([id_col, label_col, vec_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def sqnorm_hist(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+    bucket_width: int = 10**7,
+    num_buckets: int = 4,
+) -> ray.data.Dataset:
+    """Histogram of squared L2 norms in fixed point — the norm-drift /
+    normalization-check a vector pipeline monitors (un-normalized
+    embeddings silently break cosine ANN): ``(bucket, n_vecs)`` with
+    ``bucket = (Σ_d x̃²) // bucket_width`` over ``x̃ = floor(v·scale +
+    0.5)``. The SQUARED norm keeps everything integer (a true-norm
+    histogram would put a libm sqrt on the bucket boundary); per-batch
+    bincount partials, one bucket-cardinality shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        b = (vi * vi).sum(axis=1) // bucket_width
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": ub, "n_vecs": cnt.astype(np.int64)})
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    return bucketed_agg(
+        ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], [("n_vecs", "sum", "n_vecs")], num_buckets)

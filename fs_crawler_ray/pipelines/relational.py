@@ -981,3 +981,35 @@ def q_events_weekday_profile(sf_dir: str):
     return out.astype({"isodow": "int64", "n_events": "int64",
                        "total_cents": "int64"}).sort_values(
         ["isodow", "event_type"]).reset_index(drop=True)
+
+
+def q_events_asof_next_click(sf_dir: str):
+    """Forward as-of join: each purchase paired with the same user's
+    EARLIEST click at-or-after it — the post-purchase-behavior probe
+    (did the buyer come back?). Same one-shuffle tagged-union plan as
+    the backward as-of; the match flips to ``searchsorted(side="left")``
+    over the identical linearized (key, ts) axis
+    (windows.asof_join(direction="forward"); DuckDB ``ASOF JOIN ... ON
+    l.ts <= r.ts`` oracle)."""
+    from fs_crawler_ray.windows import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")), batch_format="pyarrow"
+    ).select_columns(["ts", "user_id", "value"])
+    out = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        left_cols=["event_id"], right_cols=["value"],
+        direction="forward",
+    ).to_pandas()
+    out = out.rename(columns={
+        "event_id": "purchase_id", "ts": "purchase_ts",
+        "ts_r": "click_ts", "value": "click_value",
+    })
+    out = _round2(out, ["click_value"])
+    return out[["user_id", "purchase_id", "purchase_ts", "click_ts", "click_value"]].sort_values(
+        ["user_id", "purchase_id"]
+    ).reset_index(drop=True)

@@ -2116,3 +2116,72 @@ def shard_manifest(
         "content_fp": fp.to_numpy().astype(np.uint64).view(np.int64),
     })
     return out[out["n_docs"] > 0].reset_index(drop=True)
+
+
+def skipgram_pairs(
+    ds: ray.data.Dataset,
+    max_dist: int = 3,
+    top_n: int = 50,
+    agg_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Windowed token co-occurrence — the counting half of a
+    PMI/word2vec-style association table: canonical pairs ``(tok_a <
+    tok_b, cnt)`` of tokens within ``max_dist`` positions inside one
+    document, top ``top_n`` by ``(cnt DESC, tok_a, tok_b)``.
+
+    Same pre-aggregated shape as :func:`ngram_frequency`: per batch the
+    ``max_dist`` shifted code streams pack into int64 pair codes
+    (canonicalized min·V+max so (a,b) and (b,a) collapse), one
+    ``np.unique`` counts them, and only the batch's DISTINCT pairs —
+    with their strings materialized once — enter the shuffle. Work is
+    O(tokens·max_dist) vectorized; shuffle volume is
+    distinct-pair-bounded."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
+        empty = pa.table({"tok_a": pa.array([], type=pa.string()),
+                          "tok_b": pa.array([], type=pa.string()),
+                          "cnt_part": pa.array([], type=pa.int64())})
+        if len(flat) < 2:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        v = np.int64(len(vocab))
+        # canonicalize by STRING order (SQL LEAST/GREATEST), not by the
+        # first-occurrence dictionary code: rank codes via one Arrow
+        # sort of the batch vocabulary, pack in rank space
+        sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+        vrank = np.empty(int(v), dtype=np.int64)
+        vrank[sort_idx] = np.arange(int(v), dtype=np.int64)
+        svocab = vocab.take(pa.array(sort_idx))
+        ranks = vrank[codes]
+        packs = []
+        for d in range(1, max_dist + 1):
+            if len(ranks) <= d:
+                break
+            a, b = ranks[:-d], ranks[d:]
+            ok = (parent[:-d] == parent[d:]) & (a != b)  # same doc, distinct
+            lo, hi = np.minimum(a[ok], b[ok]), np.maximum(a[ok], b[ok])
+            packs.append(lo * v + hi)
+        if not packs:
+            return empty
+        uniq, cnt = np.unique(np.concatenate(packs), return_counts=True)
+        return pa.table({
+            "tok_a": svocab.take(pa.array(uniq // v)),
+            "tok_b": svocab.take(pa.array(uniq % v)),
+            "cnt_part": cnt.astype(np.int64),
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    agg = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["tok_a", "tok_b"], [("cnt_part", "sum", "cnt")],
+        num_buckets=agg_partitions,
+    )
+    return agg.sort(["cnt", "tok_a", "tok_b"],
+                    descending=[True, False, False]).limit(top_n)

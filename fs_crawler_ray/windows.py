@@ -170,11 +170,15 @@ def asof_join(
     right_cols: list[str],
     right_suffix: str = "_r",
     num_buckets: int = 32,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """As-of join: each left row is paired with the right row of the
     same ``key`` having the greatest ``ts_col`` <= the left row's
     (inner semantics — left rows with no prior right row are dropped).
     Matches DuckDB ``ASOF JOIN r ON l.key = r.key AND l.ts >= r.ts``.
+    ``direction="forward"`` flips the inequality (least right ts >= the
+    left row's — DuckDB ``ON l.ts <= r.ts``); the match is the same
+    searchsorted with side="left" over the identical linearized axis.
 
     Both sides are tagged and unioned so the ONE key-bucket shuffle
     co-locates them — no broadcast of either side. Within a bucket the
@@ -212,8 +216,13 @@ def asof_join(
                 # linearized axis: code · span + (ts − t0)
                 l_adj = l_codes * span + (l_ts - t0)
                 r_adj = r_codes * span + (r_ts - t0)
-                idx = np.searchsorted(r_adj, l_adj, side="right") - 1
-                hit = idx >= 0
+                if direction == "forward":
+                    idx = np.searchsorted(r_adj, l_adj, side="left")
+                    hit = idx < len(r_adj)
+                    idx = np.minimum(idx, len(r_adj) - 1)
+                else:
+                    idx = np.searchsorted(r_adj, l_adj, side="right") - 1
+                    hit = idx >= 0
                 hit[hit] &= r_codes[idx[hit]] == l_codes[hit]
             else:  # per-key-segment fallback (numpy slices, no per-key pandas)
                 idx = np.full(len(l_rows), -1, dtype=np.int64)
@@ -227,8 +236,15 @@ def asof_join(
                     r0, r1 = seg_r0[s], seg_r1[s]
                     if len(li) == 0 or r0 == r1:
                         continue
-                    idx[li] = r0 + np.searchsorted(r_ts[r0:r1], l_ts[li], side="right") - 1
-                    idx[li[idx[li] < r0]] = -1
+                    if direction == "forward":
+                        cand = r0 + np.searchsorted(r_ts[r0:r1], l_ts[li],
+                                                    side="left")
+                        cand[cand >= r1] = -1
+                        idx[li] = cand
+                    else:
+                        idx[li] = r0 + np.searchsorted(
+                            r_ts[r0:r1], l_ts[li], side="right") - 1
+                        idx[li[idx[li] < r0]] = -1
                 hit = idx >= 0
             l_take = l_rows[hit]
             r_take = r_rows[r_order[idx[hit]]]
