@@ -314,6 +314,32 @@ def _emb_sqnorm_hist(sf_dir: str):
         "bucket").reset_index(drop=True)
 
 
+def _docs_lang_confusion(sf_dir: str):
+    """Declared-vs-detected language cross-tab (text.lang_confusion)."""
+    import ray.data
+
+    from fs_crawler_ray.text import lang_confusion
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = lang_confusion(ds).to_pandas()
+    return out.astype({"n_docs": np.int64}).sort_values(
+        ["lang", "lang_guess"]).reset_index(drop=True)
+
+
+def _emb_label_rarity(sf_dir: str):
+    """Per-label member-document rarity report (ann.label_rarity):
+    cross-modal join on the aligned vec_id = doc_id contract."""
+    import ray.data
+
+    from fs_crawler_ray.ann import label_rarity
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = label_rarity(emb, docs).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "label").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1074,6 +1100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof_next_click": rel.q_events_asof_next_click,
         "docs_skipgram_pairs": _docs_skipgram_pairs,
         "emb_sqnorm_hist": _emb_sqnorm_hist,
+        # --- r3 wave 31: lang confusion, label quality, assortativity ---
+        "docs_lang_confusion": _docs_lang_confusion,
+        "emb_label_rarity": _emb_label_rarity,
+        "graph_assortativity": cq.graph_assortativity,
     }
 
 
@@ -2216,4 +2246,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_vecs
             FROM s GROUP BY bucket ORDER BY bucket
         """,
+        "docs_lang_confusion": f"""
+            WITH a AS ({{analysis}})
+            SELECT d.lang, a.lang_guess, COUNT(*) AS n_docs
+            FROM a JOIN documents d USING (doc_id)
+            GROUP BY d.lang, a.lang_guess ORDER BY d.lang, a.lang_guess
+        """.format(analysis=osql.docs_analysis()),
+        "emb_label_rarity": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+              FROM toks GROUP BY tok
+            ), r AS (
+              SELECT t.doc_id, SUM(v.rnk) AS rarity_sum, COUNT(*) AS n_tokens
+              FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+            )
+            SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_docs,
+                   CAST(SUM(r.rarity_sum) AS BIGINT) AS rarity_sum,
+                   CAST(SUM(r.n_tokens) AS BIGINT) AS token_sum
+            FROM embeddings e JOIN r ON r.doc_id = e.vec_id
+            GROUP BY label ORDER BY label
+        """,
+        "graph_assortativity": osql.graph_assortativity(d),
     }

@@ -1008,3 +1008,32 @@ def sqnorm_hist(
     return bucketed_agg(
         ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow"),
         ["bucket"], [("n_vecs", "sum", "n_vecs")], num_buckets)
+
+
+def label_rarity(
+    embeddings: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    num_buckets: int = 4,
+) -> ray.data.Dataset:
+    """Cross-modal quality report: per embedding label, how rare is the
+    member documents' vocabulary — ``(label, n_docs, rarity_sum,
+    token_sum)`` joining :func:`fs_crawler_ray.text.token_rarity`
+    scores onto the vector table by ``vec_id = doc_id`` (the aligned-id
+    contract of the embeddings table). The "is cluster 7 the
+    low-quality one?" question a curation run asks before dropping a
+    cluster wholesale. One size-aware join + one label-cardinality
+    aggregation; integers end-to-end."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+    from fs_crawler_ray.text import token_rarity
+
+    scores = token_rarity(docs)
+    lab = embeddings.select_columns(["vec_id", "label"]).map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"],
+                            "label": pc.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow")
+    j = lookup_join(lab, scores, on="vec_id", right_on="doc_id", how="inner")
+    return bucketed_agg(
+        j, ["label"],
+        [("vec_id", "count", "n_docs"), ("rarity_sum", "sum", "rarity_sum"),
+         ("n_tokens", "sum", "token_sum")],
+        num_buckets)

@@ -454,3 +454,56 @@ def kcore_peel(
     return out.map_batches(
         lambda t: pa.table({"id": t["w"], "deg": t["deg"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def assortativity_sum(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """The integer core of degree assortativity: over the DISTINCT
+    directed edge set, ``(n_edges, sum_deg_product, sum_src_deg,
+    sum_dst_deg)`` with ``sum_deg_product = Σ deg(src)·deg(dst)``
+    (total degrees). Hub-to-hub wiring shows up as a large product sum
+    — the disassortativity probe of a web/crawl graph — and keeping
+    only the integer moments (the Pearson assembly is one float
+    division the CALLER does) makes the table hash-exact vs SQL.
+
+    Reuses :func:`endpoint_degrees`' one tagged aggregation; the O(V)
+    degree table rides two size-aware lookup joins onto the edges; the
+    final reduction is per-batch partials into a single-row sum."""
+    e, state = endpoint_degrees(edges, src, dst, num_buckets)
+    deg = state.map_batches(
+        lambda t: pa.table({"id": t["id"], "deg": t["deg"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    j = lookup_join(e, deg, on=src, right_on="id", how="inner")
+    j = j.map_batches(
+        lambda t: pa.table({dst: t[dst], "sdeg": t["deg"]}),
+        batch_format="pyarrow")
+    j2 = lookup_join(j, deg, on=dst, right_on="id", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["sdeg"].to_numpy(zero_copy_only=False)
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_edges": np.array([len(t)], dtype=np.int64),
+            "sum_deg_product": np.array([(s * d).sum()], dtype=np.int64),
+            "sum_src_deg": np.array([s.sum()], dtype=np.int64),
+            "sum_dst_deg": np.array([d.sum()], dtype=np.int64),
+        })
+
+    parts = j2.map_batches(partial, batch_format="pyarrow")
+    from fs_crawler_ray.relops import bucketed_agg
+
+    tagged = parts.map_batches(
+        lambda t: t.append_column("__one", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    out = bucketed_agg(
+        tagged, ["__one"],
+        [("n_edges", "sum", "n_edges"),
+         ("sum_deg_product", "sum", "sum_deg_product"),
+         ("sum_src_deg", "sum", "sum_src_deg"),
+         ("sum_dst_deg", "sum", "sum_dst_deg")], 1)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__one"]), batch_format="pyarrow")

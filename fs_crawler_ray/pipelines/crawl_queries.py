@@ -378,3 +378,13 @@ def graph_kcore(sf_dir: str) -> pd.DataFrame:
 
     out = kcore_peel(_span_edges_ds(sf_dir)).to_pandas()
     return out.astype({"deg": "int64"}).sort_values("id").reset_index(drop=True)
+
+
+def graph_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Integer degree-assortativity moments of the span graph
+    (graph.assortativity_sum): n_edges, Σ deg(src)·deg(dst) and the
+    marginal degree sums."""
+    from fs_crawler_ray.graph import assortativity_sum
+
+    out = assortativity_sum(_span_edges_ds(sf_dir)).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).reset_index(drop=True)

@@ -840,3 +840,17 @@ SELECT w AS id, COUNT(*) AS deg FROM
 GROUP BY w ORDER BY id
 """)
     return "".join(parts)
+
+
+def graph_assortativity(docs: str) -> str:
+    """Oracle for the assortativity moments: total-degree table joined
+    onto both endpoints of the distinct edge set, integer sums."""
+    return _distinct_edges_cte(docs) + """
+, ends AS (SELECT source AS v FROM e UNION ALL SELECT destination FROM e),
+deg AS (SELECT v, COUNT(*) AS deg FROM ends GROUP BY v)
+SELECT COUNT(*) AS n_edges,
+       CAST(SUM(ds.deg * dd.deg) AS BIGINT) AS sum_deg_product,
+       CAST(SUM(ds.deg) AS BIGINT) AS sum_src_deg,
+       CAST(SUM(dd.deg) AS BIGINT) AS sum_dst_deg
+FROM e JOIN deg ds ON ds.v = e.source JOIN deg dd ON dd.v = e.destination
+"""

@@ -2185,3 +2185,29 @@ def skipgram_pairs(
     )
     return agg.sort(["cnt", "tok_a", "tok_b"],
                     descending=[True, False, False]).limit(top_n)
+
+
+def lang_confusion(ds: ray.data.Dataset, num_buckets: int = 4) -> ray.data.Dataset:
+    """Metadata-vs-model language confusion matrix ``(lang, lang_guess,
+    n_docs)`` — the data-quality cross-tab a curation run publishes
+    when a declared-language column and a detector disagree (mislabeled
+    provenance, or a detector blind spot). Composition of the verified
+    analyzer (:func:`analyze_text`, stopword-profile language ID) with
+    a size-aware join back onto the metadata column and one
+    (langs×guesses)-cardinality count shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    guessed = analyze_text(ds.select_columns(["doc_id", "text"])).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "lang_guess": t["lang_guess"]}),
+        batch_format="pyarrow")
+    meta = ds.select_columns(["doc_id", "lang"]).map_batches(
+        lambda t: pa.table({"__id": t["doc_id"], "lang": t["lang"]}),
+        batch_format="pyarrow")
+    j = lookup_join(guessed, meta, on="doc_id", right_on="__id", how="inner")
+    return bucketed_agg(
+        j.map_batches(lambda t: pa.table({"lang": t["lang"],
+                                          "lang_guess": t["lang_guess"],
+                                          "doc_id": t["doc_id"]}),
+                      batch_format="pyarrow"),
+        ["lang", "lang_guess"], [("doc_id", "count", "n_docs")], num_buckets)
