@@ -340,6 +340,40 @@ def _emb_label_rarity(sf_dir: str):
         "label").reset_index(drop=True)
 
 
+def _docs_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram: (cluster_size, n_clusters) —
+    the dedup-impact report (how much boilerplate, how big the worst
+    template family is). Composition of the verified clustering with
+    two shrinking count shuffles."""
+    import ray.data
+
+    from fs_crawler_ray.components import near_dup_clusters
+    from fs_crawler_ray.relops import bucketed_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    clusters = near_dup_clusters(ds)
+    sizes = bucketed_agg(clusters, ["cluster_id"],
+                         [("doc_id", "count", "cluster_size")], 8)
+    hist = bucketed_agg(sizes, ["cluster_size"],
+                        [("cluster_id", "count", "n_clusters")], 2)
+    out = hist.to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "cluster_size").reset_index(drop=True)
+
+
+def _emb_quant_error(sf_dir: str):
+    """Per-dimension quantization reconstruction error
+    (ann.quantization_error)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import quantization_error
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = quantization_error(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "i").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1104,6 +1138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_confusion": _docs_lang_confusion,
         "emb_label_rarity": _emb_label_rarity,
         "graph_assortativity": cq.graph_assortativity,
+        # --- r3 wave 32: attribution window, cluster sizes, quant error -
+        "q_events_conversions_1h": rel.q_events_conversions_1h,
+        "docs_cluster_sizes": _docs_cluster_sizes,
+        "emb_quant_error": _emb_quant_error,
     }
 
 
@@ -1539,7 +1577,9 @@ def oracle_sql() -> dict[str, str]:
                        unnest(embedding) AS v
                 FROM embeddings
             ), xi AS (
-                SELECT vec_id, i, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vi
+                SELECT vec_id, i,
+                       CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                            AS BIGINT) AS vi
                 FROM x
             ), mm AS (
                 SELECT i, MIN(vi) AS mn, GREATEST(MAX(vi) - MIN(vi), 1) AS rng
@@ -2273,4 +2313,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label ORDER BY label
         """,
         "graph_assortativity": osql.graph_assortativity(d),
+        "q_events_conversions_1h": """
+            SELECT l.user_id, l.event_id AS purchase_id, l.ts AS purchase_ts,
+                   r.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            WHERE l.ts - r.ts <= INTERVAL 1 HOUR
+            ORDER BY l.user_id, purchase_id
+        """,
+        "docs_cluster_sizes": f"""
+            WITH c AS ({osql.docs_dup_clusters(threshold=0.8, shingle_k=3)}),
+            s AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM c GROUP BY cluster_id)
+            SELECT cluster_size, COUNT(*) AS n_clusters
+            FROM s GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        "emb_quant_error": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ), xi AS (
+                SELECT vec_id, i,
+                       CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                            AS BIGINT) AS vi
+                FROM x
+            ), mm AS (
+                SELECT i, MIN(vi) AS mn, GREATEST(MAX(vi) - MIN(vi), 1) AS rng
+                FROM xi GROUP BY i
+            ), e AS (
+                SELECT xi.i,
+                       ABS(xi.vi - (mm.mn + ((((xi.vi - mm.mn) * 255)
+                           // mm.rng) * mm.rng) // 255)) AS err
+                FROM xi JOIN mm ON mm.i = xi.i
+            )
+            SELECT i, COUNT(*) AS n,
+                   CAST(MAX(err) AS BIGINT) AS max_abs_err,
+                   CAST(SUM(err) AS BIGINT) AS sum_abs_err
+            FROM e GROUP BY i ORDER BY i
+        """,
     }

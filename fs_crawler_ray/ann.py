@@ -1037,3 +1037,58 @@ def label_rarity(
         [("vec_id", "count", "n_docs"), ("rarity_sum", "sum", "rarity_sum"),
          ("n_tokens", "sum", "token_sum")],
         num_buckets)
+
+
+def quantization_error(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    levels: int = 255,
+    scale: int = 10**6,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Reconstruction-error audit of :func:`quantize_embeddings` — per
+    dimension ``(i, n, max_abs_err, sum_abs_err)`` of ``|x̃ − dequant|``
+    with ``dequant = mn + (q·rng) // levels``, every term int64 (the
+    "is int8 good enough for this column" table read before shipping a
+    quantized index). Same two bounded passes as the quantizer: the
+    O(dim) bounds broadcast once, then map-only per-batch partials
+    (dim rows each) into one O(blocks×dim) shuffle."""
+
+    def minmax(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col])
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        dim = vi.shape[1]
+        return pa.table({"i": np.arange(1, dim + 1, dtype=np.int64),
+                         "mn": vi.min(axis=0), "mx": vi.max(axis=0)})
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    mm = bucketed_agg(
+        ds.select_columns([vec_col]).map_batches(minmax, batch_format="pyarrow"),
+        ["i"], [("mn", "min", "mn"), ("mx", "max", "mx")], num_buckets,
+    ).to_pandas().sort_values("i")
+    mn = mm["mn"].to_numpy()
+    rng = np.maximum(mm["mx"].to_numpy() - mn, 1)
+    ref = ray.put((mn, rng))
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col])
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        mn_, rng_ = ray.get(ref)
+        q = ((vi - mn_) * levels) // rng_
+        r = mn_ + (q * rng_) // levels
+        err = np.abs(vi - r)
+        dim = vi.shape[1]
+        return pa.table({
+            "i": np.arange(1, dim + 1, dtype=np.int64),
+            "n": np.full(dim, len(vi), dtype=np.int64),
+            "max_abs_err": err.max(axis=0),
+            "sum_abs_err": err.sum(axis=0),
+        })
+
+    return bucketed_agg(
+        ds.select_columns([vec_col]).map_batches(
+            err_partial, batch_format="pyarrow"),
+        ["i"],
+        [("n", "sum", "n"), ("max_abs_err", "max", "max_abs_err"),
+         ("sum_abs_err", "sum", "sum_abs_err")], num_buckets)

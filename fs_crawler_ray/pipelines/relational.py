@@ -1013,3 +1013,34 @@ def q_events_asof_next_click(sf_dir: str):
     return out[["user_id", "purchase_id", "purchase_ts", "click_ts", "click_value"]].sort_values(
         ["user_id", "purchase_id"]
     ).reset_index(drop=True)
+
+
+def q_events_conversions_1h(sf_dir: str):
+    """Attribution-window conversions: purchases whose same-user most
+    recent click happened within the preceding hour — the classic
+    last-touch attribution rule. Pure composition: the verified
+    backward as-of join plus one map-side interval filter (no extra
+    shuffle beyond the as-of's single key bucket)."""
+    from fs_crawler_ray.windows import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")), batch_format="pyarrow"
+    ).select_columns(["ts", "user_id"])
+    j = asof_join(purchases, clicks, key="user_id", ts_col="ts",
+                  left_cols=["event_id"], right_cols=[])
+    hour_us = 3_600_000_000
+
+    def within(t: pa.Table) -> pa.Table:
+        l = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = t["ts_r"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(l - r <= hour_us))
+
+    out = j.map_batches(within, batch_format="pyarrow").to_pandas()
+    out = out.rename(columns={"event_id": "purchase_id", "ts": "purchase_ts",
+                              "ts_r": "click_ts"})
+    return out[["user_id", "purchase_id", "purchase_ts", "click_ts"]].sort_values(
+        ["user_id", "purchase_id"]).reset_index(drop=True)
