@@ -106,38 +106,67 @@ class MinHasher:
         self.k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if not sh:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = stable_hash64(np.array(sorted(sh)))
-        with np.errstate(over="ignore"):
-            m = (h[:, None] * self.a[None, :] + self.b[None, :])
-        return m.min(axis=0)
+        return self.signatures(pa.array([text if text is not None else ""],
+                                        type=pa.string()))[0]
 
     def signatures(self, texts, chunk_shingles: int = 1 << 16) -> np.ndarray:
-        """Batch kernel: shingle all docs, ONE stable_hash64 over the
-        flat shingle stream, then the (shingles × num_perm) affine
-        transform + per-doc ``minimum.reduceat`` in ~64k-shingle chunks
-        so the intermediate stays cache-resident (the unchunked matrix
-        for a 5k-doc batch is ~350 MB and runs 10× slower —
-        memory-bandwidth, not FLOPs). Rows with no shingles get the
-        all-max signature (never collides into a band bucket with a
-        real signature). Bit-identical to per-doc hashing:
-        stable_hash64 masks by per-row length, so array-wide padding
-        doesn't enter the hash."""
-        from itertools import chain
-
-        sh_lists = [sorted(_shingles(t, self.k)) for t in texts]
-        counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
-        n = len(sh_lists)
-        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        nz_idx = np.flatnonzero(counts)
-        if len(nz_idx) == 0:
+        """Fully-vectorized batch kernel — NO per-document Python:
+        Arrow RE2 tokenize (the same token stream as the word regex),
+        md5-lower64 per UNIQUE token (dictionary-encoded), k-token
+        shingle fingerprints as a Horner polynomial over the token
+        hashes (uint64 wraparound — the dup_passages machinery at
+        stride 1), then the (shingles × num_perm) affine transform +
+        per-doc ``minimum.reduceat`` in ~64k-shingle chunks so the
+        intermediate stays cache-resident. Shingle multiplicity doesn't
+        matter (min over duplicates == min over the set), so the old
+        per-doc set/sort step is dropped. Docs shorter than ``k``
+        tokens contribute ONE whole-doc shingle; empty docs get the
+        all-max signature (never collides with a real one)."""
+        if isinstance(texts, pa.ChunkedArray):
+            tarr = texts.combine_chunks()
+        elif isinstance(texts, pa.Array):
+            tarr = texts
+        else:
+            tarr = pa.array([("" if t is None else str(t)) for t in texts],
+                            type=pa.string())
+        flat, parent, nt = _tokenize_batch(tarr)
+        n = len(tarr)
+        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if len(flat) == 0:
             return out
-        flat = np.array(list(chain.from_iterable(sh_lists)))
-        h = stable_hash64(flat)
-        starts_all = np.r_[0, np.cumsum(counts)[:-1]]
-        starts = starts_all[nz_idx]
+        th = _md5_tokens(flat)
+        k = self.k
+        counts = np.where(nt == 0, 0,
+                          np.where(nt < k, 1, nt - k + 1)).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return out
+        doc_starts = np.r_[0, np.cumsum(nt)[:-1]]
+        out_starts = np.r_[0, np.cumsum(counts)[:-1]]
+        fp = np.zeros(total, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            long_docs = np.flatnonzero(nt >= k)
+            if len(long_docs):
+                n_win = (nt[long_docs] - k + 1).astype(np.int64)
+                doc_of_win = np.repeat(long_docs, n_win)
+                pos = np.arange(len(doc_of_win)) - np.repeat(
+                    np.cumsum(n_win) - n_win, n_win)
+                g = doc_starts[doc_of_win] + pos
+                pw = _FP_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+                fp[out_starts[doc_of_win] + pos] = (
+                    th[g[:, None] + np.arange(k)[None, :]] * pw
+                ).sum(axis=1, dtype=np.uint64)
+            short_docs = np.flatnonzero((nt > 0) & (nt < k))
+            if len(short_docs):
+                acc = np.zeros(len(short_docs), dtype=np.uint64)
+                for j in range(int(nt[short_docs].max())):
+                    act = nt[short_docs] > j
+                    acc[act] = acc[act] * _FP_PRIME + th[
+                        doc_starts[short_docs[act]] + j]
+                fp[out_starts[short_docs]] = acc
+        nz_idx = np.flatnonzero(counts)
+        starts = out_starts[nz_idx]
         ends = starts + counts[nz_idx]
         ci = 0
         while ci < len(nz_idx):
@@ -145,7 +174,7 @@ class MinHasher:
             cj = max(cj, ci + 1)
             s0, s1 = starts[ci], ends[cj - 1]
             with np.errstate(over="ignore"):
-                m = h[s0:s1, None] * self.a[None, :] + self.b[None, :]
+                m = fp[s0:s1, None] * self.a[None, :] + self.b[None, :]
                 out[nz_idx[ci:cj]] = np.minimum.reduceat(m, starts[ci:cj] - s0, axis=0)
             ci = cj
         return out
@@ -180,26 +209,29 @@ def minhash_lsh_candidates(
     silent caps)."""
     rows_per_band = num_perm // bands
 
-    def sig_explode(df: pd.DataFrame) -> pd.DataFrame:
+    def sig_explode(t: pa.Table) -> pa.Table:
         """Fused signature + band-explode (one stage, fully batch-level:
-        no per-doc hashing, no intermediate list-of-arrays column)."""
-        n = len(df)
+        no per-doc hashing, no intermediate list-of-arrays column;
+        Arrow in, Arrow out — the text column never becomes Python)."""
+        n = len(t)
         if n == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype=object),
-                                 "band": pd.Series(dtype=np.int64),
-                                 "bh": pd.Series(dtype=np.int64)})
-        sigs = _minhasher(num_perm, shingle_k).signatures(df["text"])
+            return pa.table({"doc_id": pa.array([], t.schema.field("doc_id").type),
+                             "band": pa.array([], pa.int64()),
+                             "bh": pa.array([], pa.int64())})
+        sigs = _minhasher(num_perm, shingle_k).signatures(t["text"])
         with np.errstate(over="ignore"):
             bh = (sigs.reshape(n, bands, rows_per_band)
                   * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)
-        return pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        return pa.table({
+            "doc_id": ids.take(pa.array(np.repeat(np.arange(n), bands))),
             "band": np.tile(np.arange(bands, dtype=np.int64), n),
-            "bh": bh.reshape(-1).astype("int64"),
+            "bh": bh.reshape(-1).astype(np.int64),
         })
 
     exploded = ds.select_columns(["doc_id", "text"]).map_batches(
-        sig_explode, batch_format="pandas"
+        sig_explode, batch_format="pyarrow"
     )
 
     def _triu_pairs(group_sizes: np.ndarray):
