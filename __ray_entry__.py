@@ -1142,6 +1142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_conversions_1h": rel.q_events_conversions_1h,
         "docs_cluster_sizes": _docs_cluster_sizes,
         "emb_quant_error": _emb_quant_error,
+        # --- r3 wave 34: transitivity moments, conversion latency -------
+        "graph_clustering": cq.graph_clustering,
+        "q_events_ttc_quantiles": rel.q_events_ttc_quantiles,
     }
 
 
@@ -2352,5 +2355,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(err) AS BIGINT) AS max_abs_err,
                    CAST(SUM(err) AS BIGINT) AS sum_abs_err
             FROM e GROUP BY i ORDER BY i
+        """,
+        "graph_clustering": osql.graph_clustering(d),
+        "q_events_ttc_quantiles": """
+            WITH g AS (
+                SELECT CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
+                       // 1000000 AS gap_s
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+                ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+            )
+            SELECT CAST(quantile_disc(gap_s, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(gap_s, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(gap_s, 0.95) AS BIGINT) AS p95
+            FROM g
         """,
     }

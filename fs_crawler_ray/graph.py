@@ -507,3 +507,44 @@ def assortativity_sum(
          ("sum_dst_deg", "sum", "sum_dst_deg")], 1)
     return out.map_batches(
         lambda t: t.drop_columns(["__one"]), batch_format="pyarrow")
+
+
+def clustering_global(
+    edges: ray.data.Dataset,
+    src: str = "source",
+    dst: str = "destination",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Global clustering coefficient of the co-parent graph, as the
+    integer pair ``(n_wedges, n_closed)`` — the transitivity numerator
+    and denominator (``C = n_closed / n_wedges`` is the one float
+    division, left to the caller so the table stays hash-exact). The
+    cohesion number next to :func:`coparent_triangles`: ``n_wedges =
+    Σ_v C(deg(v), 2)`` over the canonical co-parent edge set and
+    ``n_closed = 3 · triangles``. One degree aggregation (O(V) rows) +
+    the already-O(wedges) triangle plan."""
+    cp = coparent_pairs(edges, src, dst, num_buckets).map_batches(
+        lambda t: pa.table({"u": t["p1"], "v": t["p2"]}),
+        batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"w": pa.chunked_array(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])})
+
+    deg = bucketed_agg(
+        cp.map_batches(ends, batch_format="pyarrow"),
+        ["w"], [("w", "count", "deg")], num_buckets)
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n_wedges": np.array([(d * (d - 1) // 2).sum()],
+                                              dtype=np.int64)})
+
+    wedges = deg.map_batches(wedge_partial, batch_format="pyarrow")
+    n_wedges = int(sum(r["n_wedges"] for r in wedges.take_all()))
+
+    n_tri = coparent_triangles(edges, src, dst, num_buckets).count()
+    import pandas as pd
+
+    return ray.data.from_pandas(pd.DataFrame(
+        {"n_wedges": [n_wedges], "n_closed": [3 * n_tri]}))

@@ -388,3 +388,12 @@ def graph_assortativity(sf_dir: str) -> pd.DataFrame:
 
     out = assortativity_sum(_span_edges_ds(sf_dir)).to_pandas()
     return out.astype({c: "int64" for c in out.columns}).reset_index(drop=True)
+
+
+def graph_clustering(sf_dir: str) -> pd.DataFrame:
+    """Global transitivity moments of the co-parent graph
+    (graph.clustering_global): (n_wedges, n_closed)."""
+    from fs_crawler_ray.graph import clustering_global
+
+    out = clustering_global(_span_edges_ds(sf_dir)).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).reset_index(drop=True)

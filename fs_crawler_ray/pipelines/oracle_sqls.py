@@ -854,3 +854,23 @@ SELECT COUNT(*) AS n_edges,
        CAST(SUM(dd.deg) AS BIGINT) AS sum_dst_deg
 FROM e JOIN deg ds ON ds.v = e.source JOIN deg dd ON dd.v = e.destination
 """
+
+
+def graph_clustering(docs: str) -> str:
+    """Oracle for the global clustering moments over the canonical
+    co-parent edge set: wedges = Σ C(deg,2), closed = 3·triangles."""
+    return _distinct_edges_cte(docs) + """
+, cp AS (
+  SELECT a.destination AS u, b.destination AS v
+  FROM e a JOIN e b ON a.source = b.source AND a.destination < b.destination
+  GROUP BY u, v
+), ends AS (SELECT u AS w FROM cp UNION ALL SELECT v FROM cp),
+deg AS (SELECT w, COUNT(*) AS deg FROM ends GROUP BY w),
+tri AS (
+  SELECT COUNT(*) AS n FROM cp a JOIN cp b ON b.u = a.v
+  JOIN cp c ON c.u = a.u AND c.v = b.v
+)
+SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+       (SELECT CAST(3 * n AS BIGINT) FROM tri) AS n_closed
+FROM deg
+"""

@@ -1044,3 +1044,38 @@ def q_events_conversions_1h(sf_dir: str):
                               "ts_r": "click_ts"})
     return out[["user_id", "purchase_id", "purchase_ts", "click_ts"]].sort_values(
         ["user_id", "purchase_id"]).reset_index(drop=True)
+
+
+def q_events_ttc_quantiles(sf_dir: str):
+    """Conversion-latency distribution: exact p25/p50/p75/p95 of the
+    click→purchase gap (seconds) over the backward as-of matches —
+    "how long before a click converts". The gap is floored to integer
+    seconds BEFORE the quantile so both engines pick from identical
+    discrete values (quantile_disc semantics). Composition: the
+    verified as-of join → one map pass → windows.group_quantiles on a
+    constant key (a single global group — the quantile table is one
+    row; the per-key machinery is reused, not re-derived)."""
+    from fs_crawler_ray.windows import asof_join, group_quantiles
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")), batch_format="pyarrow"
+    ).select_columns(["ts", "user_id"])
+    j = asof_join(purchases, clicks, key="user_id", ts_col="ts",
+                  left_cols=["event_id"], right_cols=[])
+
+    def gap(t: pa.Table) -> pa.Table:
+        l = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = t["ts_r"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"grp": np.zeros(len(t), dtype=np.int64),
+                         "gap_s": (l - r) // 1_000_000})
+
+    gaps = j.map_batches(gap, batch_format="pyarrow")
+    out = group_quantiles(gaps, "grp", "gap_s",
+                          {"p25": 0.25, "p50": 0.5, "p75": 0.75,
+                           "p95": 0.95}).to_pandas()
+    out = out.drop(columns=["grp"])
+    return out.astype({c: "int64" for c in out.columns}).reset_index(drop=True)

@@ -1,0 +1,37 @@
+"""Unit tests for the wave-34 operators: global clustering moments
+(graph.clustering_global) and conversion-latency quantiles. Each is
+also strictly oracled against DuckDB in __ray_entry__."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fs_crawler_ray.graph import clustering_global
+
+
+def _edges(pairs):
+    return ray.data.from_arrow(pa.table({
+        "source": [c for c, _ in pairs],
+        "destination": [p for _, p in pairs],
+    }))
+
+
+def test_clustering_global_triangle_plus_tail():
+    # co-parent graph: triangle a-b-c plus pendant edge c-d
+    pairs = []
+    for i, (u, v) in enumerate([("a", "b"), ("b", "c"), ("a", "c"),
+                                ("c", "d")]):
+        pairs += [(f"ch{i}", u), (f"ch{i}", v)]
+    out = clustering_global(_edges(pairs)).to_pandas()
+    # degrees: a=2 b=2 c=3 d=1 -> wedges = 1+1+3+0 = 5; closed = 3*1
+    assert out["n_wedges"].iloc[0] == 5
+    assert out["n_closed"].iloc[0] == 3
+
+
+def test_ttc_quantiles_monotone_and_nonnegative():
+    from fs_crawler_ray.pipelines.relational import q_events_ttc_quantiles
+
+    out = q_events_ttc_quantiles("/root/testdata/sf0.001")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert 0 <= row["p25"] <= row["p50"] <= row["p75"] <= row["p95"]
