@@ -1145,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 34: transitivity moments, conversion latency -------
         "graph_clustering": cq.graph_clustering,
         "q_events_ttc_quantiles": rel.q_events_ttc_quantiles,
+        "q_customer_rfm": rel.q_customer_rfm,
     }
 
 
@@ -2370,5 +2371,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(gap_s, 0.75) AS BIGINT) AS p75,
                    CAST(quantile_disc(gap_s, 0.95) AS BIGINT) AS p95
             FROM g
+        """,
+        "q_customer_rfm": """
+            SELECT o_custkey AS custkey,
+                   CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+                       AS last_day,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders GROUP BY custkey ORDER BY custkey
         """,
     }

@@ -1079,3 +1079,35 @@ def q_events_ttc_quantiles(sf_dir: str):
                            "p95": 0.95}).to_pandas()
     out = out.drop(columns=["grp"])
     return out.astype({c: "int64" for c in out.columns}).reset_index(drop=True)
+
+
+def q_customer_rfm(sf_dir: str):
+    """Per-customer RFM table — recency (last order day, epoch days) /
+    frequency (order count) / monetary (integer cents): the
+    segmentation features a marketing pipeline derives. One per-batch
+    Arrow partial (customer-bounded rows) + one customer-key shuffle;
+    all-integer so the hash matches SQL exactly."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000.0)),
+            pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)), pa.int64())
+        b = pa.table({"custkey": t["o_custkey"], "day": day, "cents": cents})
+        g = b.group_by("custkey", use_threads=False).aggregate(
+            [("day", "max"), ("cents", "sum"), ("cents", "count")])
+        return pa.table({"custkey": g["custkey"], "last_day": g["day_max"],
+                         "n_orders": g["cents_count"].cast(pa.int64()),
+                         "total_cents": g["cents_sum"]})
+
+    orders = _t(sf_dir, "orders",
+                columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    out = bucketed_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["custkey"],
+        [("last_day", "max", "last_day"), ("n_orders", "sum", "n_orders"),
+         ("total_cents", "sum", "total_cents")], 16).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        "custkey").reset_index(drop=True)

@@ -35,3 +35,16 @@ def test_ttc_quantiles_monotone_and_nonnegative():
     assert len(out) == 1
     row = out.iloc[0]
     assert 0 <= row["p25"] <= row["p50"] <= row["p75"] <= row["p95"]
+
+
+def test_customer_rfm_consistency():
+    from fs_crawler_ray.pipelines.relational import q_customer_rfm
+
+    out = q_customer_rfm("/root/testdata/sf0.001")
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    assert out["n_orders"].sum() == len(orders)
+    assert (out["n_orders"] >= 1).all()
+    # monetary totals recompose the corpus total in cents
+    import numpy as np
+    exp = int(np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).sum())
+    assert out["total_cents"].sum() == exp
