@@ -374,6 +374,19 @@ def _emb_quant_error(sf_dir: str):
         "i").reset_index(drop=True)
 
 
+def _emb_pq_codes(sf_dir: str):
+    """Product-quantization code assignment per subspace
+    (ann.pq_assign)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import pq_assign
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = pq_assign(ds, k=8, n_sub=2).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["vec_id", "sub"]).reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1146,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": cq.graph_clustering,
         "q_events_ttc_quantiles": rel.q_events_ttc_quantiles,
         "q_customer_rfm": rel.q_customer_rfm,
+        "emb_pq_codes": _emb_pq_codes,
     }
 
 
@@ -2380,5 +2394,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_cents
             FROM orders GROUP BY custkey ORDER BY custkey
+        """,
+        "emb_pq_codes": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), dims AS (
+                SELECT MAX(dim) + 1 AS d FROM x
+            ), xs AS (
+                SELECT vec_id, dim, v,
+                       (dim * 2) // (SELECT d FROM dims) AS sub
+                FROM x
+            ), cent AS (
+                SELECT vec_id AS cid, sub, dim, v AS cv FROM xs
+                WHERE vec_id IN
+                    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), dst AS (
+                SELECT xs.vec_id, xs.sub, c.cid,
+                       SUM((xs.v - c.cv) * (xs.v - c.cv)) AS dist
+                FROM xs JOIN cent c ON c.dim = xs.dim AND c.sub = xs.sub
+                GROUP BY xs.vec_id, xs.sub, c.cid
+            ), r AS (
+                SELECT vec_id, sub, cid, dist, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+                FROM dst
+            )
+            SELECT vec_id, sub, cid AS code, CAST(dist AS BIGINT) AS dist_fp
+            FROM r WHERE rn = 1 ORDER BY vec_id, sub
         """,
     }

@@ -1092,3 +1092,59 @@ def quantization_error(
         ["i"],
         [("n", "sum", "n"), ("max_abs_err", "max", "max_abs_err"),
          ("sum_abs_err", "sum", "sum_abs_err")], num_buckets)
+
+
+def pq_assign(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_sub: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+) -> ray.data.Dataset:
+    """Product-quantization code assignment — the memory-compression
+    standard for billion-vector ANN (a D-dim vector becomes ``n_sub``
+    small codebook indices): the vector is split into ``n_sub``
+    contiguous subspaces and each slice is assigned to its nearest
+    sub-centroid by FIXED-POINT squared L2, ties to the smallest
+    centroid id. Codebooks are the ``k`` smallest-id vectors' slices
+    (the same deterministic seeding as :func:`kmeans_assign`), so the
+    whole table is bit-exact against the SQL argmin. Returns exploded
+    ``(vec_id, sub, code, dist_fp)`` rows.
+
+    One O(k×dim) codebook broadcast + a map-only pass (one int64
+    matmul per subspace per batch) — no shuffle at any corpus size."""
+    cent = ds.sort(id_col).limit(k).to_pandas()
+    cm = _emb_matrix(pa.chunked_array([pa.array(list(cent[vec_col]))]))
+    ci = np.floor(cm.astype(np.float64) * scale + 0.5).astype(np.int64)
+    cids = cent[id_col].to_numpy().astype(np.int64)
+    dim = ci.shape[1]
+    bounds = [(s * dim // n_sub, (s + 1) * dim // n_sub)
+              for s in range(n_sub)]
+    cent_ref = ray.put((cids, ci, bounds))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cids_, ci_, bounds_ = ray.get(cent_ref)
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vi)
+        out_id, out_sub, out_code, out_dist = [], [], [], []
+        for s, (lo, hi) in enumerate(bounds_):
+            x, c = vi[:, lo:hi], ci_[:, lo:hi]
+            d = ((x * x).sum(axis=1)[:, None] - 2 * (x @ c.T)
+                 + (c * c).sum(axis=1)[None, :])
+            best = np.argmin(d, axis=1)
+            out_id.append(ids)
+            out_sub.append(np.full(n, s, dtype=np.int64))
+            out_code.append(cids_[best])
+            out_dist.append(d[np.arange(n), best])
+        return pa.table({
+            id_col: np.concatenate(out_id),
+            "sub": np.concatenate(out_sub),
+            "code": np.concatenate(out_code),
+            "dist_fp": np.concatenate(out_dist),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")

@@ -48,3 +48,29 @@ def test_customer_rfm_consistency():
     import numpy as np
     exp = int(np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).sum())
     assert out["total_cents"].sum() == exp
+
+
+def test_pq_assign_matches_per_subspace_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fs_crawler_ray.ann import pq_assign
+
+    rng = np.random.default_rng(31)
+    n, dim, k = 100, 8, 4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": np.arange(n),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    out = (pq_assign(ray.data.from_arrow(t), k=k, n_sub=2)
+           .to_pandas().sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    vi = np.floor(vecs.astype(np.float64) * 10**4 + 0.5).astype(np.int64)
+    ci = vi[:k]
+    for s, (lo, hi) in enumerate([(0, 4), (4, 8)]):
+        d = ((vi[:, lo:hi, None] - ci[:, lo:hi].T[None]) ** 2).sum(axis=1)
+        best = np.argmin(d, axis=1)
+        rows = out[out["sub"] == s].reset_index(drop=True)
+        assert rows["code"].tolist() == best.tolist()
+        assert rows["dist_fp"].tolist() == d[np.arange(n), best].tolist()
+    # every vector gets exactly n_sub codes
+    assert len(out) == 2 * n
