@@ -374,6 +374,19 @@ def _emb_quant_error(sf_dir: str):
         "i").reset_index(drop=True)
 
 
+def _emb_kmeans_sizes(sf_dir: str):
+    """k-means cell-occupancy report (ann.kmeans_cell_sizes): the
+    IVF-balance diagnostic."""
+    import ray.data
+
+    from fs_crawler_ray.ann import kmeans_cell_sizes
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = kmeans_cell_sizes(ds, k=8).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "cluster").reset_index(drop=True)
+
+
 def _emb_pq_codes(sf_dir: str):
     """Product-quantization code assignment per subspace
     (ann.pq_assign)."""
@@ -1160,6 +1173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_ttc_quantiles": rel.q_events_ttc_quantiles,
         "q_customer_rfm": rel.q_customer_rfm,
         "emb_pq_codes": _emb_pq_codes,
+        # --- r3 wave 36: session shapes, IVF balance --------------------
+        "q_events_session_size_hist": rel.q_events_session_size_hist,
+        "emb_kmeans_sizes": _emb_kmeans_sizes,
     }
 
 
@@ -2423,5 +2439,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, sub, cid AS code, CAST(dist AS BIGINT) AS dist_fp
             FROM r WHERE rn = 1 ORDER BY vec_id, sub
+        """,
+        "q_events_session_size_hist": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM o
+            ), sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT n_events, COUNT(*) AS n_sessions
+            FROM sess GROUP BY n_events ORDER BY n_events
+        """,
+        "emb_kmeans_sizes": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cid, dim, v AS cv FROM x
+                WHERE vec_id IN
+                    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), dst AS (
+                SELECT x.vec_id, c.cid,
+                       SUM((x.v - c.cv) * (x.v - c.cv)) AS dist
+                FROM x JOIN cent c USING (dim) GROUP BY x.vec_id, c.cid
+            ), r AS (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM dst
+            )
+            SELECT cid AS cluster, COUNT(*) AS n_vecs
+            FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster
         """,
     }

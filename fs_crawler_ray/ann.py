@@ -1148,3 +1148,27 @@ def pq_assign(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def kmeans_cell_sizes(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**4,
+    num_buckets: int = 4,
+) -> ray.data.Dataset:
+    """Cell-occupancy report of the k-means assignment ``(cluster,
+    n_vecs)`` — the IVF-balance diagnostic (one hot cell = one hot
+    probe list = a skewed ANN partition; the scale fix is re-seeding or
+    salting that cell). Composition of :func:`kmeans_assign` (map-only)
+    with one k-cardinality count shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    assigned = kmeans_assign(ds, k=k, vec_col=vec_col, id_col=id_col,
+                             scale=scale)
+    return bucketed_agg(
+        assigned.map_batches(
+            lambda t: pa.table({"cluster": t["cluster"], "v": t[id_col]}),
+            batch_format="pyarrow"),
+        ["cluster"], [("v", "count", "n_vecs")], num_buckets)

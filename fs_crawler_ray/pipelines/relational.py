@@ -1111,3 +1111,26 @@ def q_customer_rfm(sf_dir: str):
          ("total_cents", "sum", "total_cents")], 16).to_pandas()
     return out.astype({c: "int64" for c in out.columns}).sort_values(
         "custkey").reset_index(drop=True)
+
+
+def q_events_session_size_hist(sf_dir: str):
+    """Session-size histogram ``(n_events, n_sessions)`` — the
+    engagement-shape distribution read off the sessionizer's output
+    (how many one-hit visits vs long sessions). Composition: the
+    verified gap sessionization (one key shuffle) plus one
+    size-cardinality count shuffle over the O(sessions) table."""
+    from fs_crawler_ray.relops import bucketed_agg
+    from fs_crawler_ray.windows import sessionize
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    sess = sessionize(ev, key="user_id", ts_col="ts",
+                      gap=pd.Timedelta(hours=12),
+                      order_cols=["ts", "event_id"])
+    out = bucketed_agg(
+        sess.map_batches(
+            lambda t: pa.table({"n_events": t["n_events"],
+                                "sid": t["session_id"]}),
+            batch_format="pyarrow"),
+        ["n_events"], [("sid", "count", "n_sessions")], 4).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        "n_events").reset_index(drop=True)
