@@ -400,6 +400,32 @@ def _emb_pq_codes(sf_dir: str):
         ["vec_id", "sub"]).reset_index(drop=True)
 
 
+def _docs_near_dup_scores(sf_dir: str):
+    """Verified near-dup pairs with integer Jaccard permille
+    (text.near_dup_scores)."""
+    import ray.data
+
+    from fs_crawler_ray.text import near_dup_scores
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = near_dup_scores(ds, threshold=0.8, shingle_k=3).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _docs_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup representative per near-dup cluster
+    (text.dedup_keep_best)."""
+    import ray.data
+
+    from fs_crawler_ray.text import dedup_keep_best
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dedup_keep_best(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "cluster_id").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1176,6 +1202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 36: session shapes, IVF balance --------------------
         "q_events_session_size_hist": rel.q_events_session_size_hist,
         "emb_kmeans_sizes": _emb_kmeans_sizes,
+        # --- r3 wave 37: scored near-dups, keep-best dedup --------------
+        "docs_near_dup_scores": _docs_near_dup_scores,
+        "docs_dedup_keep_best": _docs_dedup_keep_best,
     }
 
 
@@ -2483,5 +2512,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cid AS cluster, COUNT(*) AS n_vecs
             FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+        """,
+        "docs_near_dup_scores": osql.docs_near_dup_scores(
+            threshold_pct=80, shingle_k=3),
+        "docs_dedup_keep_best": f"""
+            WITH c AS ({osql.docs_dup_clusters(threshold=0.8, shingle_k=3)}),
+            toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+              FROM toks GROUP BY tok
+            ), r AS (
+              SELECT t.doc_id,
+                     (SUM(v.rnk) * 1000) // COUNT(*) AS mean_rarity_milli
+              FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+            ), m AS (
+              SELECT c.cluster_id, c.doc_id, r.mean_rarity_milli,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                         ORDER BY r.mean_rarity_milli, c.doc_id) AS rn
+              FROM c JOIN r ON r.doc_id = c.doc_id
+            )
+            SELECT cluster_id, doc_id,
+                   CAST(mean_rarity_milli AS BIGINT) AS mean_rarity_milli
+            FROM m WHERE rn = 1 ORDER BY cluster_id
         """,
     }

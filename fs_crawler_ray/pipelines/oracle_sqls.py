@@ -874,3 +874,31 @@ SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
        (SELECT CAST(3 * n AS BIGINT) FROM tri) AS n_closed
 FROM deg
 """
+
+
+def docs_near_dup_scores(threshold_pct: int = 80, shingle_k: int = 3) -> str:
+    """Oracle for the SCORED near-dup pairs: the true-Jaccard pair plan
+    of :func:`docs_near_dup_pairs` with the threshold as an integer
+    cross-multiplication (``i·100 >= pct·union`` — no float 0.8 on the
+    boundary) and the score as floor permille."""
+    joins = " || ' ' || ".join(f"tk[i+{j}]" for j in range(shingle_k))
+    return _TOKS_CTE + f"""
+, sh AS (
+  SELECT doc_id, CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       WHEN len(tk) < {shingle_k} THEN [array_to_string(tk, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(tk) - {shingle_k - 1}),
+                                         i -> {joins})) END AS s
+  FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(i * 1000 // (sa.n + sb.n - i) AS BIGINT) AS jac_permille
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE i * 100 >= {threshold_pct} * (sa.n + sb.n - i)
+ORDER BY doc_a, doc_b
+"""

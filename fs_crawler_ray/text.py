@@ -2243,3 +2243,94 @@ def lang_confusion(ds: ray.data.Dataset, num_buckets: int = 4) -> ray.data.Datas
                                           "doc_id": t["doc_id"]}),
                       batch_format="pyarrow"),
         ["lang", "lang_guess"], [("doc_id", "count", "n_docs")], num_buckets)
+
+
+def near_dup_scores(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> ray.data.Dataset:
+    """Verified near-dup pairs WITH their similarity: ``(doc_a, doc_b,
+    jac_permille)`` where ``jac_permille = |A∩B|·1000 // |A∪B|`` over
+    distinct k-shingle sets — the score a dedup reviewer ranks by
+    (0.80 pairs are judgment calls, 0.99 pairs are mechanical). Same
+    candidate plan as the near-dup pipeline; the score is INTEGER floor
+    arithmetic so the table hash-matches the SQL cross-multiplication
+    exactly (the float `jaccard` column of ngram_jaccard_verify never
+    could)."""
+    from fs_crawler_ray.relops import lookup_join
+
+    cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
+                                  shingle_k=shingle_k)
+
+    def _project(key: str, val: str):
+        return lambda t: pa.table({key: t["doc_id"], val: t["text"]})
+
+    j1 = lookup_join(
+        cand, ds.map_batches(_project("__ta", "text_a"), batch_format="pyarrow"),
+        on="doc_a", right_on="__ta", how="inner")
+    j2 = lookup_join(
+        j1, ds.map_batches(_project("__tb", "text_b"), batch_format="pyarrow"),
+        on="doc_b", right_on="__tb", how="inner")
+
+    thr_num = int(round(threshold * 100))
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        pm = np.empty(len(ta), dtype=np.int64)
+        keep = np.zeros(len(ta), dtype=bool)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa, sb = _shingles(a, shingle_k), _shingles(b, shingle_k)
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            keep[i] = inter * 100 >= thr_num * union
+            pm[i] = inter * 1000 // union
+        out = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                        "jac_permille": pm})
+        return out.filter(pa.array(keep))
+
+    return j2.map_batches(score_fn, batch_format="pyarrow")
+
+
+def dedup_keep_best(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Quality-aware dedup representative per near-dup cluster:
+    ``(cluster_id, doc_id, mean_rarity_milli)`` keeping the member with
+    the LOWEST mean token rarity (the most in-distribution copy), ties
+    by smallest doc id — the production keep-best rule (smallest-id
+    keep-first discards quality information; near-identical texts make
+    the tie-break matter). Composition of three verified pieces:
+    near-dup clustering, :func:`token_rarity`, and
+    ``windows.topk_per_group`` with k=1."""
+    from fs_crawler_ray.components import near_dup_clusters
+    from fs_crawler_ray.relops import lookup_join
+    from fs_crawler_ray.windows import topk_per_group
+
+    clusters = near_dup_clusters(ds)
+    scores = token_rarity(ds, id_col=id_col)
+
+    def derive(t: pa.Table) -> pa.Table:
+        rs = t["rarity_sum"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({"__sid": t[id_col],
+                         "mean_rarity_milli": rs * 1000 // nt})
+
+    j = lookup_join(clusters,
+                    scores.map_batches(derive, batch_format="pyarrow"),
+                    on=id_col, right_on="__sid", how="inner")
+    best = topk_per_group(
+        j.map_batches(lambda t: pa.table({
+            "cluster_id": t["cluster_id"], id_col: t[id_col],
+            "mean_rarity_milli": t["mean_rarity_milli"],
+        }), batch_format="pyarrow"),
+        "cluster_id", ["mean_rarity_milli", id_col], [False, False], k=1,
+        rank_name="__r")
+    return best.map_batches(
+        lambda t: t.select(["cluster_id", id_col, "mean_rarity_milli"]),
+        batch_format="pyarrow")

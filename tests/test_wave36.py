@@ -38,3 +38,31 @@ def test_kmeans_cell_sizes_partition():
     assert set(out["cluster"]).issubset(set(range(k)))
     # centroids assign to themselves, so every cell is non-empty
     assert (out["n_vecs"] >= 1).all()
+
+
+def test_near_dup_scores_exact_duplicates_score_1000():
+    from fs_crawler_ray.text import near_dup_scores
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "the quick brown fox jumps over the lazy dog today",
+             "completely different content with no shared trigrams here"]
+    docs = pa.table({"doc_id": [1, 2, 3], "text": texts})
+    out = (near_dup_scores(ray.data.from_arrow(docs), threshold=0.8)
+           .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out["jac_permille"].iloc[0] == 1000
+
+
+def test_dedup_keep_best_prefers_low_rarity():
+    from fs_crawler_ray.text import dedup_keep_best
+
+    # docs 1 and 2 are near-identical; doc 2 carries an extra rare
+    # token so doc 1 (lower mean rarity) must win the cluster
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " zyzzyva", "unrelated text entirely here"],
+    })
+    out = dedup_keep_best(ray.data.from_arrow(docs)).to_pandas()
+    assert len(out) == 1
+    assert out["doc_id"].iloc[0] == 1
