@@ -426,6 +426,19 @@ def _docs_dedup_keep_best(sf_dir: str):
         "cluster_id").reset_index(drop=True)
 
 
+def _docs_source_quality(sf_dir: str):
+    """Provenance × quality-tertile mixing matrix
+    (text.source_quality_matrix)."""
+    import ray.data
+
+    from fs_crawler_ray.text import source_quality_matrix
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = source_quality_matrix(ds, n_tiles=3).to_pandas()
+    return out.astype({"tile": np.int64, "n_docs": np.int64}).sort_values(
+        ["source", "tile"]).reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1205,6 +1218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 37: scored near-dups, keep-best dedup --------------
         "docs_near_dup_scores": _docs_near_dup_scores,
         "docs_dedup_keep_best": _docs_dedup_keep_best,
+        # --- r3 wave 38: fulfillment SLA, mixing matrix ------------------
+        "q_ship_delay_hist": rel.q_ship_delay_hist,
+        "docs_source_quality": _docs_source_quality,
     }
 
 
@@ -2539,5 +2555,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id,
                    CAST(mean_rarity_milli AS BIGINT) AS mean_rarity_milli
             FROM m WHERE rn = 1 ORDER BY cluster_id
+        """,
+        "q_ship_delay_hist": """
+            SELECT CAST(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000
+                        AS BIGINT) AS delay_days,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY delay_days ORDER BY delay_days
+        """,
+        "docs_source_quality": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+              FROM toks GROUP BY tok
+            ), r AS (
+              SELECT t.doc_id, SUM(v.rnk) AS rarity_sum, COUNT(*) AS n_tokens
+              FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+            ), tiles AS (
+              SELECT doc_id, NTILE(3) OVER (
+                  ORDER BY (rarity_sum * 1000) // n_tokens DESC, doc_id
+              ) AS tile
+              FROM r
+            )
+            SELECT d.source, CAST(t.tile AS BIGINT) AS tile,
+                   COUNT(*) AS n_docs
+            FROM tiles t JOIN documents d USING (doc_id)
+            GROUP BY d.source, tile ORDER BY d.source, tile
         """,
     }

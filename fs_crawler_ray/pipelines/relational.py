@@ -1134,3 +1134,30 @@ def q_events_session_size_hist(sf_dir: str):
         ["n_events"], [("sid", "count", "n_sessions")], 4).to_pandas()
     return out.astype({c: "int64" for c in out.columns}).sort_values(
         "n_events").reset_index(drop=True)
+
+
+def q_ship_delay_hist(sf_dir: str):
+    """Order-to-ship latency histogram ``(delay_days, n_items)`` — the
+    fulfillment-SLA distribution: line items joined to their order
+    (size-aware join; orders is the smaller side), delay in whole days
+    via integer epoch-day subtraction, one delay-cardinality count
+    shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    j = lookup_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                    how="inner")
+
+    def delay(t: pa.Table) -> pa.Table:
+        s = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = s // 86_400_000_000 - o // 86_400_000_000
+        return pa.table({"delay_days": d,
+                         "k": np.ones(len(t), dtype=np.int64)})
+
+    out = bucketed_agg(
+        j.map_batches(delay, batch_format="pyarrow"),
+        ["delay_days"], [("k", "count", "n_items")], 4).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        "delay_days").reset_index(drop=True)

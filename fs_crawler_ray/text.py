@@ -2334,3 +2334,29 @@ def dedup_keep_best(
     return best.map_batches(
         lambda t: t.select(["cluster_id", id_col, "mean_rarity_milli"]),
         batch_format="pyarrow")
+
+
+def source_quality_matrix(
+    ds: ray.data.Dataset,
+    n_tiles: int = 3,
+    num_buckets: int = 4,
+) -> ray.data.Dataset:
+    """The data-mixing decision table: ``(source, tile, n_docs)`` —
+    provenance crossed with the quality tertile of
+    :func:`rarity_tiles` (up-weight the head tier of a good source,
+    drop the tail tier of a bad one; the table a weighted-mixture
+    training run is configured from). One size-aware join of the
+    O(docs) tile table onto the metadata column + a (sources×tiles)
+    count shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    tiles = rarity_tiles(ds, n_tiles=n_tiles)
+    meta = ds.select_columns(["doc_id", "source"]).map_batches(
+        lambda t: pa.table({"__id": t["doc_id"], "source": t["source"]}),
+        batch_format="pyarrow")
+    j = lookup_join(tiles, meta, on="doc_id", right_on="__id", how="inner")
+    return bucketed_agg(
+        j.map_batches(lambda t: pa.table({
+            "source": t["source"], "tile": t["tile"], "d": t["doc_id"]}),
+            batch_format="pyarrow"),
+        ["source", "tile"], [("d", "count", "n_docs")], num_buckets)

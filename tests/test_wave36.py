@@ -66,3 +66,27 @@ def test_dedup_keep_best_prefers_low_rarity():
     out = dedup_keep_best(ray.data.from_arrow(docs)).to_pandas()
     assert len(out) == 1
     assert out["doc_id"].iloc[0] == 1
+
+
+def test_ship_delay_hist_counts_all_lineitems():
+    from fs_crawler_ray.pipelines.relational import q_ship_delay_hist
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ship_delay_hist(sf)
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+    assert out["n_items"].sum() == len(li)
+
+
+def test_source_quality_matrix_partitions_corpus():
+    from fs_crawler_ray.text import source_quality_matrix
+
+    docs = pa.table({
+        "doc_id": list(range(30)),
+        "text": [f"rare{i} common common common" for i in range(30)],
+        "source": ["web" if i % 2 else "books" for i in range(30)],
+    })
+    out = (source_quality_matrix(ray.data.from_arrow(docs), n_tiles=3)
+           .to_pandas())
+    assert out["n_docs"].sum() == 30
+    assert set(out["tile"]) == {1, 2, 3}
+    assert set(out["source"]) == {"web", "books"}
