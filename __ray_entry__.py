@@ -439,6 +439,18 @@ def _docs_source_quality(sf_dir: str):
         ["source", "tile"]).reset_index(drop=True)
 
 
+def _docs_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (text.vocab_growth)."""
+    import ray.data
+
+    from fs_crawler_ray.text import vocab_growth
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = vocab_growth(ds, n_points=10).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "k").reset_index(drop=True)
+
+
 def _span_transitions(sf_dir: str):
     """Modality-interleaving transition matrix over the Lance-shaped
     span table (multimodal.span_transitions)."""
@@ -1221,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 38: fulfillment SLA, mixing matrix ------------------
         "q_ship_delay_hist": rel.q_ship_delay_hist,
         "docs_source_quality": _docs_source_quality,
+        "docs_vocab_growth": _docs_vocab_growth,
     }
 
 
@@ -2587,5 +2600,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM tiles t JOIN documents d USING (doc_id)
             GROUP BY d.source, tile ORDER BY d.source, tile
+        """,
+        "docs_vocab_growth": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            ), f AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+            n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+            g AS (
+              SELECT k, (SELECT nd FROM n) * k // 10 AS thr
+              FROM generate_series(1, 10) t(k)
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(thr AS BIGINT) AS prefix_docs,
+                   CAST((SELECT COUNT(*) FROM f WHERE fd < thr) AS BIGINT)
+                       AS vocab_size
+            FROM g ORDER BY k
         """,
     }

@@ -2360,3 +2360,71 @@ def source_quality_matrix(
             "source": t["source"], "tile": t["tile"], "d": t["doc_id"]}),
             batch_format="pyarrow"),
         ["source", "tile"], [("d", "count", "n_docs")], num_buckets)
+
+
+def vocab_growth(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_points: int = 10,
+    agg_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Heaps'-law vocabulary growth curve: ``(k, prefix_docs,
+    vocab_size)`` — how many distinct tokens the first ``k/n_points``
+    of the corpus (by ascending doc id) contains, for k = 1..n_points.
+    The sizing curve a tokenizer-training run reads (is the vocabulary
+    saturating, or does more data keep paying?).
+
+    ONE pass computes it for every prefix simultaneously: each token's
+    FIRST document (per-batch (tok, min id) partials → one
+    vocabulary-sized min shuffle), then ``vocab_size(k) = #{tokens:
+    first_doc < threshold_k}`` — per-batch bincounts over the
+    first-doc table + a cumulative sum on the driver's O(n_points)
+    result. No prefix is ever re-scanned."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    n_docs = int(ds.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [t[id_col].to_numpy(zero_copy_only=False).max()
+             if len(t) else -1])}),
+        batch_format="pyarrow").max("m")) + 1
+    thresholds = np.array([n_docs * k // n_points
+                           for k in range(1, n_points + 1)], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "fd": pa.array([], type=pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        fd = np.full(len(enc.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fd, codes, ids[parent])
+        return pa.table({"tok": enc.dictionary, "fd": fd})
+
+    first = bucketed_agg(
+        ds.select_columns([id_col, "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["tok"], [("fd", "min", "fd")], agg_partitions)
+
+    def hist(t: pa.Table) -> pa.Table:
+        fd = t["fd"].to_numpy(zero_copy_only=False)
+        cnt = np.searchsorted(np.sort(fd), thresholds, side="left")
+        return pa.table({"k": np.arange(1, n_points + 1, dtype=np.int64),
+                         "c": cnt.astype(np.int64)})
+
+    parts = first.map_batches(hist, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("k")["c"].sum()
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "k": np.arange(1, n_points + 1, dtype=np.int64),
+        "prefix_docs": thresholds,
+        "vocab_size": agg.loc[np.arange(1, n_points + 1)].to_numpy()
+                      .astype(np.int64),
+    })
+    return ray.data.from_pandas(out)

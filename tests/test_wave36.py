@@ -90,3 +90,17 @@ def test_source_quality_matrix_partitions_corpus():
     assert out["n_docs"].sum() == 30
     assert set(out["tile"]) == {1, 2, 3}
     assert set(out["source"]) == {"web", "books"}
+
+
+def test_vocab_growth_monotone_and_exact_tail():
+    from fs_crawler_ray.text import vocab_growth
+
+    docs = pa.table({
+        "doc_id": list(range(10)),
+        "text": [f"shared word{i}" for i in range(10)],  # 1 new tok/doc
+    })
+    out = (vocab_growth(ray.data.from_arrow(docs), n_points=10)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # prefix of k docs holds 'shared' + k distinct wordN tokens
+    assert out["vocab_size"].tolist() == [k + 1 for k in range(1, 11)]
+    assert (out["prefix_docs"].diff().dropna() > 0).all()
