@@ -1234,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ship_delay_hist": rel.q_ship_delay_hist,
         "docs_source_quality": _docs_source_quality,
         "docs_vocab_growth": _docs_vocab_growth,
+        "q_orders_ltv_triangle": rel.q_orders_ltv_triangle,
     }
 
 
@@ -2618,5 +2619,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM f WHERE fd < thr) AS BIGINT)
                        AS vocab_size
             FROM g ORDER BY k
+        """,
+        "q_orders_ltv_triangle": """
+            WITH m AS (
+                SELECT o_custkey AS ck,
+                       CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT) AS m,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ), f AS (SELECT ck, MIN(m) AS cohort_m FROM m GROUP BY ck)
+            SELECT f.cohort_m AS cohort_month,
+                   m.m - f.cohort_m AS month_offset,
+                   CAST(SUM(m.cents) AS BIGINT) AS rev_cents
+            FROM m JOIN f USING (ck)
+            GROUP BY cohort_month, month_offset
+            ORDER BY cohort_month, month_offset
         """,
     }

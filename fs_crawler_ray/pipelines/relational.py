@@ -1161,3 +1161,51 @@ def q_ship_delay_hist(sf_dir: str):
         ["delay_days"], [("k", "count", "n_items")], 4).to_pandas()
     return out.astype({c: "int64" for c in out.columns}).sort_values(
         "delay_days").reset_index(drop=True)
+
+
+def q_orders_ltv_triangle(sf_dir: str):
+    """Cohort LTV triangle ``(cohort_month, month_offset, rev_cents)``
+    — revenue by acquisition cohort and months-since-first-order, the
+    lifetime-value layout every growth team reads. Two shuffles, both
+    shrinking: per-customer first-order month (customer-key Arrow min),
+    broadcast-joined back onto orders (size-aware), then a
+    (cohorts×offsets)-cardinality sum of integer cents. Months are
+    linearized as ``year·12 + month`` so the offset is a plain integer
+    subtraction on both engines."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    orders = _t(sf_dir, "orders",
+                columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        m = pc.add(pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                               pa.scalar(12, pa.int64())),
+                   pc.cast(pc.month(t["o_orderdate"]), pa.int64()))
+        b = pa.table({"custkey": t["o_custkey"], "m": m})
+        g = b.group_by("custkey", use_threads=False).aggregate([("m", "min")])
+        return pa.table({"custkey": g["custkey"], "m": g["m_min"]})
+
+    first = bucketed_agg(
+        orders.map_batches(month_partial, batch_format="pyarrow"),
+        ["custkey"], [("m", "min", "cohort_m")], 16)
+
+    def row_fn(t: pa.Table) -> pa.Table:
+        m = pc.add(pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                               pa.scalar(12, pa.int64())),
+                   pc.cast(pc.month(t["o_orderdate"]), pa.int64()))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)), pa.int64())
+        return pa.table({"ck": t["o_custkey"], "m": m, "cents": cents})
+
+    j = lookup_join(orders.map_batches(row_fn, batch_format="pyarrow"),
+                    first, on="ck", right_on="custkey", how="inner")
+    cells = j.map_batches(
+        lambda t: pa.table({
+            "cohort_month": t["cohort_m"],
+            "month_offset": pc.subtract(t["m"], t["cohort_m"]),
+            "cents": t["cents"]}),
+        batch_format="pyarrow")
+    out = bucketed_agg(cells, ["cohort_month", "month_offset"],
+                       [("cents", "sum", "rev_cents")], 8).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        ["cohort_month", "month_offset"]).reset_index(drop=True)

@@ -104,3 +104,18 @@ def test_vocab_growth_monotone_and_exact_tail():
     # prefix of k docs holds 'shared' + k distinct wordN tokens
     assert out["vocab_size"].tolist() == [k + 1 for k in range(1, 11)]
     assert (out["prefix_docs"].diff().dropna() > 0).all()
+
+
+def test_ltv_triangle_recomposes_revenue():
+    from fs_crawler_ray.pipelines.relational import q_orders_ltv_triangle
+
+    sf = "/root/testdata/sf0.001"
+    out = q_orders_ltv_triangle(sf)
+    orders = pd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_totalprice"])
+    exp = int(np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).sum())
+    assert out["rev_cents"].sum() == exp
+    assert (out["month_offset"] >= 0).all()
+    # offset 0 exists for every cohort (the acquisition month itself)
+    zero = out[out["month_offset"] == 0]["cohort_month"]
+    assert set(zero) == set(out["cohort_month"])
