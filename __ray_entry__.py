@@ -506,6 +506,18 @@ def _emb_knn_label_vote(sf_dir: str):
                        "cnt": np.int64}).sort_values("vec_id").reset_index(drop=True)
 
 
+def _emb_vote_confusion(sf_dir: str):
+    """kNN-vote vs true-label confusion matrix (ann.vote_confusion)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import vote_confusion
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = vote_confusion(ds, k=5, exact=True).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["label", "voted_label"]).reset_index(drop=True)
+
+
 def _docs_token_counts(sf_dir: str):
     import ray.data
 
@@ -1235,6 +1247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_quality": _docs_source_quality,
         "docs_vocab_growth": _docs_vocab_growth,
         "q_orders_ltv_triangle": rel.q_orders_ltv_triangle,
+        # --- r3 wave 41: classifier eval, catalog pricing ---------------
+        "emb_vote_confusion": _emb_vote_confusion,
+        "q_part_price_stats": rel.q_part_price_stats,
     }
 
 
@@ -2635,5 +2650,47 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN f USING (ck)
             GROUP BY cohort_month, month_offset
             ORDER BY cohort_month, month_offset
+        """,
+        "emb_vote_confusion": """
+            WITH nn AS (
+                SELECT vec_id, neighbor_id FROM (
+                    SELECT a.vec_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   a.embedding, b.embedding) DESC, b.vec_id
+                           ) AS rn
+                    FROM embeddings a JOIN embeddings b
+                         ON a.vec_id <> b.vec_id
+                ) WHERE rn <= 5
+            ), v AS (
+                SELECT nn.vec_id, CAST(e.label AS BIGINT) AS vl,
+                       COUNT(*) AS cnt
+                FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+                GROUP BY nn.vec_id, vl
+            ), best AS (
+                SELECT vec_id, vl AS voted_label FROM v
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cnt DESC, vl) = 1
+            )
+            SELECT CAST(t.label AS BIGINT) AS label, b.voted_label,
+                   COUNT(*) AS n_vecs
+            FROM best b JOIN embeddings t ON t.vec_id = b.vec_id
+            GROUP BY label, voted_label ORDER BY label, voted_label
+        """,
+        "q_part_price_stats": """
+            WITH c AS (
+                SELECT p_type,
+                       CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM part
+            )
+            SELECT p_type,
+                   CAST(MIN(cents) AS BIGINT) AS min_cents,
+                   CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM c GROUP BY p_type ORDER BY p_type
         """,
     }

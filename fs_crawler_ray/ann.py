@@ -1172,3 +1172,31 @@ def kmeans_cell_sizes(
             lambda t: pa.table({"cluster": t["cluster"], "v": t[id_col]}),
             batch_format="pyarrow"),
         ["cluster"], [("v", "count", "n_vecs")], num_buckets)
+
+
+def vote_confusion(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    num_buckets: int = 4,
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """kNN-classifier evaluation cross-tab ``(label, voted_label,
+    n_vecs)`` — the confusion matrix of the majority-vote labels of
+    :func:`knn_label_vote` against the true label column (the
+    embedding-quality sanity check: a clean embedding space is
+    near-diagonal). One size-aware join of the O(rows) vote table onto
+    the label column + a (labels²)-cardinality count shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    votes = knn_label_vote(ds, k=k, exact=exact)
+    truth = ds.select_columns(["vec_id", "label"]).map_batches(
+        lambda t: pa.table({"__vid": t["vec_id"],
+                            "label": pc.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow")
+    j = lookup_join(votes, truth, on="vec_id", right_on="__vid", how="inner")
+    return bucketed_agg(
+        j.map_batches(lambda t: pa.table({
+            "label": t["label"],
+            "voted_label": pc.cast(t["voted_label"], pa.int64()),
+            "v": t["vec_id"]}), batch_format="pyarrow"),
+        ["label", "voted_label"], [("v", "count", "n_vecs")], num_buckets)

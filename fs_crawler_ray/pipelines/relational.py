@@ -1209,3 +1209,31 @@ def q_orders_ltv_triangle(sf_dir: str):
                        [("cents", "sum", "rev_cents")], 8).to_pandas()
     return out.astype({c: "int64" for c in out.columns}).sort_values(
         ["cohort_month", "month_offset"]).reset_index(drop=True)
+
+
+def q_part_price_stats(sf_dir: str):
+    """Per-type part-price distribution in integer cents: exact
+    p25/p50/p75 via windows.group_quantiles plus min/max — the pricing
+    table a catalog audit reads. One key shuffle for the quantile
+    kernel + one bucketed min/max aggregation, merged on the O(types)
+    result."""
+    from fs_crawler_ray.relops import bucketed_agg
+    from fs_crawler_ray.windows import group_quantiles
+
+    part = _t(sf_dir, "part", columns=["p_type", "p_retailprice"])
+
+    def cents_fn(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["p_retailprice"], pa.float64()), 100.0), 0.5)), pa.int64())
+        return pa.table({"p_type": t["p_type"], "cents": cents})
+
+    cents = part.map_batches(cents_fn, batch_format="pyarrow").materialize()
+    q = group_quantiles(cents, "p_type", "cents",
+                        {"p25": 0.25, "p50": 0.5, "p75": 0.75}).to_pandas()
+    mm = bucketed_agg(cents, ["p_type"],
+                      [("cents", "min", "min_cents"),
+                       ("cents", "max", "max_cents")], 4).to_pandas()
+    out = q.merge(mm, on="p_type")
+    cols = ["p_type", "min_cents", "p25", "p50", "p75", "max_cents"]
+    return out[cols].astype({c: "int64" for c in cols[1:]}).sort_values(
+        "p_type").reset_index(drop=True)

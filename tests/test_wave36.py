@@ -119,3 +119,33 @@ def test_ltv_triangle_recomposes_revenue():
     # offset 0 exists for every cohort (the acquisition month itself)
     zero = out[out["month_offset"] == 0]["cohort_month"]
     assert set(zero) == set(out["cohort_month"])
+
+
+def test_vote_confusion_counts_all_vectors():
+    from fs_crawler_ray.ann import vote_confusion
+
+    rng = np.random.default_rng(41)
+    n, dim = 120, 6
+    # two well-separated label blobs -> confusion matrix near-diagonal
+    # cosine separation needs distinct DIRECTIONS, not offsets: point
+    # the two blobs along +e1 and -e1
+    labels = np.repeat([0, 1], n // 2).astype(np.int32)
+    base = np.zeros((n, dim))
+    base[:, 0] = np.where(labels == 0, 3.0, -3.0)
+    vecs = (rng.normal(size=(n, dim)) * 0.05 + base).astype(np.float32)
+    t = pa.table({"vec_id": np.arange(n),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                  "label": labels})
+    out = vote_confusion(ray.data.from_arrow(t), k=5).to_pandas()
+    assert out["n_vecs"].sum() == n
+    diag = out[out["label"] == out["voted_label"]]["n_vecs"].sum()
+    assert diag == n  # perfectly separated -> all votes correct
+
+
+def test_part_price_stats_quantile_order():
+    from fs_crawler_ray.pipelines.relational import q_part_price_stats
+
+    out = q_part_price_stats("/root/testdata/sf0.001")
+    for _, r in out.iterrows():
+        assert (r["min_cents"] <= r["p25"] <= r["p50"]
+                <= r["p75"] <= r["max_cents"])
