@@ -1250,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 41: classifier eval, catalog pricing ---------------
         "emb_vote_confusion": _emb_vote_confusion,
         "q_part_price_stats": rel.q_part_price_stats,
+        "q_events_anomaly_days": rel.q_events_anomaly_days,
     }
 
 
@@ -2692,5 +2693,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75,
                    CAST(MAX(cents) AS BIGINT) AS max_cents
             FROM c GROUP BY p_type ORDER BY p_type
+        """,
+        "q_events_anomaly_days": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY day
+            ), med AS (SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS m
+                       FROM d),
+            dev AS (
+                SELECT day, n, ABS(n - (SELECT m FROM med)) AS ad FROM d
+            ), mad AS (SELECT GREATEST(CAST(quantile_disc(ad, 0.5)
+                                            AS BIGINT), 1) AS md FROM dev)
+            SELECT day, CAST(n AS BIGINT) AS n_events,
+                   CAST(ad AS BIGINT) AS abs_dev,
+                   CAST(CASE WHEN ad * 100 > 300 * (SELECT md FROM mad)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+            FROM dev ORDER BY day
         """,
     }

@@ -1237,3 +1237,38 @@ def q_part_price_stats(sf_dir: str):
     cols = ["p_type", "min_cents", "p25", "p50", "p75", "max_cents"]
     return out[cols].astype({c: "int64" for c in cols[1:]}).sort_values(
         "p_type").reset_index(drop=True)
+
+
+def q_events_anomaly_days(sf_dir: str):
+    """Robust anomaly flags on the daily event series: ``(day,
+    n_events, abs_dev, is_anomaly)`` with the median/MAD rule
+    ``|n − median| · 100 > 300 · MAD`` (3×MAD, integer
+    cross-multiplied — the traffic-spike detector a crawl/ingest
+    monitor runs; mean/stddev would let one spike mask another). Daily
+    counts aggregate distributed (day-cardinality shuffle); the
+    median/MAD reduction runs on the O(days) result driver-side
+    (documented — the series is days-long at any corpus size).
+    quantile_disc semantics: element ceil(q·n)−1 of the sorted
+    values, identical on both engines."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    ev = _t(sf_dir, "events", columns=["ts"])
+    days = ev.map_batches(
+        lambda t: pa.table({"day": pc.floor_temporal(t["ts"], unit="day"),
+                            "k": np.ones(len(t), dtype=np.int64)}),
+        batch_format="pyarrow")
+    out = bucketed_agg(days, ["day"], [("k", "count", "n_events")],
+                       4).to_pandas().sort_values("day").reset_index(drop=True)
+    n = out["n_events"].to_numpy().astype(np.int64)
+
+    def qdisc(v: np.ndarray, q: float) -> int:
+        s = np.sort(v)
+        return int(s[int(np.ceil(q * len(s))) - 1])
+
+    med = qdisc(n, 0.5)
+    ad = np.abs(n - med)
+    mad = max(qdisc(ad, 0.5), 1)
+    out["abs_dev"] = ad
+    out["is_anomaly"] = (ad * 100 > 300 * mad).astype(np.int64)
+    return out.astype({"n_events": "int64", "abs_dev": "int64",
+                       "is_anomaly": "int64"})

@@ -149,3 +149,23 @@ def test_part_price_stats_quantile_order():
     for _, r in out.iterrows():
         assert (r["min_cents"] <= r["p25"] <= r["p50"]
                 <= r["p75"] <= r["max_cents"])
+
+
+def test_anomaly_days_flags_injected_spike():
+    import datetime
+
+    import ray.data as rd
+
+    from fs_crawler_ray.pipelines.relational import q_events_anomaly_days
+
+    out = q_events_anomaly_days("/root/testdata/sf0.001")
+    assert (out["abs_dev"] >= 0).all()
+    assert set(out["is_anomaly"]).issubset({0, 1})
+    # rule consistency: recompute median/MAD over the returned series
+    n = out["n_events"].to_numpy()
+    s = np.sort(n)
+    med = s[int(np.ceil(0.5 * len(s))) - 1]
+    ad = np.abs(n - med)
+    mad = max(int(np.sort(ad)[int(np.ceil(0.5 * len(ad))) - 1]), 1)
+    assert (out["is_anomaly"].to_numpy()
+            == (ad * 100 > 300 * mad).astype(np.int64)).all()
