@@ -518,6 +518,17 @@ def _emb_vote_confusion(sf_dir: str):
         ["label", "voted_label"]).reset_index(drop=True)
 
 
+def _docs_dedup_savings(sf_dir: str):
+    """Exact-dedup ROI report (text.dedup_savings)."""
+    import ray.data
+
+    from fs_crawler_ray.text import dedup_savings
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dedup_savings(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).reset_index(drop=True)
+
+
 def _docs_token_counts(sf_dir: str):
     import ray.data
 
@@ -1251,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_vote_confusion": _emb_vote_confusion,
         "q_part_price_stats": rel.q_part_price_stats,
         "q_events_anomaly_days": rel.q_events_anomaly_days,
+        "docs_dedup_savings": _docs_dedup_savings,
     }
 
 
@@ -2710,5 +2722,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN ad * 100 > 300 * (SELECT md FROM mad)
                         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
             FROM dev ORDER BY day
+        """,
+        "docs_dedup_savings": """
+            WITH h AS (
+                SELECT md5(text) AS hh, COUNT(*) AS n,
+                       MAX(length(text)) AS ln
+                FROM documents GROUP BY hh
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_unique,
+                   CAST(SUM(n - 1) AS BIGINT) AS dup_docs,
+                   CAST(SUM(n * ln) AS BIGINT) AS bytes_total,
+                   CAST(SUM((n - 1) * ln) AS BIGINT) AS bytes_saved
+            FROM h
         """,
     }

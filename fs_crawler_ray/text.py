@@ -2428,3 +2428,52 @@ def vocab_growth(
                       .astype(np.int64),
     })
     return ray.data.from_pandas(out)
+
+
+def dedup_savings(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact-dedup ROI as one row: ``(n_docs, n_unique, dup_docs,
+    bytes_total, bytes_saved)`` — how much storage/compute the
+    keep-first pass recovers (``bytes_saved`` = characters of every
+    non-surviving copy). Per-batch pre-combined (hash, n_chars)
+    partials, one content-hash shuffle that keeps ONE row per distinct
+    text (count + char length), then a single-row integer reduction —
+    nothing text-sized leaves a worker twice."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = md5_lower64(t["text"].to_numpy(zero_copy_only=False)).view(np.int64)
+        ln = pc.utf8_length(t["text"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(h, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        # all copies of a hash share the length; take the first
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(h) - 1, -1, -1)
+        return pa.table({"h": uniq, "n": cnt, "ln": ln[first]})
+
+    per_hash = bucketed_agg(
+        ds.select_columns([id_col, "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["h"], [("n", "sum", "n"), ("ln", "max", "ln")], num_buckets)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ln = t["ln"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_docs": np.array([n.sum()], dtype=np.int64),
+            "n_unique": np.array([len(n)], dtype=np.int64),
+            "dup_docs": np.array([(n - 1).sum()], dtype=np.int64),
+            "bytes_total": np.array([(n * ln).sum()], dtype=np.int64),
+            "bytes_saved": np.array([((n - 1) * ln).sum()], dtype=np.int64),
+        })
+
+    parts = per_hash.map_batches(reduce_fn, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    return ray.data.from_pandas(pd.DataFrame([parts.sum().astype("int64")]))

@@ -169,3 +169,18 @@ def test_anomaly_days_flags_injected_spike():
     mad = max(int(np.sort(ad)[int(np.ceil(0.5 * len(ad))) - 1]), 1)
     assert (out["is_anomaly"].to_numpy()
             == (ad * 100 > 300 * mad).astype(np.int64)).all()
+
+
+def test_dedup_savings_counts():
+    from fs_crawler_ray.text import dedup_savings
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aaa", "aaa", "bb", "aaa"],
+    })
+    out = dedup_savings(ray.data.from_arrow(docs)).to_pandas().iloc[0]
+    assert out["n_docs"] == 4
+    assert out["n_unique"] == 2
+    assert out["dup_docs"] == 2
+    assert out["bytes_total"] == 3 * 3 + 2
+    assert out["bytes_saved"] == 2 * 3
