@@ -518,6 +518,19 @@ def _emb_vote_confusion(sf_dir: str):
         ["label", "voted_label"]).reset_index(drop=True)
 
 
+def _docs_collocations(sf_dir: str):
+    """Top bigram collocations by the integer PMI proxy
+    (text.collocations)."""
+    import ray.data
+
+    from fs_crawler_ray.text import collocations
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = collocations(ds, top_n=20, min_count=5).to_pandas()
+    return out.astype({"cnt": np.int64, "score": np.int64}).reset_index(
+        drop=True)
+
+
 def _docs_dedup_savings(sf_dir: str):
     """Exact-dedup ROI report (text.dedup_savings)."""
     import ray.data
@@ -1263,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_price_stats": rel.q_part_price_stats,
         "q_events_anomaly_days": rel.q_events_anomaly_days,
         "docs_dedup_savings": _docs_dedup_savings,
+        "docs_collocations": _docs_collocations,
     }
 
 
@@ -2735,5 +2749,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n * ln) AS BIGINT) AS bytes_total,
                    CAST(SUM((n - 1) * ln) AS BIGINT) AS bytes_saved
             FROM h
+        """,
+        "docs_collocations": """
+            WITH tk AS (
+              SELECT list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '') AS tk
+              FROM documents
+            ), toks AS (SELECT unnest(tk) AS tok FROM tk),
+            uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(cnt) AS total FROM uni),
+            bi AS (
+              SELECT tk[i] || ' ' || tk[i + 1] AS gram
+              FROM tk, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+            ), bc AS (
+              SELECT gram, COUNT(*) AS cnt FROM bi GROUP BY gram
+              HAVING COUNT(*) >= 5
+            )
+            SELECT bc.gram, bc.cnt,
+                   CAST(bc.cnt * (SELECT total FROM tot) * 1000
+                        // (a.cnt * b.cnt) AS BIGINT) AS score
+            FROM bc JOIN uni a ON a.tok = split_part(bc.gram, ' ', 1)
+                    JOIN uni b ON b.tok = split_part(bc.gram, ' ', 2)
+            ORDER BY score DESC, gram LIMIT 20
         """,
     }

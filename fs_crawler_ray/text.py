@@ -2477,3 +2477,89 @@ def dedup_savings(
     import pandas as pd
 
     return ray.data.from_pandas(pd.DataFrame([parts.sum().astype("int64")]))
+
+
+def collocations(
+    ds: ray.data.Dataset,
+    top_n: int = 20,
+    min_count: int = 5,
+    agg_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Top collocations by an integer PMI proxy: for each bigram with
+    count ≥ ``min_count``, ``score = cnt_ab · total_tokens · 1000 //
+    (cnt_a · cnt_b)`` (monotone in pointwise mutual information —
+    floor-scaled so ranking is bit-identical to SQL; log-PMI would put
+    libm on the order). The phrase-mining pass behind tokenizer merge
+    candidates and boilerplate phrases. Two vocabulary-sized shuffles
+    (unigram counts, bigram counts); the O(vocab) unigram table is
+    collected once and joined onto the O(bigrams ≥ min_count) side
+    driver-side (both documented small — they are count tables, not
+    corpora). Output: ``(gram, cnt, score)`` top ``top_n`` by
+    ``(score DESC, gram)``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize_batch(t["text"])
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cnt_part": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"tok": enc.dictionary,
+                         "cnt_part": cnt.astype(np.int64)})
+
+    uni = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(uni_partial,
+                                                batch_format="pyarrow"),
+        ["tok"], [("cnt_part", "sum", "cnt")], agg_partitions).to_pandas()
+    total = int(uni["cnt"].sum())
+    umap = dict(zip(uni["tok"], uni["cnt"].astype(np.int64)))
+
+    big = bucketed_agg(
+        ds.select_columns(["text"]).map_batches(
+            _bigram_partial, batch_format="pyarrow"),
+        ["gram"], [("cnt_part", "sum", "cnt")], agg_partitions).to_pandas()
+    big = big[big["cnt"] >= min_count]
+    parts = big["gram"].str.split(" ", n=1, expand=True)
+    ca = parts[0].map(umap).astype(np.int64)
+    cb = parts[1].map(umap).astype(np.int64)
+    score = (big["cnt"].astype(np.int64) * total * 1000) // (ca * cb)
+    out = pd.DataFrame({"gram": big["gram"],
+                        "cnt": big["cnt"].astype(np.int64),
+                        "score": score.astype(np.int64)})
+    out = out.sort_values(["score", "gram"],
+                          ascending=[False, True]).head(top_n)
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def _bigram_partial(t: pa.Table) -> pa.Table:
+    """Per-batch bigram partial counts (the ngram_frequency kernel at
+    n=2, shared so collocations can aggregate WITHOUT the top-N cut)."""
+    import pyarrow.compute as pc
+
+    flat, parent, _ = _tokenize_batch(t["text"])
+    empty = pa.table({"gram": pa.array([], type=pa.string()),
+                      "cnt_part": pa.array([], type=pa.int64())})
+    if len(flat) < 2:
+        return empty
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    v = np.int64(len(vocab))
+    ok = parent[:-1] == parent[1:]
+    if not ok.any():
+        return empty
+    packed = codes[:-1][ok] * v + codes[1:][ok]
+    uniq, cnt = np.unique(packed, return_counts=True)
+    grams = np.array([" ".join(t_) for t_ in
+                      zip(vocab[uniq // v], vocab[uniq % v])], dtype=object)
+    return pa.table({"gram": pa.array(grams, type=pa.string()),
+                     "cnt_part": pa.array(cnt.astype(np.int64))})

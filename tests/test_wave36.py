@@ -184,3 +184,23 @@ def test_dedup_savings_counts():
     assert out["dup_docs"] == 2
     assert out["bytes_total"] == 3 * 3 + 2
     assert out["bytes_saved"] == 2 * 3
+
+
+def test_collocations_pmi_proxy_favors_exclusive_pairs():
+    from fs_crawler_ray.text import collocations
+
+    # "neural network" always co-occur exclusively; "the cat" words are
+    # frequent apart -> the exclusive pair must outrank it
+    docs = pa.table({
+        "doc_id": list(range(12)),
+        "text": (["neural network runs fine"] * 6
+                 + ["the cat the dog the bird the fish"] * 6),
+    })
+    out = collocations(ray.data.from_arrow(docs), top_n=10,
+                       min_count=5).to_pandas()
+    top_score = out["score"].max()
+    exclusives = set(out[out["score"] == top_score]["gram"])
+    assert "neural network" in exclusives
+    # every "the ..." gram scores strictly below the exclusive pairs
+    the_scores = out[out["gram"].str.contains("the")]["score"]
+    assert (the_scores < top_score).all()
