@@ -531,6 +531,18 @@ def _docs_collocations(sf_dir: str):
         drop=True)
 
 
+def _docs_token_len_hist(sf_dir: str):
+    """Token-length histogram (text.token_length_hist)."""
+    import ray.data
+
+    from fs_crawler_ray.text import token_length_hist
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = token_length_hist(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        "length").reset_index(drop=True)
+
+
 def _docs_dedup_savings(sf_dir: str):
     """Exact-dedup ROI report (text.dedup_savings)."""
     import ray.data
@@ -1277,6 +1289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_anomaly_days": rel.q_events_anomaly_days,
         "docs_dedup_savings": _docs_dedup_savings,
         "docs_collocations": _docs_collocations,
+        # --- r3 wave 45: priority mix, token lengths ---------------------
+        "q_orders_priority_matrix": rel.q_orders_priority_matrix,
+        "docs_token_len_hist": _docs_token_len_hist,
     }
 
 
@@ -2772,5 +2787,22 @@ def oracle_sql() -> dict[str, str]:
             FROM bc JOIN uni a ON a.tok = split_part(bc.gram, ' ', 1)
                     JOIN uni b ON b.tok = split_part(bc.gram, ' ', 2)
             ORDER BY score DESC, gram LIMIT 20
+        """,
+        "q_orders_priority_matrix": """
+            SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY segment, priority ORDER BY segment, priority
+        """,
+        "docs_token_len_hist": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents
+            )
+            SELECT CAST(length(tok) AS BIGINT) AS length,
+                   COUNT(*) AS n_tokens
+            FROM toks GROUP BY length ORDER BY length
         """,
     }

@@ -1272,3 +1272,24 @@ def q_events_anomaly_days(sf_dir: str):
     out["is_anomaly"] = (ad * 100 > 300 * mad).astype(np.int64)
     return out.astype({"n_events": "int64", "abs_dev": "int64",
                        "is_anomaly": "int64"})
+
+
+def q_orders_priority_matrix(sf_dir: str):
+    """Order-priority mix per market segment ``(segment, priority,
+    n_orders)`` — the two-dimensional composition table (are urgent
+    orders concentrated in one segment?). One size-aware dim join +
+    a (segments×priorities)-cardinality count shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg, lookup_join
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderpriority",
+                                           "o_orderkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = lookup_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                    how="inner")
+    out = bucketed_agg(
+        j.map_batches(lambda t: pa.table({
+            "segment": t["c_mktsegment"], "priority": t["o_orderpriority"],
+            "k": t["o_orderkey"]}), batch_format="pyarrow"),
+        ["segment", "priority"], [("k", "count", "n_orders")], 4).to_pandas()
+    return out.astype({"n_orders": "int64"}).sort_values(
+        ["segment", "priority"]).reset_index(drop=True)

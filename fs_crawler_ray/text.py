@@ -2563,3 +2563,30 @@ def _bigram_partial(t: pa.Table) -> pa.Table:
                       zip(vocab[uniq // v], vocab[uniq % v])], dtype=object)
     return pa.table({"gram": pa.array(grams, type=pa.string()),
                      "cnt_part": pa.array(cnt.astype(np.int64))})
+
+
+def token_length_hist(ds: ray.data.Dataset,
+                      agg_partitions: int = 4) -> ray.data.Dataset:
+    """Token-length histogram ``(length, n_tokens)`` over the corpus
+    token stream — the tokenizer diagnostic behind max-word-length
+    cutoffs and subword budget choices. Per-batch bincount partials
+    (O(max_len) rows each), one length-cardinality shuffle."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize_batch(t["text"])
+        if len(flat) == 0:
+            return pa.table({"length": pa.array([], pa.int64()),
+                             "cnt_part": pa.array([], pa.int64())})
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        cnt = np.bincount(ln)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"length": nz.astype(np.int64),
+                         "cnt_part": cnt[nz].astype(np.int64)})
+
+    return bucketed_agg(
+        ds.select_columns(["text"]).map_batches(partial,
+                                                batch_format="pyarrow"),
+        ["length"], [("cnt_part", "sum", "n_tokens")], agg_partitions)

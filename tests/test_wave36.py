@@ -204,3 +204,23 @@ def test_collocations_pmi_proxy_favors_exclusive_pairs():
     # every "the ..." gram scores strictly below the exclusive pairs
     the_scores = out[out["gram"].str.contains("the")]["score"]
     assert (the_scores < top_score).all()
+
+
+def test_priority_matrix_counts_all_orders():
+    from fs_crawler_ray.pipelines.relational import q_orders_priority_matrix
+
+    sf = "/root/testdata/sf0.001"
+    out = q_orders_priority_matrix(sf)
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    assert out["n_orders"].sum() == len(orders)
+
+
+def test_token_length_hist_exact():
+    from fs_crawler_ray.text import token_length_hist
+
+    docs = pa.table({"doc_id": [0, 1],
+                     "text": ["a bb ccc", "bb dddd"]})
+    out = (token_length_hist(ray.data.from_arrow(docs))
+           .to_pandas().sort_values("length").reset_index(drop=True))
+    got = dict(zip(out["length"], out["n_tokens"]))
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}
