@@ -531,6 +531,19 @@ def _docs_collocations(sf_dir: str):
         drop=True)
 
 
+def _emb_dim_covariance(sf_dir: str):
+    """Per-dimension-pair covariance numerators in exact integers
+    (ann.dim_covariance)."""
+    import ray.data
+
+    from fs_crawler_ray.ann import dim_covariance
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = dim_covariance(ds).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}).sort_values(
+        ["dim_a", "dim_b"]).reset_index(drop=True)
+
+
 def _docs_token_len_hist(sf_dir: str):
     """Token-length histogram (text.token_length_hist)."""
     import ray.data
@@ -1292,6 +1305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 45: priority mix, token lengths ---------------------
         "q_orders_priority_matrix": rel.q_orders_priority_matrix,
         "docs_token_len_hist": _docs_token_len_hist,
+        # --- r3 wave 46: per-type value profile, feature covariance -----
+        "q_events_type_value_stats": rel.q_events_type_value_stats,
+        "emb_dim_covariance": _emb_dim_covariance,
     }
 
 
@@ -2804,5 +2820,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(length(tok) AS BIGINT) AS length,
                    COUNT(*) AS n_tokens
             FROM toks GROUP BY length ORDER BY length
+        """,
+        "q_events_type_value_stats": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75
+            FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "emb_dim_covariance": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+            )
+            SELECT a.dim AS dim_a, b.dim AS dim_b,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) * SUM(a.v * b.v)
+                        - SUM(a.v) * SUM(b.v) AS BIGINT) AS cov_fp
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+            GROUP BY dim_a, dim_b ORDER BY dim_a, dim_b
         """,
     }

@@ -1200,3 +1200,55 @@ def vote_confusion(
             "voted_label": pc.cast(t["voted_label"], pa.int64()),
             "v": t["vec_id"]}), batch_format="pyarrow"),
         ["label", "voted_label"], [("v", "count", "n_vecs")], num_buckets)
+
+
+def dim_covariance(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Per-dimension-pair covariance NUMERATORS in exact integers:
+    ``(dim_a, dim_b, n, cov_fp)`` with ``cov_fp = n·Σx̃ỹ − Σx̃·Σỹ``
+    for ``dim_a < dim_b`` — the feature-redundancy diagnostic
+    (strongly covarying dimensions are PCA/whitening candidates). The
+    same sum-identity trick as :func:`label_scatter`, so no float mean
+    is ever formed and partial sums combine exactly in any order.
+
+    Per-batch partials are O(dim²) rows (one ``X.T @ X`` int64 matmul
+    each — never O(rows) leaves the batch), one dim²-cardinality
+    shuffle, map-only finish."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[vec_col]).astype(np.float64)
+        vi = np.floor(m * scale + 0.5).astype(np.int64)
+        n, dim = vi.shape
+        xy = vi.T @ vi                       # (dim, dim) int64
+        s = vi.sum(axis=0)
+        ia, ib = np.triu_indices(dim, k=1)
+        return pa.table({
+            "dim_a": ia.astype(np.int64), "dim_b": ib.astype(np.int64),
+            "n": np.full(len(ia), n, dtype=np.int64),
+            "sxy": xy[ia, ib],
+            "sx": s[ia], "sy": s[ib],
+        })
+
+    from fs_crawler_ray.relops import bucketed_agg
+
+    agg = bucketed_agg(
+        ds.select_columns([vec_col]).map_batches(partial,
+                                                 batch_format="pyarrow"),
+        ["dim_a", "dim_b"],
+        [("n", "sum", "n"), ("sxy", "sum", "sxy"),
+         ("sx", "sum", "sx"), ("sy", "sum", "sy")], num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dim_a": t["dim_a"], "dim_b": t["dim_b"], "n": n,
+            "cov_fp": n * t["sxy"].to_numpy(zero_copy_only=False)
+                      - t["sx"].to_numpy(zero_copy_only=False)
+                      * t["sy"].to_numpy(zero_copy_only=False),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1293,3 +1293,28 @@ def q_orders_priority_matrix(sf_dir: str):
         ["segment", "priority"], [("k", "count", "n_orders")], 4).to_pandas()
     return out.astype({"n_orders": "int64"}).sort_values(
         ["segment", "priority"]).reset_index(drop=True)
+
+
+def q_events_type_value_stats(sf_dir: str):
+    """Per-event-type value distribution in integer cents: count +
+    exact p25/p50/p75 (windows.group_quantiles on the type key) — the
+    per-category monetization profile."""
+    from fs_crawler_ray.relops import bucketed_agg
+    from fs_crawler_ray.windows import group_quantiles
+
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents_fn(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 100.0), 0.5)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "cents": cents})
+
+    cents = ev.map_batches(cents_fn, batch_format="pyarrow").materialize()
+    q = group_quantiles(cents, "event_type", "cents",
+                        {"p25": 0.25, "p50": 0.5, "p75": 0.75}).to_pandas()
+    n = bucketed_agg(cents, ["event_type"],
+                     [("cents", "count", "n_events")], 4).to_pandas()
+    out = q.merge(n, on="event_type")
+    cols = ["event_type", "n_events", "p25", "p50", "p75"]
+    return out[cols].astype({c: "int64" for c in cols[1:]}).sort_values(
+        "event_type").reset_index(drop=True)

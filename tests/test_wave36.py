@@ -224,3 +224,33 @@ def test_token_length_hist_exact():
            .to_pandas().sort_values("length").reset_index(drop=True))
     got = dict(zip(out["length"], out["n_tokens"]))
     assert got == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_dim_covariance_matches_numpy():
+    from fs_crawler_ray.ann import dim_covariance
+
+    rng = np.random.default_rng(23)
+    n, dim = 150, 4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": np.arange(n),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    out = (dim_covariance(ray.data.from_arrow(t))
+           .to_pandas().sort_values(["dim_a", "dim_b"]).reset_index(drop=True))
+    vi = np.floor(vecs.astype(np.float64) * 10**4 + 0.5).astype(np.int64)
+    xy = vi.T @ vi
+    s = vi.sum(axis=0)
+    ia, ib = np.triu_indices(dim, k=1)
+    exp = n * xy[ia, ib] - s[ia] * s[ib]
+    assert out["cov_fp"].tolist() == exp.tolist()
+    # identity: cov_fp / n^2 approximates the float covariance
+    fc = np.cov(vi.T, bias=True)
+    for r, (a, b) in zip(exp, zip(ia, ib)):
+        assert abs(r / n**2 - fc[a, b]) < 1e-6 * max(1, abs(fc[a, b]))
+
+
+def test_type_value_stats_quantile_order():
+    from fs_crawler_ray.pipelines.relational import q_events_type_value_stats
+
+    out = q_events_type_value_stats("/root/testdata/sf0.001")
+    assert (out["n_events"] > 0).all()
+    assert ((out["p25"] <= out["p50"]) & (out["p50"] <= out["p75"])).all()
