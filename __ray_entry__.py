@@ -1308,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3 wave 46: per-type value profile, feature covariance -----
         "q_events_type_value_stats": rel.q_events_type_value_stats,
         "emb_dim_covariance": _emb_dim_covariance,
+        "graph_family_sizes": cq.graph_family_sizes,
     }
 
 
@@ -2846,5 +2847,12 @@ def oracle_sql() -> dict[str, str]:
                         - SUM(a.v) * SUM(b.v) AS BIGINT) AS cov_fp
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
             GROUP BY dim_a, dim_b ORDER BY dim_a, dim_b
+        """,
+        "graph_family_sizes": f"""
+            WITH fam AS ({osql.graph_families(d)}),
+            s AS (SELECT family, COUNT(*) AS family_size
+                  FROM fam GROUP BY family)
+            SELECT family_size, COUNT(*) AS n_families
+            FROM s GROUP BY family_size ORDER BY family_size
         """,
     }

@@ -397,3 +397,19 @@ def graph_clustering(sf_dir: str) -> pd.DataFrame:
 
     out = clustering_global(_span_edges_ds(sf_dir)).to_pandas()
     return out.astype({c: "int64" for c in out.columns}).reset_index(drop=True)
+
+
+def graph_family_sizes(sf_dir: str) -> pd.DataFrame:
+    """Family-size histogram (family_components ∘ two shrinking count
+    shuffles): (family_size, n_families) — the household-scale
+    distribution of the co-parent clustering."""
+    from fs_crawler_ray.graph import family_components
+    from fs_crawler_ray.relops import bucketed_agg
+
+    fam = family_components(_span_edges_ds(sf_dir))
+    sizes = bucketed_agg(fam, ["family"], [("id", "count", "family_size")], 8)
+    hist = bucketed_agg(sizes, ["family_size"],
+                        [("family", "count", "n_families")], 2)
+    out = hist.to_pandas()
+    return out.astype({c: "int64" for c in out.columns}).sort_values(
+        "family_size").reset_index(drop=True)

@@ -254,3 +254,13 @@ def test_type_value_stats_quantile_order():
     out = q_events_type_value_stats("/root/testdata/sf0.001")
     assert (out["n_events"] > 0).all()
     assert ((out["p25"] <= out["p50"]) & (out["p50"] <= out["p75"])).all()
+
+
+def test_family_sizes_recompose_members():
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    hist = e.queries()["graph_family_sizes"](sf)
+    fams = e.queries()["graph_families"](sf)
+    assert (hist["family_size"] * hist["n_families"]).sum() == len(fams)
+    assert (hist["family_size"] >= 2).all()  # a family needs >= 2 parents
