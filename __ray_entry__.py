@@ -1309,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_type_value_stats": rel.q_events_type_value_stats,
         "emb_dim_covariance": _emb_dim_covariance,
         "graph_family_sizes": cq.graph_family_sizes,
+        "q_events_hour_profile": rel.q_events_hour_profile,
     }
 
 
@@ -2854,5 +2855,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM fam GROUP BY family)
             SELECT family_size, COUNT(*) AS n_families
             FROM s GROUP BY family_size ORDER BY family_size
+        """,
+        "q_events_hour_profile": """
+            SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY hour, event_type
+            ORDER BY hour, event_type
         """,
     }

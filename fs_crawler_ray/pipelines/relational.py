@@ -1318,3 +1318,28 @@ def q_events_type_value_stats(sf_dir: str):
     cols = ["event_type", "n_events", "p25", "p50", "p75"]
     return out[cols].astype({c: "int64" for c in cols[1:]}).sort_values(
         "event_type").reset_index(drop=True)
+
+
+def q_events_hour_profile(sf_dir: str):
+    """Hour-of-day load profile ``(hour, event_type, n_events)`` — the
+    intraday seasonality matrix next to the weekday one (capacity
+    planning at hour granularity). Per-batch Arrow partials, one
+    (24×types)-cardinality shuffle."""
+    from fs_crawler_ray.relops import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(t["ts"]), pa.int64())
+        b = pa.table({"hour": hr, "event_type": t["event_type"],
+                      "k": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = b.group_by(["hour", "event_type"], use_threads=False).aggregate(
+            [("k", "sum")])
+        return pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                         "n_events": g["k_sum"]})
+
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+    out = bucketed_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["hour", "event_type"], [("n_events", "sum", "n_events")],
+        4).to_pandas()
+    return out.astype({"hour": "int64", "n_events": "int64"}).sort_values(
+        ["hour", "event_type"]).reset_index(drop=True)

@@ -264,3 +264,13 @@ def test_family_sizes_recompose_members():
     fams = e.queries()["graph_families"](sf)
     assert (hist["family_size"] * hist["n_families"]).sum() == len(fams)
     assert (hist["family_size"] >= 2).all()  # a family needs >= 2 parents
+
+
+def test_hour_profile_counts_all_events():
+    from fs_crawler_ray.pipelines.relational import q_events_hour_profile
+
+    sf = "/root/testdata/sf0.001"
+    out = q_events_hour_profile(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+    assert out["n_events"].sum() == len(ev)
+    assert out["hour"].between(0, 23).all()
