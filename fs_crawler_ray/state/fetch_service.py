@@ -37,18 +37,26 @@ from fs_crawler_ray.state.robots import RobotsPolicy
 @ray.remote(num_cpus=0)
 class FetchActor:
     def __init__(self, documents_path: str, politeness: PolitenessBudget | None,
-                 robots: RobotsPolicy | None):
+                 robots: RobotsPolicy | None, auth=None):
+        from fs_crawler_ray.state.session import AuthSession
+
         self.store = DocStore(documents_path)
         self.politeness = politeness or PolitenessBudget()
         self.robots = robots
         self.buckets = TokenBuckets(self.politeness)
+        # per-actor auth session (reference Session analog): login once,
+        # refresh on token-budget exhaustion; None = unauthenticated mode
+        self.session = AuthSession(auth) if auth is not None else None
         self.counters = {"requests": 0, "ids_attempted": 0, "robots_blocked": 0,
                          "fetched": 0, "missing": 0, "politeness_wait_s": 0.0}
 
     def fetch(self, ids: np.ndarray, hop: int) -> pa.Table:
         c = self.counters
         n_in = len(ids)
-        c["requests"] += max(1, int(np.ceil(n_in / 200)))
+        n_req = max(1, int(np.ceil(n_in / 200)))
+        if self.session is not None:
+            self.session.authorize(n_req)
+        c["requests"] += n_req
         c["ids_attempted"] += n_in
         if self.robots is not None:
             allowed = self.robots.allowed_mask(ids)
@@ -65,7 +73,10 @@ class FetchActor:
         return docs.append_column("hop", pa.array(np.full(len(docs), hop, dtype=np.int32)))
 
     def stats(self) -> dict:
-        return dict(self.counters)
+        out = dict(self.counters)
+        if self.session is not None:
+            out.update(self.session.stats())
+        return out
 
     def reset(self) -> dict:
         out = dict(self.counters)
@@ -77,11 +88,13 @@ class FetchActor:
 class FetchPool:
     def __init__(self, documents_path: str, size: int,
                  politeness: PolitenessBudget | None = None,
-                 robots: RobotsPolicy | None = None):
+                 robots: RobotsPolicy | None = None,
+                 auth=None):
         self.size = size
         self.politeness = politeness or PolitenessBudget()
         self.actors = [
-            FetchActor.remote(documents_path, politeness, robots) for _ in range(size)
+            FetchActor.remote(documents_path, politeness, robots, auth)
+            for _ in range(size)
         ]
 
     def host_of(self, ids: np.ndarray) -> np.ndarray:

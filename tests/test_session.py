@@ -1,0 +1,57 @@
+"""Auth/session lifecycle (state/session.py) — the S3 surface: login,
+token-budget expiry, refresh-in-place, rejection of bad credentials,
+and the per-actor wiring through the fetch pool."""
+
+import numpy as np
+import pytest
+import ray
+
+from fs_crawler_ray.state.session import (AuthConfig, AuthError,
+                                          AuthSession, TokenAuthority)
+
+
+def test_login_is_deterministic_and_validated():
+    a = AuthSession(AuthConfig(client_id="c1"))
+    b = AuthSession(AuthConfig(client_id="c1"))
+    t1, t2 = a.authorize(), b.authorize()
+    assert t1 == t2  # same grant chain -> same token (fake IdP is pure)
+    assert a.stats()["logins"] == 1
+    with pytest.raises(AuthError):
+        AuthSession(AuthConfig(client_id="c1", secret="wrong")).authorize()
+
+
+def test_token_refreshes_after_budget():
+    s = AuthSession(AuthConfig(client_id="c2", token_ttl_requests=10))
+    first = s.authorize(8)
+    assert s.authorize(1) == first          # still within budget
+    rotated = s.authorize(5)                # 14 > 10 -> refresh
+    assert rotated != first
+    assert s.stats() == {"logins": 1, "refreshes": 1,
+                         "authorized_requests": 14}
+    # refreshed tokens keep rotating with the serial
+    s2 = AuthSession(AuthConfig(client_id="c2", token_ttl_requests=1))
+    toks = {s2.authorize() for _ in range(5)}
+    assert len(toks) == 5
+
+
+def test_fetch_pool_authenticates_and_counts():
+    from fs_crawler_ray.corpus import CorpusSpec, generate_corpus
+    from fs_crawler_ray.state.fetch_service import FetchPool
+
+    info = generate_corpus(CorpusSpec(n_persons=300, seed=7),
+                           "/tmp/fsray_test_session_corpus")
+    import pyarrow as pa
+
+    from fs_crawler_ray.ids import as_key_array
+
+    pool = FetchPool(info.documents_path, size=2,
+                     auth=AuthConfig(token_ttl_requests=2))
+    ids = as_key_array(pa.array(info.seeds, pa.string()))
+    for actor in pool.actors:
+        ray.get(actor.fetch.remote(ids, 0))
+        ray.get(actor.fetch.remote(ids, 0))
+        ray.get(actor.fetch.remote(ids, 0))
+    st = pool.stats()
+    assert st["logins"] == 2                 # one per actor lifetime
+    assert st["authorized_requests"] >= 6
+    assert st["refreshes"] >= 2              # ttl=2 forces rotation
