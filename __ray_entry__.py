@@ -1541,9 +1541,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_events_cumsum": """
             SELECT user_id, event_id,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS cum_cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
             FROM events ORDER BY user_id, event_id
         """,
         "q_events_funnel": """
@@ -1612,7 +1612,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type,
-                   COALESCE(SUM(k), 0) AS sum_k,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
                    COUNT(k) AS n_with_k
             FROM x GROUP BY event_type ORDER BY event_type
         """,
@@ -1673,9 +1673,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": osql.graph_pagerank(d, iters=5),
         "q_events_moving_sum": """
             SELECT user_id, event_id,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_cents
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3_cents
             FROM events ORDER BY user_id, event_id
         """,
         "q_events_top_type_per_user": """
@@ -1714,8 +1714,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, n_tokens,
-                   off // {PACK_BUDGET} AS seq_first,
-                   (off + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET} AS seq_last
+                   CAST(off // {PACK_BUDGET} AS BIGINT) AS seq_first,
+                   CAST((off + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET}
+                        AS BIGINT) AS seq_last
             FROM c ORDER BY doc_id
         """,
         "docs_mix_epochs": """
@@ -1824,7 +1825,7 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
               FROM toks GROUP BY tok
             )
-            SELECT t.doc_id, SUM(v.rnk) AS rarity_sum,
+            SELECT t.doc_id, CAST(SUM(v.rnk) AS BIGINT) AS rarity_sum,
                    COUNT(*) AS n_tokens
             FROM toks t JOIN vocab v USING (tok)
             GROUP BY t.doc_id ORDER BY t.doc_id
@@ -1906,7 +1907,8 @@ def oracle_sql() -> dict[str, str]:
               FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
             )
             SELECT doc_id,
-                   (rarity_sum * 1000) // n_tokens AS mean_rarity_milli,
+                   CAST((rarity_sum * 1000) // n_tokens AS BIGINT)
+                       AS mean_rarity_milli,
                    ROW_NUMBER() OVER (
                      ORDER BY (rarity_sum * 1000) // n_tokens DESC, doc_id
                    ) AS qrank
@@ -1915,10 +1917,12 @@ def oracle_sql() -> dict[str, str]:
         "span_mix_stats": f"""
             SELECT doc_id,
                    COUNT(*) AS n_spans,
-                   SUM(CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END) AS n_media,
-                   SUM(length(COALESCE(u.text, ''))) AS text_chars,
-                   (SUM(CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END) * 1000)
-                       // COUNT(*) AS media_permille
+                   CAST(SUM(CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media,
+                   CAST(SUM(length(COALESCE(u.text, ''))) AS BIGINT)
+                       AS text_chars,
+                   CAST((SUM(CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END)
+                         * 1000) // COUNT(*) AS BIGINT) AS media_permille
             FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{d}'))
             GROUP BY doc_id ORDER BY doc_id
         """,
@@ -2135,7 +2139,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT segment, SUM(cents) AS seg_cents FROM oc GROUP BY segment
             )
             SELECT oc.o_orderkey, oc.segment, oc.cents,
-                   (oc.cents * 1000000) // s.seg_cents AS share_ppm
+                   CAST((oc.cents * 1000000) // s.seg_cents AS BIGINT)
+                       AS share_ppm
             FROM oc JOIN s USING (segment) ORDER BY o_orderkey
         """,
         "emb_label_scatter": """
@@ -2202,7 +2207,8 @@ def oracle_sql() -> dict[str, str]:
               FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
             )
             SELECT doc_id,
-                   (rarity_sum * 1000) // n_tokens AS mean_rarity_milli,
+                   CAST((rarity_sum * 1000) // n_tokens AS BIGINT)
+                       AS mean_rarity_milli,
                    NTILE(3) OVER (
                      ORDER BY (rarity_sum * 1000) // n_tokens DESC, doc_id
                    ) AS tile

@@ -48,6 +48,24 @@ def _emb_matrix(col) -> np.ndarray:
     return np.asarray(arr, dtype=np.float64)
 
 
+def _guard_fixed_point_overflow(n_max: int, scale: int, dim: int, where: str,
+                                factor: int = 4) -> None:
+    """Raise before an int64 fixed-point numerator can wrap silently.
+
+    The sum-identity kernels (label_scatter / dim_covariance /
+    label_deviation) compute ``n·Σxy − Σx·Σy``-style int64 products whose
+    magnitude is bounded by ``factor · n² · scale² · dim``.  DuckDB's
+    oracles promote to HUGEINT so the engines would diverge silently past
+    ~10^5-10^6 rows per group at the default scale=10^4 (ADVICE r3); fail
+    loudly instead and tell the caller which knob to turn."""
+    bound = factor * (int(n_max) ** 2) * (int(scale) ** 2) * max(int(dim), 1)
+    if bound >= 2 ** 63:
+        raise OverflowError(
+            f"{where}: fixed-point numerator can exceed int64 "
+            f"(n_max={n_max}, scale={scale}, dim={dim}; bound≈2^"
+            f"{bound.bit_length()}). Lower `scale` or shard the group.")
+
+
 def _topk_reduce(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     parts = parts.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True], kind="stable")
     return parts.groupby("query_id", as_index=False).head(k)
@@ -789,6 +807,9 @@ def label_scatter(
         n = t["n"].to_numpy(zero_copy_only=False)
         s = t["s"].to_numpy(zero_copy_only=False)
         ss = t["ss"].to_numpy(zero_copy_only=False)
+        if len(n):
+            _guard_fixed_point_overflow(n.max(), scale, 1,
+                                        "label_scatter", factor=2)
         return pa.table({"label": t["label"], "n": n,
                          "scatter_d": n * ss - s * s})
 
@@ -960,6 +981,9 @@ def label_deviation(
     piv = sums.pivot(index="label", columns="dim", values="s").sort_index()
     ns = sums.groupby("label")["n"].max().loc[piv.index]
     lab_sorted = piv.index.to_numpy().astype(np.int64)
+    if len(ns):
+        _guard_fixed_point_overflow(int(ns.max()), scale, piv.shape[1],
+                                    "label_deviation", factor=4)
     state_ref = ray.put((lab_sorted,
                          ns.to_numpy().astype(np.int64),
                          piv.to_numpy().astype(np.int64)))
@@ -1244,6 +1268,9 @@ def dim_covariance(
 
     def finish(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False)
+        if len(n):
+            _guard_fixed_point_overflow(n.max(), scale, 1,
+                                        "dim_covariance", factor=2)
         return pa.table({
             "dim_a": t["dim_a"], "dim_b": t["dim_b"], "n": n,
             "cov_fp": n * t["sxy"].to_numpy(zero_copy_only=False)

@@ -296,7 +296,11 @@ def pagerank_scaled(
         # one CPU, so asking for more than exist leaves actors pending
         # forever and the ray.get below deadlocks (seen on a 4-CPU test
         # session with the default 8-shard pool).
-        avail_cpus = int(ray.cluster_resources().get("CPU", 1))
+        # ... and size against CURRENTLY AVAILABLE CPUs, not the cluster
+        # total: a concurrently-alive num_cpus=1 pool (another query's
+        # flagger/scorer actors) would otherwise still leave shards
+        # pending and deadlock the per-iteration ray.get (ADVICE r3).
+        avail_cpus = max(1, int(ray.available_resources().get("CPU", 1)))
         n_actors = max(1, min(len(refs), max(2, num_buckets // 2), avail_cpus))
         ids_ref = ray.put(ids)
         actors = [

@@ -94,7 +94,13 @@ class AuthSession:
                 self.config.client_id, self._secret())
             self.counters["logins"] += 1
             self.spent = 0
-        while self.spent + n_requests > self.config.token_ttl_requests:
+        if self.spent and self.spent + n_requests > self.config.token_ttl_requests:
+            # One refresh resets the budget; a grant larger than the ttl is
+            # allowed as a one-shot over-budget spend against a fresh token
+            # (the alternative — a while loop — would spin forever since
+            # spent resets to 0 but n_requests > ttl never changes; ADVICE
+            # r3). `self.spent and` skips a pointless rotation when the
+            # budget was just reset by the login/refresh above.
             self.serial += 1
             self.access = self.authority.refresh(
                 self.config.client_id, self.refresh_token, self.serial)

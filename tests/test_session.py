@@ -34,6 +34,19 @@ def test_token_refreshes_after_budget():
     assert len(toks) == 5
 
 
+def test_oversized_grant_does_not_hang():
+    # n_requests > ttl used to spin forever in the refresh loop (ADVICE
+    # r3): one refresh now grants the whole batch as a one-shot
+    # over-budget spend, and the NEXT call refreshes again immediately.
+    s = AuthSession(AuthConfig(client_id="c3", token_ttl_requests=5))
+    t1 = s.authorize(6)
+    assert s.stats()["refreshes"] == 0      # fresh login covers the first
+    t2 = s.authorize(1)                     # 6 + 1 > 5 -> one refresh
+    assert t2 != t1
+    assert s.stats() == {"logins": 1, "refreshes": 1,
+                         "authorized_requests": 7}
+
+
 def test_fetch_pool_authenticates_and_counts():
     from fs_crawler_ray.corpus import CorpusSpec, generate_corpus
     from fs_crawler_ray.state.fetch_service import FetchPool

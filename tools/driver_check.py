@@ -56,6 +56,28 @@ def _to_df(x) -> pd.DataFrame:
     raise TypeError(type(x))
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class used to detect engine-vs-oracle divergences that a
+    stricter driver canonicalization (e.g. str(310.0) != str(310)) would turn
+    into hash reds even when values are numerically equal.  DuckDB's
+    SUM(BIGINT) returns HUGEINT which pandas converts to float64 — any oracle
+    whose output column comes back float while the engine emits int is a
+    latent driver red (r3's q_events_cumsum)."""
+    if np.issubdtype(dtype, np.bool_):
+        return "bool"
+    if np.issubdtype(dtype, np.integer):
+        return "int"
+    if np.issubdtype(dtype, np.floating):
+        return "float"
+    if str(dtype).startswith("datetime"):
+        return "datetime"
+    return "object"
+
+
+def _dtype_map(df: pd.DataFrame) -> dict:
+    return {c: _dtype_kind(df[c].dtype) for c in sorted(df.columns)}
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -100,25 +122,33 @@ def main() -> int:
     results = {}
     for name in names:
         try:
-            got = _normalize(_to_df(queries[name](SF)))
-            exp = _normalize(con.execute(sqls[name]).df())
+            got_raw = _to_df(queries[name](SF))
+            exp_raw = con.execute(sqls[name]).df()
+            got_k, exp_k = _dtype_map(got_raw), _dtype_map(exp_raw)
+            got, exp = _normalize(got_raw), _normalize(exp_raw)
             res = {
                 "rows_match": len(got) == len(exp),
                 "schema_match": list(got.columns) == list(exp.columns),
                 "hash_match": False,
+                "dtype_match": got_k == exp_k,
                 "rows": len(got),
                 "oracle_rows": len(exp),
                 "err": None,
             }
+            if not res["dtype_match"]:
+                res["dtype_diff"] = {
+                    c: f"{got_k.get(c)}!={exp_k.get(c)}"
+                    for c in set(got_k) | set(exp_k)
+                    if got_k.get(c) != exp_k.get(c)
+                }
             if res["rows_match"] and res["schema_match"]:
                 res["hash_match"] = _value_hash(got) == _value_hash(exp)
                 if not res["hash_match"]:
-                    # locate the first differing cell for debugging
+                    # diagnose (NOT forgive — the driver has no such fallback)
                     try:
                         pd.testing.assert_frame_equal(
                             got, exp, check_dtype=False, atol=1e-9
                         )
-                        res["hash_match"] = True  # equal within fp noise
                         res["note"] = "equal_at_1e-9_but_hash_differs"
                     except AssertionError as e:
                         res["diff"] = str(e).splitlines()[-3:]
@@ -127,13 +157,16 @@ def main() -> int:
                 res["exp_cols"] = list(exp.columns)
         except Exception as e:  # noqa: BLE001
             res = {"rows_match": False, "schema_match": False,
-                   "hash_match": False, "err": f"{type(e).__name__}: {e}"}
+                   "hash_match": False, "dtype_match": False,
+                   "err": f"{type(e).__name__}: {e}"}
         results[name] = res
-        ok = res["rows_match"] and res["schema_match"] and res["hash_match"]
+        ok = (res["rows_match"] and res["schema_match"] and res["hash_match"]
+              and res.get("dtype_match", True))
         print(f"{'PASS' if ok else 'FAIL'} {name}: {json.dumps(res, default=str)[:400]}")
 
     bad = [n for n, r in results.items()
-           if not (r["rows_match"] and r["schema_match"] and r["hash_match"])]
+           if not (r["rows_match"] and r["schema_match"] and r["hash_match"]
+                   and r.get("dtype_match", True))]
     print(f"\n{len(results) - len(bad)}/{len(results)} green; failing: {bad}")
     ray.shutdown()
     return 1 if bad else 0
