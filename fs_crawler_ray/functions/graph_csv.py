@@ -80,12 +80,27 @@ def classify_edge_tables(
                                  f"__{col}_in": pa.array(np.ones(len(t), dtype=bool))})
             return vert_ids.map_batches(f, batch_format="pyarrow")
 
-        j = edges.join(flag_tbl("src"), join_type="left_outer",
-                       num_partitions=num_partitions,
-                       on=("source",), right_on=("__src_key",))
-        j = j.join(flag_tbl("dst"), join_type="left_outer",
-                   num_partitions=num_partitions,
-                   on=("destination",), right_on=("__dst_key",))
+        # relops.hash_join, not Dataset.join: vertex-id keys can be
+        # sparse/skewed relative to the partition count, the regime
+        # where the built-in KeyErrors on one-sided shuffle partitions
+        # (relops.py:160). Explicit schemas: .schema() on a shuffle
+        # output would execute the first join once just to learn types.
+        from fs_crawler_ray.relops import hash_join
+
+        e_sch = edges.schema().base_schema
+        flag_sch = lambda col: pa.schema(  # noqa: E731
+            [(f"__{col}_key", e_sch.field("source").type),
+             (f"__{col}_in", pa.bool_())])
+        j = hash_join(edges, flag_tbl("src"), on=["source"],
+                      right_on=["__src_key"], how="left_outer",
+                      num_buckets=num_partitions, left_schema=e_sch,
+                      right_schema=flag_sch("src"))
+        j = hash_join(j, flag_tbl("dst"), on=["destination"],
+                      right_on=["__dst_key"], how="left_outer",
+                      num_buckets=num_partitions,
+                      left_schema=pa.schema(
+                          list(e_sch) + [pa.field("__src_in", pa.bool_())]),
+                      right_schema=flag_sch("dst"))
 
         def add_cat_joined(t: pa.Table) -> pa.Table:
             src_in = pc.is_valid(t["__src_in"]).to_numpy(zero_copy_only=False)

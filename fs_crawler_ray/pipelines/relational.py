@@ -26,6 +26,7 @@ from fs_crawler_ray.relops import (
     broadcast_lookup_join,
     dedup_keep_first,
     distinct,
+    hash_join,
 )
 
 
@@ -297,7 +298,7 @@ def q_top_orders_per_segment(sf_dir: str, k: int = 3):
 
 
 def q_orders_lineitem_join(sf_dir: str):
-    """Large-large shuffle hash join (Dataset.join) + aggregate:
+    """Large-large shuffle hash join (relops.hash_join) + aggregate:
     revenue per order status."""
     orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
     li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -307,8 +308,10 @@ def q_orders_lineitem_join(sf_dir: str):
         return t.append_column("revenue", r).select(["l_orderkey", "revenue"])
 
     li = li.map_batches(rev, batch_format="pyarrow")
-    j = li.join(orders, join_type="inner", num_partitions=16,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    # relops.hash_join, not Dataset.join: the built-in KeyErrors on
+    # one-sided shuffle partitions (sparse/skewed keys; relops.py:160)
+    j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                  how="inner", num_buckets=16)
     out = j.groupby("o_orderstatus").aggregate(
         Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
     ).to_pandas()

@@ -140,9 +140,13 @@ def _left_join_type_override(
 
         return edges.map_batches(merge_fn, batch_format="pandas")
 
-    j = edges.join(
-        right, join_type="left_outer", num_partitions=num_partitions, on=on, right_on=right_on
-    )
+    # relops.hash_join, not Dataset.join: rel-id keys are sparse relative
+    # to the partition count, exactly the regime where the built-in's
+    # one-sided shuffle partitions KeyError (relops.py:160)
+    from fs_crawler_ray.relops import hash_join
+
+    j = hash_join(edges, right, on=list(on), right_on=list(right_on),
+                  how="left_outer", num_buckets=num_partitions)
 
     def coalesce(t: pa.Table) -> pa.Table:
         new_type = pc.coalesce(t[value_col], t["type"])

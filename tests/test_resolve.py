@@ -110,3 +110,22 @@ def test_split_primary_aux(crawled, resolve_corpus):
     assert len(p) + len(a) == final.count()
     assert all(r["type"] in ("UntypedParent", "UnspecifiedParentType", "BiologicalParent") for r in p)
     assert all(r["type"] not in ("UntypedParent", "UnspecifiedParentType", "BiologicalParent") for r in a)
+
+
+def test_full_resolution_distributed_join_path(crawled, resolve_corpus, monkeypatch):
+    """BROADCAST_LIMIT=0 forces the hash_join fallback in
+    _left_join_type_override (the 100-TB path); it must agree with the
+    broadcast path / oracle exactly — including on the sparse rel-id key
+    space that breaks Dataset.join (relops.py:160)."""
+    import fs_crawler_ray.stages.resolve as resolve_mod
+
+    monkeypatch.setattr(resolve_mod, "BROADCAST_LIMIT", 0)
+    result, oracle = crawled
+    final = resolve_relationships(
+        result.edges(), result.vertices(), resolve_corpus.relationships_path,
+        num_partitions=4, num_buckets=8,
+    )
+    got = {(r["source"], r["destination"]): r["type"] for r in final.take_all()}
+    cls = oracle_resolution(oracle)
+    expected = oracle_resolve_fetch(oracle, cls, resolve_corpus.relationships_path)
+    assert got == expected
