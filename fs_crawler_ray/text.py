@@ -847,31 +847,133 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int | None = 100,
     return out.sort(["df", "tok"], descending=[True, False]).limit(top_n)
 
 
+def _tf_explode(t: pa.Table, id_col: str) -> pa.Table:
+    """Per-batch ``(doc_id, tok, tf)`` explode — one ``np.unique`` over
+    packed (doc, token-code) int64s. The shuffle-side input of the
+    distributed (vocabulary > broadcast limit) TF-IDF / rarity paths."""
+    import pyarrow.compute as pc
+
+    flat, parent, _ = _tokenize_batch(t["text"])
+    if len(flat) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "tok": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = len(enc.dictionary)
+    packed, tf = np.unique(parent.astype(np.int64) * v + codes, return_counts=True)
+    doc_idx, code = packed // v, packed % v
+    ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+    return pa.table({id_col: ids.take(pa.array(doc_idx)),
+                     "tok": enc.dictionary.take(pa.array(code)),
+                     "tf": pa.array(tf.astype(np.int64))})
+
+
+def _ranked_vocab(agg: ray.data.Dataset, cnt_col: str, rank_col: str) -> ray.data.Dataset:
+    """Distributed frequency-rank of a vocabulary table ``(tok, cnt)``:
+    row_number over ``(cnt DESC, tok ASC)`` without ever collecting the
+    vocabulary to the driver — negate the count so one ascending
+    distributed sort + zip-with-index produces the rank. O(vocabulary)
+    stays on the cluster; this is the scale path behind
+    :func:`vocab_encode` / :func:`token_rarity` / :func:`tfidf_top_terms`
+    when the vocabulary exceeds ``relops.BROADCAST_LIMIT``."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.stages.export import zip_with_index
+
+    neg = agg.map_batches(
+        lambda t: pa.table({"tok": t["tok"],
+                            "__negcnt": pc.negate_checked(pc.cast(t[cnt_col], pa.int64()))}),
+        batch_format="pyarrow")
+    ranked = zip_with_index(neg, ["__negcnt", "tok"], rank_col, start=1)
+    return ranked.select_columns(["tok", rank_col])
+
+
+def _per_doc_top_n(scored: ray.data.Dataset, id_col: str, top_n: int,
+                   num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-document top-``top_n`` rows by ``(score DESC, tok ASC)`` via
+    one doc-hash bucket shuffle + an Arrow sort/run-length kernel per
+    bucket (vectorized ACROSS documents, no per-group Python)."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_BUCKET_COL])
+        if len(t) == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending"),
+                                            ("score", "descending"),
+                                            ("tok", "ascending")])
+        t2 = t.take(idx)
+        d = t2[id_col].to_numpy(zero_copy_only=False)
+        n = len(d)
+        run_start = np.zeros(n, dtype=np.int64)
+        new_doc = np.flatnonzero(d[1:] != d[:-1]) + 1
+        run_start[new_doc] = new_doc
+        np.maximum.accumulate(run_start, out=run_start)
+        return t2.filter(pa.array((np.arange(n) - run_start) < top_n))
+
+    return _add_bucket(scored, [id_col], num_buckets).groupby(
+        _BUCKET_COL, num_partitions=num_buckets
+    ).map_groups(per_bucket, batch_format="pyarrow")
+
+
 def tfidf_top_terms(
     ds: ray.data.Dataset,
     top_n: int = 3,
     id_col: str = "doc_id",
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Per-document top-``top_n`` TF-IDF terms — the salient-term
     extraction pass of a corpus pipeline. Two stages:
 
     1. A vocabulary-sized DF pass (:func:`token_doc_frequency` with no
        limit: per-batch (doc, token) dedup + partial counts, so the
-       shuffle is O(vocabulary), then the small result is broadcast
-       once with ``ray.put`` — the "small-side lookup" pattern, never
-       re-shipped per batch).
-    2. A pure per-batch TF + rank stage: term frequency from one
-       np.unique over packed (doc, token-code) int64s, score =
-       ``tf * 1_000_000 // df`` (INTEGER arithmetic, so ranking is
-       bit-identical to the DuckDB oracle with no float-ordering
-       hazard), top ``top_n`` per document by ``(score DESC, tok)``.
+       shuffle is O(vocabulary)). When the vocabulary fits under
+       ``relops.BROADCAST_LIMIT`` it is broadcast once with ``ray.put``
+       — the "small-side lookup" pattern, never re-shipped per batch.
+       **Above the limit nothing vocabulary-sized ever reaches the
+       driver**: the DF table stays a Dataset and is attached to the
+       exploded (doc, tok, tf) stream by a token-hash ``hash_join``,
+       then per-doc ranking runs on one doc-bucket shuffle
+       (:func:`_per_doc_top_n`).
+    2. (broadcast path) a pure per-batch TF + rank stage: term
+       frequency from one np.unique over packed (doc, token-code)
+       int64s, score = ``tf * 1_000_000 // df`` (INTEGER arithmetic, so
+       ranking is bit-identical to the DuckDB oracle with no
+       float-ordering hazard), top ``top_n`` per document by
+       ``(score DESC, tok)``.
 
-    Documents never span batches, so the rank stage needs no shuffle.
-    Output: ``(doc_id, tok, tf, df, score)``.
+    Both paths produce identical ``(doc_id, tok, tf, df, score)`` rows
+    (pinned by test); pass ``broadcast_limit=0`` to force the
+    distributed path.
     """
     import pyarrow.compute as pc
 
-    df_tbl = token_doc_frequency(ds, top_n=None).to_pandas()
+    from fs_crawler_ray.relops import BROADCAST_LIMIT, hash_join
+
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    df_ds = token_doc_frequency(ds, top_n=None).materialize()
+    if df_ds.count() > limit:
+        tf_ds = ds.select_columns([id_col, "text"]).map_batches(
+            lambda t: _tf_explode(t, id_col), batch_format="pyarrow")
+        joined = hash_join(
+            tf_ds, df_ds, on=["tok"], right_on=["tok"], how="inner",
+            left_schema=pa.schema([(id_col, pa.int64()), ("tok", pa.string()),
+                                   ("tf", pa.int64())]),
+            right_schema=pa.schema([("tok", pa.string()), ("df", pa.int64())]))
+        scored = joined.map_batches(
+            lambda t: t.append_column(
+                "score", pc.cast(pc.divide(pc.multiply_checked(
+                    pc.cast(t["tf"], pa.int64()), 1_000_000), t["df"]), pa.int64())),
+            batch_format="pyarrow")
+        return _per_doc_top_n(scored, id_col, top_n).select_columns(
+            [id_col, "tok", "tf", "df", "score"])
+
+    df_tbl = df_ds.to_pandas()
     # Broadcast the DF table as (Arrow token array, int64 values): per
     # batch it is consulted with ONE C++ hash lookup (pc.index_in) over
     # the batch's dictionary — no per-pair Python dict probes.
@@ -1151,6 +1253,7 @@ def vocab_encode(
     id_col: str = "doc_id",
     min_count: int = 1,
     agg_partitions: int = 8,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Vocabulary build + corpus encoding — the tokenizer-fit +
     tokenize step of a training-data pipeline: rank every token by
@@ -1165,8 +1268,13 @@ def vocab_encode(
          partials, so the shuffle moves O(vocabulary) rows per batch,
          not the token stream; the final rank-sort runs on the
          vocabulary table only (O(100k-1M) rows for a real corpus),
-         which is collected and broadcast ONCE via ``ray.put`` (the
-         canonical small-side broadcast, like the TF-IDF DF table).
+         which is collected and broadcast ONCE via ``ray.put`` when it
+         fits under ``relops.BROADCAST_LIMIT``; above the limit the
+         vocabulary stays distributed (rank via sort + zip-with-index,
+         attach via token-hash ``hash_join``) — nothing
+         vocabulary-sized ever reaches the driver. Both paths are
+         pinned equal by test; ``broadcast_limit=0`` forces the
+         distributed one.
       2. encode — each batch tokenizes vectorized (Arrow RE2) and maps
          token → id with ONE Arrow ``index_in`` kernel against the
          broadcast vocabulary; no Python dict lookups.
@@ -1192,10 +1300,49 @@ def vocab_encode(
         ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     )
-    vocab_tbl = pa.Table.from_pandas(agg.to_pandas())  # vocabulary-sized
-    cnts = vocab_tbl["sum(cnt_part)"]
     if min_count > 1:
-        vocab_tbl = vocab_tbl.filter(pc.greater_equal(cnts, min_count))
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["sum(cnt_part)"], min_count)),
+            batch_format="pyarrow")
+    agg = agg.materialize()
+    from fs_crawler_ray.relops import BROADCAST_LIMIT, hash_join
+
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    if agg.count() > limit:
+        # Distributed path: the vocabulary never reaches the driver.
+        # Rank it with one distributed sort + zip-with-index, explode
+        # the corpus to (doc_id, pos, tok), and attach token_id with a
+        # token-hash join (OOV tokens drop out of the inner join, the
+        # same semantics as the broadcast path's null index_in).
+        ranked_ds = _ranked_vocab(agg, "sum(cnt_part)", "token_id")
+
+        def explode(t: pa.Table) -> pa.Table:
+            flat, parent, _ = _tokenize_batch(t["text"])
+            ids_a = t[id_col].combine_chunks() if isinstance(
+                t[id_col], pa.ChunkedArray) else t[id_col]
+            if len(flat) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "pos": pa.array([], pa.int64()),
+                                 "tok": pa.array([], pa.string())})
+            n = len(parent)
+            starts = np.flatnonzero(np.concatenate(([True], parent[1:] != parent[:-1])))
+            run_id = np.zeros(n, dtype=np.int64)
+            run_id[starts] = 1
+            run_id = np.cumsum(run_id) - 1
+            pos = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+            return pa.table({id_col: ids_a.take(pa.array(parent)),
+                             "pos": pa.array(pos), "tok": flat})
+
+        exploded = ds.select_columns([id_col, "text"]).map_batches(
+            explode, batch_format="pyarrow")
+        joined = hash_join(
+            exploded, ranked_ds, on=["tok"], right_on=["tok"], how="inner",
+            left_schema=pa.schema([(id_col, pa.int64()), ("pos", pa.int64()),
+                                   ("tok", pa.string())]),
+            right_schema=pa.schema([("tok", pa.string()), ("token_id", pa.int64())]))
+        return joined.select_columns([id_col, "pos", "token_id"])
+
+    vocab_tbl = pa.Table.from_pandas(agg.to_pandas())
     order = pc.sort_indices(vocab_tbl, sort_keys=[("sum(cnt_part)", "descending"),
                                                   ("tok", "ascending")])
     ranked = vocab_tbl["tok"].take(order).combine_chunks()
@@ -1236,6 +1383,7 @@ def token_rarity(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     agg_partitions: int = 8,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Integer token-rarity quality score — the rank-based stand-in for
     the perplexity filter of a curation pipeline (CCNet-style): each
@@ -1271,8 +1419,36 @@ def token_rarity(
         ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
         ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
-    )
-    vocab_tbl = pa.Table.from_pandas(agg.to_pandas())  # vocabulary-sized
+    ).materialize()
+    from fs_crawler_ray.relops import BROADCAST_LIMIT, bucketed_agg as _bagg, hash_join
+
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    if agg.count() > limit:
+        # Distributed path (vocabulary > broadcast limit): rank the
+        # vocabulary on-cluster, join ranks onto the per-doc token
+        # counts by token hash, then one doc-bucket aggregation —
+        # rarity_sum = Σ cnt·rank, n_tokens = Σ cnt. Same output as the
+        # broadcast path (pinned by test); the driver never sees a
+        # vocabulary-sized table.
+        ranked_ds = _ranked_vocab(agg, "sum(cnt_part)", "rank")
+        tf_ds = ds.select_columns([id_col, "text"]).map_batches(
+            lambda t: _tf_explode(t, id_col), batch_format="pyarrow")
+        joined = hash_join(
+            tf_ds, ranked_ds, on=["tok"], right_on=["tok"], how="inner",
+            left_schema=pa.schema([(id_col, pa.int64()), ("tok", pa.string()),
+                                   ("tf", pa.int64())]),
+            right_schema=pa.schema([("tok", pa.string()), ("rank", pa.int64())]))
+        weighted = joined.map_batches(
+            lambda t: pa.table({id_col: t[id_col],
+                                "w": pc.multiply_checked(t["tf"], t["rank"]),
+                                "tf": t["tf"]}),
+            batch_format="pyarrow")
+        out = _bagg(weighted, [id_col],
+                    [("w", "sum", "rarity_sum"), ("tf", "sum", "n_tokens")],
+                    num_buckets=agg_partitions)
+        return out.select_columns([id_col, "rarity_sum", "n_tokens"])
+
+    vocab_tbl = pa.Table.from_pandas(agg.to_pandas())
     order = pc.sort_indices(vocab_tbl, sort_keys=[("sum(cnt_part)", "descending"),
                                                   ("tok", "ascending")])
     ranked = vocab_tbl["tok"].take(order)
