@@ -821,6 +821,26 @@ def label_scatter(
     )
 
 
+def _seed_centroids(ds: ray.data.Dataset, k: int, id_col: str,
+                    vec_col: str) -> pd.DataFrame:
+    """The ``k`` smallest-id rows WITHOUT a global sort (VERDICT r03
+    item 8): each block emits its own min-``k`` partial (an Arrow
+    sort over one in-memory block), so the driver merges ≤ k×blocks
+    rows instead of shuffling the whole table to rank k seeds.
+    Deterministic: min-of-mins == global min-k."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        if len(t) <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(idx[:k])
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    return parts.sort_values(id_col).head(k).reset_index(drop=True)
+
+
 def kmeans_assign(
     ds: ray.data.Dataset,
     k: int = 8,
@@ -844,7 +864,7 @@ def kmeans_assign(
     batch, ``argmin`` row-wise (numpy argmin takes the FIRST minimum,
     and centroid rows are id-sorted, so the tiebreak is free). No
     shuffle at any corpus size."""
-    cent = ds.sort(id_col).limit(k).to_pandas()
+    cent = _seed_centroids(ds, k, id_col, vec_col)
     cm = _emb_matrix(pa.chunked_array([pa.array(list(cent[vec_col]))]))
     ci = np.floor(cm.astype(np.float64) * scale + 0.5).astype(np.int64)
     cids = cent[id_col].to_numpy().astype(np.int64)
@@ -1138,7 +1158,7 @@ def pq_assign(
 
     One O(k×dim) codebook broadcast + a map-only pass (one int64
     matmul per subspace per batch) — no shuffle at any corpus size."""
-    cent = ds.sort(id_col).limit(k).to_pandas()
+    cent = _seed_centroids(ds, k, id_col, vec_col)
     cm = _emb_matrix(pa.chunked_array([pa.array(list(cent[vec_col]))]))
     ci = np.floor(cm.astype(np.float64) * scale + 0.5).astype(np.int64)
     cids = cent[id_col].to_numpy().astype(np.int64)
