@@ -484,6 +484,76 @@ def _run_child(extra_env: dict | None = None) -> dict:
     return _last_json(proc.stdout)
 
 
+def _scaling_preflight() -> dict:
+    """Machine-state gate for a scaling measurement of record (VERDICT
+    r03 item 2): round 3's below-bar medians were traced to a zombie
+    pytest+Ray tree sharing the box and to measuring on a hot VM, so
+    the preconditions the builder applied by hand are now enforced:
+
+    - REFUSE to start if any foreign ray/raylet/gcs_server/pytest
+      process exists (no Ray session of ours is alive at preflight, so
+      any Ray process is a leftover). ``GRAFT_SCALE_FORCE=1`` overrides.
+    - idle probe: wait (up to GRAFT_SCALE_IDLE_WAIT, default 300 s) for
+      the 1-minute loadavg to drop under GRAFT_SCALE_MAX_LOAD (default
+      2.0); refuse if it never does.
+
+    Returns the machine-state evidence that is embedded in the result
+    JSON so the recorded run carries its own cleanliness proof."""
+    force = os.environ.get("GRAFT_SCALE_FORCE") == "1"
+
+    def ancestors() -> set[int]:
+        out, pid = set(), os.getpid()
+        while pid > 1:
+            out.add(pid)
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    pid = int(next(l for l in f if l.startswith("PPid:")).split()[1])
+            except (OSError, StopIteration, ValueError):
+                break
+        return out
+
+    mine = ancestors()
+    ps = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True,
+                        text=True).stdout.splitlines()[1:]
+    offenders = []
+    for line in ps:
+        line = line.strip()
+        if not line:
+            continue
+        pid_s, _, args = line.partition(" ")
+        try:
+            pid = int(pid_s)
+        except ValueError:
+            continue
+        if pid in mine:
+            continue
+        low = args.lower()
+        if ("raylet" in low or "gcs_server" in low or "ray::" in low
+                or "pytest" in low or "ray/_private" in low
+                or ("bench.py" in low and "python" in low)):
+            offenders.append(f"{pid} {args[:120]}")
+    if offenders and not force:
+        raise SystemExit(
+            "scaling preflight REFUSED: zombie Ray/pytest processes would "
+            "corrupt the measurement (kill them or set GRAFT_SCALE_FORCE=1):\n  "
+            + "\n  ".join(offenders))
+
+    max_load = float(os.environ.get("GRAFT_SCALE_MAX_LOAD", "2.0"))
+    idle_wait = int(os.environ.get("GRAFT_SCALE_IDLE_WAIT", "300"))
+    deadline = time.time() + idle_wait
+    load1 = os.getloadavg()[0]
+    while load1 > max_load and time.time() < deadline:
+        time.sleep(15)
+        load1 = os.getloadavg()[0]
+    if load1 > max_load and not force:
+        raise SystemExit(
+            f"scaling preflight REFUSED: loadavg {load1:.2f} > {max_load} "
+            f"after {idle_wait}s idle wait (set GRAFT_SCALE_FORCE=1 to override)")
+    return {"loadavg_at_start": round(load1, 2),
+            "foreign_processes": offenders,
+            "forced": force}
+
+
 def run_scaling() -> dict:
     """Runs (lo, hi) as back-to-back PAIRS, GRAFT_SCALE_PAIRS times
     (default 2), and reports every pair's efficiencies plus the best
@@ -492,9 +562,10 @@ def run_scaling() -> dict:
     so a lone lo measured in a fast window against a lone hi in a slow
     one corrupts the ratio — inside a pair the drift is minutes, not
     tens of minutes, and hits both sizes comparably."""
+    preflight = _scaling_preflight()
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "2"))
+    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
 
     def child(n: int) -> dict:
         # the scaling evidence uses a 500k-URL wave over a 500k-doc
@@ -571,6 +642,7 @@ def run_scaling() -> dict:
     best = ranked[-1]
     return {
         "metric": f"scaling {lo}→{hi} cpus (median of {len(pairs)} interleaved pairs)",
+        "preflight": preflight,
         **median,
         "best_pair_wave_efficiency": best["scaling_efficiency_wave_throughput"],
         "best_pair_crawl_efficiency": best["scaling_efficiency_crawl_throughput"],

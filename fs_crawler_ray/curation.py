@@ -120,13 +120,13 @@ def eval_ngram_set(
     driver and dedupe there — bounded by the EVAL set's size, never the
     corpus's, and no shuffle at all."""
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        df = df[_eval_mask(df["doc_id"], eval_mod)]
-        grams, _ = _batch_ngrams(pa.array(df["text"], type=pa.string()), n)
+    def partial(t: pa.Table) -> pa.Table:
+        mask = _eval_mask(t["doc_id"], eval_mod)
+        grams, _ = _batch_ngrams(t.filter(pa.array(mask))["text"], n)
         return pa.table({"gram": pc.unique(grams)})
 
     mapped = ds.select_columns(["doc_id", "text"]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow")
     # per-batch partials are already distinct; the cross-batch dedup
     # happens driver-side on the (small, eval-sized) result — no
     # shuffle at all
@@ -176,13 +176,15 @@ class _ContaminationFlagger:
         self._n = n
         self._mod = eval_mod
 
-    def __call__(self, df: pd.DataFrame) -> pa.Table:
-        id_type = _id_arrow_type(df["doc_id"])
-        df = df[~_eval_mask(df["doc_id"], self._mod)]
-        empty = pa.table({"doc_id": pa.array([], type=id_type),
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keep = ~_eval_mask(t["doc_id"], self._mod)
+        t = t.filter(pa.array(keep))
+        ids_col = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        empty = pa.table({"doc_id": pa.array([], type=ids_col.type),
                           "n_hits": pa.array([], type=pa.int64())})
         n = self._n
-        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        flat, parent, _ = _tokenize_batch(t["text"])
         L = len(flat) - n + 1
         if L <= 0 or len(self._hashes) == 0:
             return empty
@@ -202,10 +204,9 @@ class _ContaminationFlagger:
         verified = pc.is_in(g, value_set=self._grams).to_numpy(zero_copy_only=False)
         if not verified.any():
             return empty
-        ids = df["doc_id"].to_numpy()
-        hits_per_doc = np.bincount(parent[cs[verified]], minlength=len(ids))
+        hits_per_doc = np.bincount(parent[cs[verified]], minlength=len(t))
         nz = np.flatnonzero(hits_per_doc)
-        return pa.table({"doc_id": pa.array(ids[nz], type=id_type),
+        return pa.table({"doc_id": ids_col.take(pa.array(nz)),
                          "n_hits": pa.array(hits_per_doc[nz], type=pa.int64())})
 
 
@@ -229,7 +230,7 @@ def decontaminate(
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _ContaminationFlagger,
         fn_constructor_args=(gram_ref, n, eval_mod),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
 
@@ -242,11 +243,11 @@ def doc_ngram_stats(ds: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
     exact. Shuffle-free: grams are packed into per-batch dictionary
     codes and counted with one lexsort per batch."""
 
-    def stats(df: pd.DataFrame) -> pa.Table:
-        texts = pa.array(df["text"], type=pa.string())
-        flat, parent, _ = _tokenize_batch(texts)
-        id_type = _id_arrow_type(df["doc_id"])
-        empty = pa.table({"doc_id": pa.array([], type=id_type),
+    def stats(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
+        ids_col = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        empty = pa.table({"doc_id": pa.array([], type=ids_col.type),
                           "n_grams": pa.array([], type=pa.int64()),
                           "n_distinct": pa.array([], type=pa.int64())})
         L = len(flat) - n + 1
@@ -277,16 +278,15 @@ def doc_ngram_stats(ds: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
         ps, ks = par[order], packed[order]
         new = np.ones(len(ps), dtype=bool)
         new[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
-        ids = df["doc_id"].to_numpy()
-        total = np.bincount(par, minlength=len(ids))
-        distinct = np.bincount(ps[new], minlength=len(ids))
+        total = np.bincount(par, minlength=len(t))
+        distinct = np.bincount(ps[new], minlength=len(t))
         nz = np.flatnonzero(total)
-        return pa.table({"doc_id": pa.array(ids[nz], type=id_type),
+        return pa.table({"doc_id": ids_col.take(pa.array(nz)),
                          "n_grams": pa.array(total[nz], type=pa.int64()),
                          "n_distinct": pa.array(distinct[nz], type=pa.int64())})
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        stats, batch_format="pandas")
+        stats, batch_format="pyarrow")
 
 
 def global_quantiles_disc(
@@ -394,11 +394,11 @@ def filter_reasons(
                     right_schema=pa.schema([("__did", pa.int64()),
                                             ("__d", pa.int8())]))
 
-    def classify(df: pd.DataFrame) -> pa.Table:
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
-        nch = df["n_chars"].to_numpy(dtype=np.int64)
-        c = df["__c"].notna().to_numpy()
-        d = df["__d"].notna().to_numpy()
+    def classify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = pc.is_valid(t["__c"]).to_numpy(zero_copy_only=False)
+        d = pc.is_valid(t["__d"]).to_numpy(zero_copy_only=False)
         reason = np.where(
             ids % eval_mod == 0, "eval_slice",
             np.where(nch < lo_v, "too_short",
@@ -410,7 +410,7 @@ def filter_reasons(
                          "reason": pa.array(reason[keep].astype(object),
                                             type=pa.string())})
 
-    return j.map_batches(classify, batch_format="pandas")
+    return j.map_batches(classify, batch_format="pyarrow")
 
 
 def snapshot_diff(

@@ -53,13 +53,15 @@ def _sortable_ids(col) -> np.ndarray:
 # exact dedup
 # ----------------------------------------------------------------------
 def add_content_hash(ds: ray.data.Dataset, column: str = "text") -> ray.data.Dataset:
-    """md5 hex of the text (md5 so a SQL oracle can reproduce it)."""
+    """md5 hex of the text (md5 so a SQL oracle can reproduce it).
+    Arrow in/out — the md5 itself is per-row C (hashlib), but the batch
+    never round-trips through object-dtype pandas blocks."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df["content_hash"] = [hashlib.md5(t.encode()).hexdigest() for t in df[column]]
-        return df
+    def f(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest() for s in t[column].to_pylist()]
+        return t.append_column("content_hash", pa.array(h, pa.string()))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def exact_dedup(ds: ray.data.Dataset, column: str = "text", id_col: str = "doc_id",
@@ -347,18 +349,20 @@ def ngram_jaccard_verify(
         on="doc_b", right_on="__tb", how="inner",
     )
 
-    def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+    def verify_fn(t: pa.Table) -> pa.Table:
+        jac = np.empty(len(t), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(t["text_a"].to_pylist(),
+                                         t["text_b"].to_pylist())):
             sa, sb = _shingles(ta, shingle_k), _shingles(tb, shingle_k)
             inter = len(sa & sb)
             union = len(sa | sb) or 1
             jac[i] = inter / union
-        out = df.drop(columns=[c for c in ("text_a", "text_b", "__ta", "__tb") if c in df.columns]).copy()
-        out["jaccard"] = jac
-        return out[out["jaccard"] >= threshold]
+        out = t.drop_columns(
+            [c for c in ("text_a", "text_b", "__ta", "__tb") if c in t.column_names])
+        out = out.append_column("jaccard", pa.array(jac))
+        return out.filter(pa.array(jac >= threshold))
 
-    return j2.map_batches(verify_fn, batch_format="pandas")
+    return j2.map_batches(verify_fn, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
@@ -405,33 +409,33 @@ class SimHasher:
     def __init__(self, shingle_k: int = 2):
         self.k = shingle_k
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_docs = len(t)
         all_sh: list[str] = []
-        counts = np.zeros(len(df), dtype=np.int64)
-        for i, t in enumerate(df["text"]):
-            sh = sorted(_shingles(t, self.k))
+        counts = np.zeros(n_docs, dtype=np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            sh = sorted(_shingles(txt, self.k))
             all_sh.extend(sh)
             counts[i] = len(sh)
         h = _md5_tokens(np.asarray(all_sh, dtype=object))
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         votes = 2 * bits - 1  # (n_shingles, 64)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        out = np.zeros(len(df), dtype=np.uint64)
+        out = np.zeros(n_docs, dtype=np.uint64)
         nz = counts > 0
         if nz.any():
             sums = np.add.reduceat(votes, starts[nz], axis=0)
             u = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
             out[nz] = u
-        res = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
-        res["simhash"] = out.view(np.int64)
-        return res
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(out.view(np.int64))})
 
 
 def simhash_fingerprints(ds: ray.data.Dataset, shingle_k: int = 2, concurrency: int = 4) -> ray.data.Dataset:
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return SimHasher(shingle_k=shingle_k)(df)
+    def fn(t: pa.Table) -> pa.Table:
+        return SimHasher(shingle_k=shingle_k)(t)
 
-    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3, shingle_k: int = 2) -> ray.data.Dataset:
@@ -440,16 +444,23 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3, shingle_k: int
     quarter — pigeonhole), verify distance within buckets."""
     fp = simhash_fingerprints(ds, shingle_k)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        parts = []
-        for q in range(4):
-            quarter = ((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
-            parts.append(pd.DataFrame({"doc_id": df["doc_id"], "q": q, "qv": quarter,
-                                       "simhash": df["simhash"]}))
-        return pd.concat(parts, ignore_index=True)
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(h)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 4))
+        qv = np.concatenate([
+            ((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+            for q in range(4)])
+        doc = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        sh = t["simhash"].combine_chunks() if isinstance(
+            t["simhash"], pa.ChunkedArray) else t["simhash"]
+        return pa.table({"doc_id": doc.take(idx),
+                         "q": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                         "qv": pa.array(qv),
+                         "simhash": sh.take(idx)})
 
-    ex = fp.map_batches(explode, batch_format="pandas")
+    ex = fp.map_batches(explode, batch_format="pyarrow")
 
     def pairs(t: pa.Table) -> pa.Table:
         """All-pairs popcount within each (q, qv) group, vectorized
@@ -647,11 +658,11 @@ def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_tokens) with token = [A-Za-z0-9]+ runs — chosen so a
     DuckDB oracle (regexp_extract_all) reproduces it exactly."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
-        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n_tokens})
+    def f(t: pa.Table) -> pa.Table:
+        _, _, n_tokens = _tokenize_batch(t["text"])
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n_tokens)})
 
-    return ds.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return ds.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 @ray.remote
@@ -719,11 +730,11 @@ def pack_greedy_assignments(
     the DuckDB recursive-CTE oracle (one step per within-shard rank)
     reproduces the assignment exactly — integers end to end."""
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
-        ids = df["doc_id"].to_numpy()
-        return pd.DataFrame({"doc_id": ids, "shard": ids % n_shards,
-                             "tok": n_tokens})
+    def add_shard(t: pa.Table) -> pa.Table:
+        _, _, n_tokens = _tokenize_batch(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "shard": pa.array(ids % n_shards),
+                         "tok": pa.array(n_tokens)})
 
     def per_shard(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -746,7 +757,7 @@ def pack_greedy_assignments(
                          "pack_id": packs})
 
     sharded = ds.select_columns(["doc_id", "text"]).map_batches(
-        add_shard, batch_format="pandas")
+        add_shard, batch_format="pyarrow")
     return sharded.groupby("shard", num_partitions=n_shards).map_groups(
         per_shard, batch_format="pyarrow")
 
@@ -767,18 +778,18 @@ def epoch_oversample(
     ``unnest(generate_series(1, repeats))`` oracle is exact."""
     lo, hi = int(thresholds[0]), int(thresholds[1])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, n_tokens = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def fn(t: pa.Table) -> pa.Table:
+        _, _, n_tokens = _tokenize_batch(t["text"])
         repeats = 1 + (n_tokens >= lo).astype(np.int64) + (n_tokens >= hi).astype(np.int64)
         total = int(repeats.sum())
         starts = np.concatenate([[0], np.cumsum(repeats)[:-1]])
         epoch = np.arange(total, dtype=np.int64) - np.repeat(starts, repeats) + 1
-        return pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), repeats),
-            "epoch": epoch,
-        })
+        doc = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), repeats))
+        return pa.table({"doc_id": doc.take(idx), "epoch": pa.array(epoch)})
 
-    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def hash_sample(
@@ -1350,11 +1361,10 @@ def vocab_encode(
         ranked = ranked.combine_chunks()
     vref = ray.put(ranked)
 
-    def encode(df: pd.DataFrame) -> pa.Table:
+    def encode(t: pa.Table) -> pa.Table:
         vocab = ray.get(vref)
-        texts = pa.array(df["text"], type=pa.string())
-        flat, parent, _ = _tokenize_batch(texts)
-        ids = np.asarray(df[id_col], dtype=np.int64)
+        flat, parent, _ = _tokenize_batch(t["text"])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64()),
@@ -1376,7 +1386,7 @@ def vocab_encode(
                          "token_id": pa.array(token_id[valid])})
 
     return ds.select_columns([id_col, "text"]).map_batches(
-        encode, batch_format="pandas")
+        encode, batch_format="pyarrow")
 
 
 def token_rarity(
@@ -1403,8 +1413,8 @@ def token_rarity(
 
     from fs_crawler_ray.relops import bucketed_agg
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize_batch(t["text"])
         if len(flat) == 0:
             return pa.table({"tok": pa.array([], type=pa.string()),
                              "cnt_part": pa.array([], type=pa.int64())})
@@ -1416,7 +1426,7 @@ def token_rarity(
         return pa.table({"tok": enc.dictionary, "cnt_part": cnt.astype(np.int64)})
 
     agg = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
         ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     ).materialize()
@@ -1511,8 +1521,8 @@ def heavy_hitters(
     # carries each batch's total token count through the same shuffle
     SENTINEL = ""
 
-    def mg_partial(df: pd.DataFrame) -> pa.Table:
-        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+    def mg_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize_batch(t["text"])
         n_b = len(flat)
         if n_b == 0:
             return pa.table({"tok": pa.array([], type=pa.string()),
@@ -1534,7 +1544,7 @@ def heavy_hitters(
         return pa.table({"tok": toks, "cnt_part": pa.array(vals)})
 
     summary = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(mg_partial, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(mg_partial, batch_format="pyarrow"),
         ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     ).to_pandas()  # O(batches × capacity) rows
@@ -1543,9 +1553,9 @@ def heavy_hitters(
                      type=pa.string())
     cref = ray.put(cands)
 
-    def recount(df: pd.DataFrame) -> pa.Table:
+    def recount(t: pa.Table) -> pa.Table:
         cand = ray.get(cref)
-        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        flat, _, _ = _tokenize_batch(t["text"])
         if len(flat) == 0:
             return pa.table({"tok": pa.array([], type=pa.string()),
                              "cnt_part": pa.array([], type=pa.int64())})
@@ -1561,7 +1571,7 @@ def heavy_hitters(
                          "cnt_part": pa.array(cnt[nz].astype(np.int64))})
 
     exact = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(recount, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(recount, batch_format="pyarrow"),
         ["tok"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     )
@@ -1603,9 +1613,9 @@ def inverted_index(
 
     from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
-        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
-        ids = np.asarray(df[id_col], dtype=np.int64)
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "tok": pa.array([], pa.string())})
@@ -1619,7 +1629,7 @@ def inverted_index(
                          "tok": enc.dictionary.take(pa.array(uniq % v))})
 
     pair_ds = ds.select_columns([id_col, "text"]).map_batches(
-        pairs, batch_format="pandas")
+        pairs, batch_format="pyarrow")
 
     def per_bucket(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -1791,10 +1801,10 @@ def bpe_pair_counts(
 
     from fs_crawler_ray.relops import bucketed_agg
 
-    def partial(df: pd.DataFrame) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"code": pa.array([], pa.int64()),
                           "cnt_part": pa.array([], pa.int64())})
-        flat, _, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
+        flat, _, _ = _tokenize_batch(t["text"])
         if len(flat) == 0:
             return empty
         arr = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
@@ -1819,7 +1829,7 @@ def bpe_pair_counts(
                          "cnt_part": pa.array(cnt[nz].astype(np.int64))})
 
     agg = bucketed_agg(
-        ds.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        ds.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
         ["code"], [("cnt_part", "sum", "sum(cnt_part)")],
         num_buckets=agg_partitions,
     )
@@ -1907,9 +1917,9 @@ def jaccard_pairs(
     from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket, bucketed_agg, lookup_join
     from fs_crawler_ray.windows import _key_codes
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
-        flat, parent, _ = _tokenize_batch(pa.array(df["text"], type=pa.string()))
-        ids = np.asarray(df["doc_id"], dtype=np.int64)
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _tokenize_batch(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "tok": pa.array([], pa.string())})
@@ -1923,7 +1933,7 @@ def jaccard_pairs(
                          "tok": enc.dictionary.take(pa.array(uniq % v))})
 
     pair_ds = ds.select_columns(["doc_id", "text"]).map_batches(
-        pairs, batch_format="pandas")
+        pairs, batch_format="pyarrow")
 
     kept_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                            "tok": pa.array([], pa.string())})
