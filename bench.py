@@ -554,6 +554,49 @@ def _scaling_preflight() -> dict:
             "forced": force}
 
 
+def _hash_worker(_: int) -> int:
+    """Fixed cache-resident integer workload (~0.5 s on an idle core):
+    no memory bandwidth, no Ray — measures only how much per-core speed
+    this VM loses as more cores go active (hypervisor frequency /
+    steal-time throttling)."""
+    import hashlib
+    h = b"x" * 64
+    for _i in range(600_000):
+        h = hashlib.md5(h).digest() * 4
+    return len(h)
+
+
+def _machine_ceiling(lo: int, hi: int, reps: int = 5) -> dict:
+    """Per-core slowdown ceiling of THIS VM for a lo→hi strong-scaling
+    measurement, from a weak-scaling probe: N pinned processes each run
+    the identical fixed workload; with no interference the wall time is
+    independent of N, so ceiling = wall_lo / wall_hi (the fraction of
+    per-core speed that survives going from lo to hi active cores).
+    Pure-CPU work in independent processes — no Ray, no shared memory —
+    so anything below 1.0 here is the machine, not the pipeline. Any
+    pipeline's measured lo→hi efficiency is bounded above by this."""
+    import multiprocessing as mp
+
+    def wall(n: int) -> float:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(n, initializer=os.sched_setaffinity,
+                      initargs=(0, set(range(n)))) as pool:
+            t0 = time.perf_counter()
+            pool.map(_hash_worker, range(n))
+            return time.perf_counter() - t0
+
+    wall(2)  # warm the pool/import path untimed
+    walls_lo = [wall(lo) for _ in range(reps)]
+    walls_hi = [wall(hi) for _ in range(reps)]
+    w_lo, w_hi = min(walls_lo), min(walls_hi)
+    return {
+        "probe": "weak-scaling md5 (cache-resident, no Ray)",
+        "wall_lo_s": round(w_lo, 3),
+        "wall_hi_s": round(w_hi, 3),
+        "ceiling_efficiency": round(w_lo / w_hi, 3) if w_hi else 0.0,
+    }
+
+
 def run_scaling() -> dict:
     """Runs (lo, hi) as back-to-back PAIRS, GRAFT_SCALE_PAIRS times
     (default 2), and reports every pair's efficiencies plus the best
@@ -566,6 +609,7 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+    ceiling = _machine_ceiling(lo, hi)
 
     def child(n: int) -> dict:
         # the scaling evidence uses a 500k-URL wave over a 500k-doc
@@ -643,7 +687,20 @@ def run_scaling() -> dict:
     return {
         "metric": f"scaling {lo}→{hi} cpus (median of {len(pairs)} interleaved pairs)",
         "preflight": preflight,
+        "machine_ceiling": ceiling,
         **median,
+        # the same medians expressed as a fraction of what this VM's
+        # per-core throttling allows ANY perfectly-parallel job (the
+        # weak-scaling md5 probe above) — the pipeline-attributable view
+        "wave_efficiency_vs_ceiling": round(
+            median["scaling_efficiency_wave_throughput"]
+            / ceiling["ceiling_efficiency"], 3) if ceiling["ceiling_efficiency"] else None,
+        "crawl_efficiency_vs_ceiling": round(
+            median["scaling_efficiency_crawl_throughput"]
+            / ceiling["ceiling_efficiency"], 3) if ceiling["ceiling_efficiency"] else None,
+        "text_efficiency_vs_ceiling": round(
+            median["scaling_efficiency_text_analysis"]
+            / ceiling["ceiling_efficiency"], 3) if ceiling["ceiling_efficiency"] else None,
         "best_pair_wave_efficiency": best["scaling_efficiency_wave_throughput"],
         "best_pair_crawl_efficiency": best["scaling_efficiency_crawl_throughput"],
         "pairs_wave_efficiency": [p["scaling_efficiency_wave_throughput"] for p in pairs],

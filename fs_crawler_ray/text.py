@@ -590,11 +590,12 @@ class TextAnalyzer:
                 self._pows = np.cumprod(p)  # wraps mod 2^64
         return self._pows
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        n_docs = len(df)
-        texts = pa.array(df["text"], type=pa.string())
+        n_docs = len(t)
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
         flat, parent, n_tokens = _tokenize_batch(texts)
 
         # language scores: one is_in kernel + one bincount per language
@@ -632,13 +633,16 @@ class TextAnalyzer:
                 nz = n_tokens > 0
                 fp[nz] = np.add.reduceat(terms, starts[nz])
 
-        out = df.copy()
-        out["lang_guess"] = langs
-        out["n_tokens"] = n_tokens
-        out["stop_ratio"] = stop_ratio
-        out["punct_ratio"] = punct_ratio
-        out["quality"] = quality
-        out["fingerprint"] = fp.view(np.int64)
+        out = t
+        for name, col in (
+            ("lang_guess", pa.array(langs, pa.string())),
+            ("n_tokens", pa.array(n_tokens)),
+            ("stop_ratio", pa.array(stop_ratio)),
+            ("punct_ratio", pa.array(punct_ratio)),
+            ("quality", pa.array(quality)),
+            ("fingerprint", pa.array(fp.view(np.int64))),
+        ):
+            out = out.append_column(name, col)
         return out
 
 
@@ -648,10 +652,10 @@ def _analyzer() -> "TextAnalyzer":
 
 
 def analyze_text(ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 2048) -> ray.data.Dataset:
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return _analyzer()(df)  # worker-global cached (regexes compiled once)
+    def fn(t: pa.Table) -> pa.Table:
+        return _analyzer()(t)  # worker-global cached (stop-sets built once)
 
-    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
