@@ -75,6 +75,16 @@ def run_bench() -> dict:
         ctx.default_hash_shuffle_parallelism = width
         ctx.max_hash_shuffle_aggregators = int(
             os.environ.get("GRAFT_AGGREGATORS", max(4, width // 2)))
+        # Ray Data's per-operator resource reservation (ratio 0.5) holds
+        # back HALF the CPU slots from a map stage whenever an AllToAll
+        # (sort/groupby shuffle) is downstream in the plan — measured on
+        # the wave: the fused fetch+parse phase ran ~3.3 of 8 cores and a
+        # pure-synthetic map→groupby repro went 4.5 s → 1.6 s with the
+        # reservation off. Our hop pipelines are small-block (~17 MB) and
+        # far from object-store pressure, so the OOM guard the
+        # reservation provides buys nothing here and costs ~1.5x wall.
+        ctx.op_resource_reservation_enabled = (
+            os.environ.get("GRAFT_RESERVATION", "0") == "1")
         # untimed worker warmup: touch every worker once so package
         # imports don't land inside the measured region
         def _warm(b):
@@ -105,9 +115,13 @@ def run_bench() -> dict:
     info = corpus_for_sf(sf_dir, scale=corpus_scale, n_seeds=n_seeds,
                          narrative_words=narrative_words)
     # warm the page cache so we measure compute+shuffle, not first read
-    with open(info.documents_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    _doc_files = ([os.path.join(info.documents_path, p)
+                   for p in sorted(os.listdir(info.documents_path))]
+                  if os.path.isdir(info.documents_path) else [info.documents_path])
+    for _df in _doc_files:
+        with open(_df, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     # -- single-wave throughput: one hop over a large pre-seeded
     # frontier — the throughput-dominated regime (per-URL work ≫ per-hop
@@ -220,7 +234,15 @@ def run_bench() -> dict:
     # materialization of unbounded data). The timed window includes the
     # shared projection cost.
     t0 = time.time()
-    corpus_docs = ray.data.read_parquet(info.documents_path).map_batches(
+    # explicit block count: Ray sizes read tasks by the 128 MB target
+    # block size, which splits this one ~0.5 GB file into only ~4 read
+    # tasks — the fused read+flatten phase then runs 4-wide no matter
+    # how many CPUs the cluster has (measured: the materialize phase sat
+    # at ~3.5 busy cores of 8). 4 blocks per CPU restores read-side
+    # parallelism and keeps the per-task footprint small.
+    corpus_docs = ray.data.read_parquet(
+        info.documents_path, override_num_blocks=num_cpus * 4
+    ).map_batches(
         _narrative_rows, batch_format="pyarrow"
     ).materialize()
     n_analyzed = _analyze(corpus_docs).count()

@@ -132,22 +132,34 @@ def embedding_near_dups(
     if exact:
         return _near_dups_exact(ds, threshold)
 
-    def explode_fn(df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        out = []
-        for t in range(n_tables):
-            lsh = HyperplaneLSH(m.shape[1], n_bits, seed=9 + t)
-            sig = lsh.signatures(m.astype(np.float32))
-            out.append(pd.DataFrame({
-                "vec_id": df["vec_id"].to_numpy(),
-                "tbl": np.full(len(df), t, dtype=np.int8),
-                "sig": sig,
-                "embedding": df["embedding"].to_numpy(),
-            }))
-        return pd.concat(out, ignore_index=True)
+    def explode_fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "tbl": pa.array([], pa.int8()),
+                "sig": pa.array([], pa.int64()),
+                "embedding": pa.array([], t.schema.field("embedding").type),
+            })
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = _normalize(_emb_matrix(emb))
+        sig = np.concatenate([
+            HyperplaneLSH(m.shape[1], n_bits, seed=9 + tb)
+            .signatures(m.astype(np.float32))
+            for tb in range(n_tables)])
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
+        return pa.table({
+            "vec_id": t["vec_id"].take(idx),
+            "tbl": pa.array(np.repeat(np.arange(n_tables, dtype=np.int8), n)),
+            "sig": pa.array(sig),
+            "embedding": emb.take(idx),
+        })
 
     exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        explode_fn, batch_format="pandas"
+        explode_fn, batch_format="pyarrow"
     )
 
     def cell_pairs(t: pa.Table) -> pa.Table:
@@ -602,39 +614,67 @@ def knn_join(
     cent = _kmeans(_normalize(sample.astype(np.float64)).astype(np.float32), n_centroids, seed=seed)
     cref = ray.put(cent)
 
-    def explode_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    _EXPLODED_SCHEMA = pa.schema([
+        ("cell", pa.int64()), ("role", pa.int8()), (id_col, pa.int64()),
+        ("vec", pa.list_(pa.float64())),
+    ])
+
+    def explode_fn(t: pa.Table) -> pa.Table:
         cm = ray.get(cref)
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        ids = batch[id_col].to_numpy()
+        t = t.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return _EXPLODED_SCHEMA.empty_table()
+        m = _normalize(_emb_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = m.astype(np.float32) @ cm.T
         home = np.argmax(sims, axis=1).astype(np.int64)
         probes = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
-        n, d = m.shape
         out_cell = np.concatenate([home, probes.ravel()])
         out_role = np.concatenate([np.zeros(n, np.int8), np.ones(n * n_probe, np.int8)])
         out_id = np.concatenate([ids, np.repeat(ids, n_probe)])
         out_vec = np.concatenate([m, np.repeat(m, n_probe, axis=0)])
-        return pd.DataFrame({"cell": out_cell, "role": out_role,
-                             id_col: out_id, "vec": list(out_vec)})
+        vec_arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(out_vec) + 1) * m.shape[1], m.shape[1],
+                               dtype=np.int32)),
+            pa.array(out_vec.ravel()))
+        return pa.table({"cell": pa.array(out_cell),
+                         "role": pa.array(out_role),
+                         id_col: pa.array(out_id),
+                         "vec": vec_arr}, schema=_EXPLODED_SCHEMA)
 
     exploded = ds.select_columns([id_col, vec_col]).map_batches(
-        explode_fn, batch_format="pandas", batch_size=4096)
+        explode_fn, batch_format="pyarrow", batch_size=4096)
 
-    def cell_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+    _PARTIAL_SCHEMA = pa.schema([
+        (id_col, pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64()),
+    ])
+
+    def cell_topk(t: pa.Table) -> pa.Table:
         # a hash bucket holds SEVERAL cells; score strictly within each
-        # cell (the per-cell loop is over coarse quantizer cells — at
-        # most n_centroids iterations across the whole job, each one a
+        # cell (one stable sort segments the bucket by cell; the
+        # per-cell loop is over coarse quantizer cells — at most
+        # n_centroids iterations across the whole job, each one a
         # single vectorized matmul)
-        outs = []
-        for _, g in bucket.groupby("cell", sort=False):
-            idx = g[g["role"] == 0]
-            qry = g[g["role"] == 1]
-            if len(idx) == 0 or len(qry) == 0:
+        if len(t) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        t = t.combine_chunks()
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _emb_matrix(t["vec"])
+        order = np.argsort(cell, kind="stable")
+        cs, ro, io_, mo = cell[order], role[order], ids[order], m[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], cs[1:] != cs[:-1], [True]]))
+        outs_q, outs_n, outs_s = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            r = ro[a:b]
+            qmask = r == 1
+            if not qmask.any() or qmask.all():
                 continue
-            im = np.stack(idx["vec"].to_numpy())
-            qm = np.stack(qry["vec"].to_numpy())
-            iids = idx[id_col].to_numpy()
-            qids = qry[id_col].to_numpy()
+            qm, im = mo[a:b][qmask], mo[a:b][~qmask]
+            qids, iids = io_[a:b][qmask], io_[a:b][~qmask]
             scores = qm @ im.T
             scores[qids[:, None] == iids[None, :]] = -np.inf
             kk = min(k, scores.shape[1])
@@ -643,21 +683,22 @@ def knn_join(
             rows = np.repeat(np.arange(len(qm)), part.shape[1])
             s = scores[rows, part.ravel()]
             keep = s > -np.inf
-            outs.append(pd.DataFrame({id_col: qids[rows][keep],
-                                      "neighbor_id": iids[part.ravel()][keep],
-                                      "score": s[keep]}))
-        if not outs:
-            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
-                                 "neighbor_id": pd.Series(dtype=np.int64),
-                                 "score": pd.Series(dtype=np.float64)})
-        return pd.concat(outs, ignore_index=True)
+            outs_q.append(qids[rows][keep])
+            outs_n.append(iids[part.ravel()][keep])
+            outs_s.append(s[keep])
+        if not outs_q:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.table({id_col: pa.array(np.concatenate(outs_q)),
+                         "neighbor_id": pa.array(np.concatenate(outs_n)),
+                         "score": pa.array(np.concatenate(outs_s))},
+                        schema=_PARTIAL_SCHEMA)
 
     from fs_crawler_ray.relops import _add_bucket
 
     partials = _add_bucket(exploded, ["cell"], 64).groupby(
         _BUCKET_COL, num_partitions=64
     ).map_groups(
-        lambda g: cell_topk(g.drop(columns=[_BUCKET_COL])), batch_format="pandas")
+        lambda g: cell_topk(g.drop_columns([_BUCKET_COL])), batch_format="pyarrow")
     ranked = topk_per_group(partials, id_col, ["score", "neighbor_id"],
                             descending=[True, False], k=k)
     return ranked.map_batches(

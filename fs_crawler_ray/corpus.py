@@ -272,19 +272,26 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
 
     documents_path = os.path.join(out_dir, "documents.parquet")
     relationships_path = os.path.join(out_dir, "relationships.parquet")
-    # Streamed chunked write: the document table is emitted in
-    # 128k-person chunks through one ParquetWriter (bounded memory AND
-    # no >2 GB Arrow string array — a 2M-person corpus carries ~1.4 GB
-    # of narrative per 2M docs; the all-at-once build fails on the
-    # ChunkedArray that pa.array returns past 2 GB). Chunk size is a
-    # multiple of the 4k row-group size, so the row-group layout — the
-    # RangeStore's partition unit — is identical to a single-shot write.
-    writer = pq.ParquetWriter(documents_path, DOCUMENT_SCHEMA)
+    # Streamed SHARDED write: the document table is a DIRECTORY of
+    # part files (part-NNNN.parquet), one flush = one part of
+    # PART_DOCS docs (a multiple of the 4k row-group size). Sharding is
+    # the repo's own at-scale output rule ("partitioned parquet, never
+    # one giant file"): a single-file corpus capped every downstream
+    # scan at ONE Ray read task (measured: the 222 MB sf0.1 corpus read
+    # as 1 task + SplitBlocks, serializing ~1.5 s of decompress no
+    # matter the cluster size). Parts stay globally doc_id-sorted
+    # (person order == id order), so the per-row-group range index the
+    # RangeStore point lookups rely on is unchanged — just split across
+    # files. Memory stays bounded (one part's docs buffered at a time,
+    # no >2 GB Arrow string array).
+    os.makedirs(documents_path, exist_ok=True)
     n_docs_written = 0
-    FLUSH_DOCS = 128 * 1024
+    n_parts = 0
+    FLUSH_DOCS = PART_DOCS = 16 * 1024
 
     def _flush() -> None:
-        nonlocal doc_ids, kinds, texts, media_refs, offsets, span_lengths, n_docs_written
+        nonlocal doc_ids, kinds, texts, media_refs, offsets, span_lengths
+        nonlocal n_docs_written, n_parts
         if not doc_ids:
             return
         flat = pa.StructArray.from_arrays(
@@ -300,7 +307,9 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
         spans = pa.ListArray.from_arrays(offs, flat)
         tbl = pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": spans},
                        schema=DOCUMENT_SCHEMA)
-        writer.write_table(tbl, row_group_size=4096)
+        part = os.path.join(documents_path, f"part-{n_parts:05d}.parquet")
+        pq.write_table(tbl, part, row_group_size=4096)
+        n_parts += 1
         n_docs_written += len(doc_ids)
         doc_ids, kinds, texts, media_refs, offsets, span_lengths = [], [], [], [], [], []
 
@@ -342,7 +351,10 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
             _flush()
 
     _flush()
-    writer.close()
+    if n_parts == 0:  # corpora can be all-missing in tests
+        pq.write_table(DOCUMENT_SCHEMA.empty_table(),
+                       os.path.join(documents_path, "part-00000.parquet"),
+                       row_group_size=4096)
     # Small row groups ARE the fetch partitioning: both tables are
     # globally sorted by their key (ids are creation-ordered), so each
     # row group is a contiguous key range that the RangeStore point
@@ -380,7 +392,7 @@ _CACHE_ROOT = "/tmp/fsray_corpus"
 
 #: bump when generation logic, spec defaults or file layout change —
 #: keeps corpus_for_sf cache dirs from serving stale corpora.
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 
 def corpus_for_sf(

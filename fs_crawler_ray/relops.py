@@ -382,6 +382,11 @@ def broadcast_lookup_join(
         # assume Arrow blocks in this Ray version
         return pa.Table.from_pandas(m, preserve_index=False)
 
+    # batch_format="pandas" is deliberate here (pandas-merge semantics):
+    # merge's left-row-order + right-duplicate expansion contract is what
+    # the conformance oracles pin, and pyarrow Table.join guarantees no
+    # output order. The per-batch pandas round-trip is bounded by the
+    # batch, and the small side is already a DataFrame in plasma.
     return ds.map_batches(join_fn, batch_format="pandas")
 
 

@@ -61,6 +61,21 @@ def _open_parquet(path: str) -> pq.ParquetFile:
     return pq.ParquetFile(path, memory_map=True)
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """A parquet 'table' is either one file or a DIRECTORY of
+    part-NNNN.parquet shards (the at-scale layout: a sharded table is
+    what keeps Ray read tasks, and therefore every downstream scan,
+    parallel). Returns the ordered file list; the corpus writer emits
+    parts in key order, so file order preserves the global key sort the
+    range index relies on."""
+    from fs_crawler_ray.sources import storage as st
+
+    if not st.isdir(path):
+        return [path]
+    return [st.join(path, f) for f in sorted(st.listdir(path))
+            if f.endswith(".parquet")]
+
+
 def corpus_range_boundaries(path: str, key_col: str, num_buckets: int) -> np.ndarray:
     """≤ ``num_buckets-1`` sorted byte-string cut points over the corpus
     key space, from parquet row-group max statistics (footer bytes only
@@ -88,23 +103,27 @@ def corpus_range_boundaries(path: str, key_col: str, num_buckets: int) -> np.nda
         if k <= 1:
             return np.zeros(0, dtype="S1")
         return keys[(np.arange(1, k) * n) // k]
-    md = _open_parquet(path).metadata
-    if md.num_row_groups <= 1:
+    mds = [_open_parquet(p).metadata for p in _parquet_parts(path)]
+    if sum(md.num_row_groups for md in mds) <= 1:
         return np.zeros(0, dtype="S1")
     leaf = None
-    rg0 = md.row_group(0)
-    for i in range(rg0.num_columns):
-        if rg0.column(i).path_in_schema == key_col:
-            leaf = i
+    for md in mds:
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == key_col:
+                    leaf = i
+                    break
             break
     if leaf is None:
         return np.zeros(0, dtype="S1")
     maxs = []
-    for g in range(md.num_row_groups):
-        st = md.row_group(g).column(leaf).statistics
-        if st is None or not st.has_min_max:
-            return np.zeros(0, dtype="S1")
-        maxs.append(st.max if isinstance(st.max, bytes) else str(st.max).encode())
+    for md in mds:
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(leaf).statistics
+            if st is None or not st.has_min_max:
+                return np.zeros(0, dtype="S1")
+            maxs.append(st.max if isinstance(st.max, bytes) else str(st.max).encode())
     arr = np.sort(np.array(maxs, dtype="S"))
     n = len(arr)
     k = min(num_buckets, n)
@@ -120,29 +139,43 @@ class RangeStore:
     def __init__(self, path: str, key_col: str, max_cached: int = 16):
         self.path = path
         self.key_col = key_col
-        self.pf = _open_parquet(path)
-        md = self.pf.metadata
-        self.n_rows = md.num_rows
+        # one logical table = one file OR an ordered list of part files
+        # (sharded layout); row groups index globally across parts in
+        # (file, row-group) order, which IS key order — the writer emits
+        # parts in key order
+        self.pfs = [_open_parquet(p) for p in _parquet_parts(path)]
+        self.n_rows = sum(pf.metadata.num_rows for pf in self.pfs)
         # leaf-column index of the (top-level) key column
         self._leaf_idx = None
-        if md.num_row_groups:
-            rg0 = md.row_group(0)
-            for i in range(rg0.num_columns):
-                if rg0.column(i).path_in_schema == key_col:
-                    self._leaf_idx = i
-                    break
+        for pf in self.pfs:
+            md = pf.metadata
+            if md.num_row_groups:
+                rg0 = md.row_group(0)
+                for i in range(rg0.num_columns):
+                    if rg0.column(i).path_in_schema == key_col:
+                        self._leaf_idx = i
+                        break
+                break
         mins, maxs = [], []
+        self._rg_map: list[tuple[int, int]] = []  # global rg → (file, local rg)
         if self._leaf_idx is not None:
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(self._leaf_idx).statistics
-                if st is None or not st.has_min_max:
-                    raise ValueError(f"{path}: no min/max statistics for {key_col}")
-                mins.append(st.min if isinstance(st.min, bytes) else str(st.min).encode())
-                maxs.append(st.max if isinstance(st.max, bytes) else str(st.max).encode())
+            for fi, pf in enumerate(self.pfs):
+                md = pf.metadata
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(self._leaf_idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(f"{path}: no min/max statistics for {key_col}")
+                    mins.append(st.min if isinstance(st.min, bytes) else str(st.min).encode())
+                    maxs.append(st.max if isinstance(st.max, bytes) else str(st.max).encode())
+                    self._rg_map.append((fi, g))
         self.rg_min = np.array(mins, dtype="S") if mins else np.zeros(0, dtype="S1")
         self.rg_max = np.array(maxs, dtype="S") if maxs else np.zeros(0, dtype="S1")
         self._cache: OrderedDict[int, tuple[np.ndarray, pa.Table]] = OrderedDict()
         self._max_cached = max_cached
+
+    @property
+    def pf(self) -> pq.ParquetFile:  # single-file compatibility accessor
+        return self.pfs[0]
 
     def __len__(self) -> int:
         return self.n_rows
@@ -152,7 +185,8 @@ class RangeStore:
         if hit is not None:
             self._cache.move_to_end(rg)
             return hit
-        tbl = self.pf.read_row_group(rg)
+        fi, local_rg = self._rg_map[rg]
+        tbl = self.pfs[fi].read_row_group(local_rg)
         keys = as_key_array(tbl[self.key_col])
         if keys.dtype.kind == "U":
             keys = keys.astype("S")

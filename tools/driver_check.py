@@ -112,7 +112,11 @@ def main() -> int:
     queries = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
 
-    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    args = sys.argv[1:]
+    if "--json" in args:  # drop the flag's value from positional names
+        ji = args.index("--json")
+        args = args[:ji] + args[ji + 2:]
+    names = [a for a in args if not a.startswith("-")]
     if "--late" in sys.argv:
         names = LATE
     if not names:
@@ -168,6 +172,27 @@ def main() -> int:
            if not (r["rows_match"] and r["schema_match"] and r["hash_match"]
                    and r.get("dtype_match", True))]
     print(f"\n{len(results) - len(bad)}/{len(results)} green; failing: {bad}")
+    if "--json" in sys.argv:  # committed audit artifact (VERDICT r03 item 7)
+        import datetime
+        import platform
+
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+        rows_only = sorted(n for n in queries if n not in sqls)
+        with open(out_path, "w") as f:
+            json.dump({
+                "generated_utc": datetime.datetime.now(
+                    datetime.timezone.utc).isoformat(timespec="seconds"),
+                "sf_dir": SF,
+                "python": platform.python_version(),
+                "duckdb": duckdb.__version__,
+                "n_queries_registered": len(queries),
+                "n_checked": len(results),
+                "n_green": len(results) - len(bad),
+                "failing": bad,
+                "rows_only_queries": rows_only,
+                "results": results,
+            }, f, indent=1, default=str)
+        print(f"wrote {out_path}")
     ray.shutdown()
     return 1 if bad else 0
 
