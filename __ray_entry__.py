@@ -1323,6 +1323,12 @@ def oracle_sql() -> dict[str, str]:
     # whether the Ray query or the oracle runs first.
     info = corpus_for_sf(SF01)
     d, r, s, h = info.documents_path, info.relationships_path, info.seeds, CRAWL_HOPS
+    # sharded corpus: documents.parquet is a directory of part files —
+    # DuckDB's read_parquet needs the glob form
+    if os.path.isdir(d):
+        d = os.path.join(d, "*.parquet")
+    if os.path.isdir(r):
+        r = os.path.join(r, "*.parquet")
 
     return {
         "crawl_vertices": osql.crawl_vertices(d, s, h),

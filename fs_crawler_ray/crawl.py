@@ -544,17 +544,6 @@ class Crawler:
         self.out_dir = out_dir
         self.config = config or CrawlConfig()
         st.makedirs(out_dir, exist_ok=True)
-        self.sm = ShardedMembership.create(
-            num_shards=self.config.num_shards,
-            capacity_per_shard=self.config.shard_capacity,
-            mode=self.config.membership_mode,
-        )
-        # Two fetch modes: with a politeness budget the token buckets
-        # must be central → persistent host-routed actor pool; without
-        # one, fetch resolves partition-locally in-task against the
-        # row-group range store (no nested RPC, no corpus broadcast —
-        # scales with task parallelism AND corpus size).
-        self.direct = self.config.politeness is None or self.config.politeness.rate_per_host <= 0
         # sampled range boundaries for the frontier's range-clustered
         # distinct: footer-only read, aligned to corpus row groups (the
         # fetch unit) and balanced against real id density — the prefix
@@ -569,6 +558,27 @@ class Crawler:
             )
         except Exception:
             self.range_boundaries = None
+        # ONE partitioning reused across stages: the id-keyed membership
+        # filters shard by the SAME corpus range cuts the frontier
+        # shuffle clusters by, so each (range-clustered) batch's
+        # visited/processing RPCs hit 1-2 shards instead of all K —
+        # the per-batch RPC fan-out no longer grows with the shard
+        # count. Edge-seen keys are hashes (no range locality) and stay
+        # hash-routed inside the same instance.
+        self.sm = ShardedMembership.create(
+            num_shards=self.config.num_shards,
+            capacity_per_shard=self.config.shard_capacity,
+            mode=self.config.membership_mode,
+            boundaries=_thin_boundaries(self.range_boundaries,
+                                        self.config.num_shards),
+            range_names=(VISITED, PROCESSING),
+        )
+        # Two fetch modes: with a politeness budget the token buckets
+        # must be central → persistent host-routed actor pool; without
+        # one, fetch resolves partition-locally in-task against the
+        # row-group range store (no nested RPC, no corpus broadcast —
+        # scales with task parallelism AND corpus size).
+        self.direct = self.config.politeness is None or self.config.politeness.rate_per_host <= 0
         if self.direct:
             from fs_crawler_ray.metrics import MetricsActor
 
@@ -909,13 +919,14 @@ class Crawler:
                 counts = self._classify_edges(result.hops_run + [hop])
             else:
                 counts = {"within": None, "spanning": None, "frontier": None}
-            n_vertices = sum(s[VISITED]["exact_size"] or s[VISITED]["cuckoo_count"] for s in self.sm.stats() if VISITED in s)
+            shard_stats = self.sm.stats()  # ONE gather per hop, reused below
+            n_vertices = sum(s[VISITED]["exact_size"] or s[VISITED]["cuckoo_count"] for s in shard_stats if VISITED in s)
             n_frontier = _parquet_rows(st.join(hop_dir, "frontier.parquet"))
             _mark("log_classify", tick)
             lineage = {
                 "hop": hop,
                 "fetch": self._fetch_counters(hop),
-                "shards": self.sm.stats(),
+                "shards": shard_stats,
                 "stage_seconds": stage_t,
                 "records": n_records,
             }

@@ -497,17 +497,34 @@ class ShardedMembership:
     """Driver-side handle to the K shard actors + batched routing.
 
     Routing contract: key → shard ``stable_hash64(key, seed=7) % K``
-    (``fs_crawler_ray.ids.shard_of``). Stages route inside their own
-    ``map_batches`` batch (see :class:`SeenFilterStage`), so each batch
-    issues ≤K RPCs regardless of batch size.
+    (``fs_crawler_ray.ids.shard_of``) — EXCEPT for filter names listed
+    in ``range_names`` when ``boundaries`` is set: those route by key
+    RANGE (``ids.range_bucket_of`` over the same corpus cut points the
+    frontier shuffle uses). The crawl's frontier batches arrive
+    range-clustered, so range-aligned routing sends each batch to 1-2
+    shards instead of all K — the RPC fan-out per batch stops growing
+    with the shard count, which is what makes shards-per-node viable on
+    a large cluster (hash routing cost K RPCs × every task × every
+    round). Edge-seen keys are hashes with no range locality and stay
+    hash-routed. Shard placement is an implementation detail of the
+    filter: any routing gives the same union semantics; exact-mode
+    conformance is routing-independent.
+
+    Stages route inside their own ``map_batches`` batch (see
+    :class:`SeenFilterStage`), so each batch issues ≤K RPCs regardless
+    of batch size.
     """
 
     actors: list
     num_shards: int
     mode: str
+    boundaries: "np.ndarray | None" = None
+    range_names: frozenset = frozenset()
 
     @staticmethod
-    def create(num_shards: int, capacity_per_shard: int = 1 << 16, mode: str = "exact") -> "ShardedMembership":
+    def create(num_shards: int, capacity_per_shard: int = 1 << 16, mode: str = "exact",
+               boundaries: "np.ndarray | None" = None,
+               range_names=()) -> "ShardedMembership":
         # num_cpus=0: the shards are lightweight, mostly-idle lookup
         # servers; reserving CPU slots makes them invisible contenders
         # against Ray Data's own resource accounting and can deadlock an
@@ -517,21 +534,29 @@ class ShardedMembership:
             MembershipShard.options(num_cpus=0, max_concurrency=1).remote(capacity_per_shard, mode)
             for _ in range(num_shards)
         ]
-        return ShardedMembership(actors=actors, num_shards=num_shards, mode=mode)
+        if boundaries is not None and len(boundaries) == 0:
+            boundaries = None
+        return ShardedMembership(actors=actors, num_shards=num_shards, mode=mode,
+                                 boundaries=boundaries,
+                                 range_names=frozenset(range_names))
 
-    def _route(self, keys: np.ndarray):
-        from fs_crawler_ray.ids import shard_of
+    def _route(self, keys: np.ndarray, names=()):
+        from fs_crawler_ray.ids import range_bucket_of, shard_of
 
-        shards = shard_of(keys, self.num_shards)
+        if (self.boundaries is not None and names
+                and all(n in self.range_names for n in names)):
+            shards = range_bucket_of(keys, self.num_shards, boundaries=self.boundaries)
+        else:
+            shards = shard_of(keys, self.num_shards)
         order = np.argsort(shards, kind="stable")
         bounds = np.searchsorted(shards[order], np.arange(self.num_shards + 1))
         return order, bounds
 
-    def _scatter_gather(self, method: str, keys, *args) -> np.ndarray:
+    def _scatter_gather(self, method: str, keys, *args, route_names=()) -> np.ndarray:
         keys = np.asarray(keys)
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        order, bounds = self._route(keys)
+        order, bounds = self._route(keys, route_names)
         refs, spans = [], []
         for s in range(self.num_shards):
             lo, hi = bounds[s], bounds[s + 1]
@@ -547,19 +572,21 @@ class ShardedMembership:
         return out
 
     def contains(self, name: str, keys) -> np.ndarray:
-        return self._scatter_gather("contains", keys, name)
+        return self._scatter_gather("contains", keys, name, route_names=(name,))
 
     def contains_any(self, names: list[str], keys) -> np.ndarray:
-        return self._scatter_gather("contains_any", keys, names)
+        return self._scatter_gather("contains_any", keys, names,
+                                    route_names=tuple(names))
 
     def add(self, name: str, keys) -> None:
-        self._scatter_gather("add", keys, name)
+        self._scatter_gather("add", keys, name, route_names=(name,))
 
     def check_and_add(self, name: str, keys) -> np.ndarray:
-        return self._scatter_gather("check_and_add", keys, name)
+        return self._scatter_gather("check_and_add", keys, name, route_names=(name,))
 
     def check_and_add_deferred(self, name: str, keys) -> np.ndarray:
-        return self._scatter_gather("check_and_add_deferred", keys, name)
+        return self._scatter_gather("check_and_add_deferred", keys, name,
+                                    route_names=(name,))
 
     def commit(self, name: str) -> int:
         return sum(ray.get([a.commit.remote(name) for a in self.actors]))
