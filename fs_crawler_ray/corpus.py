@@ -284,7 +284,11 @@ def generate_corpus(spec: CorpusSpec, out_dir: str) -> CorpusInfo:
     # RangeStore point lookups rely on is unchanged — just split across
     # files. Memory stays bounded (one part's docs buffered at a time,
     # no >2 GB Arrow string array).
+    if os.path.isfile(documents_path):  # pre-v4 single-file layout
+        os.remove(documents_path)
     os.makedirs(documents_path, exist_ok=True)
+    for stale in os.listdir(documents_path):  # regenerating in place
+        os.remove(os.path.join(documents_path, stale))
     n_docs_written = 0
     n_parts = 0
     FLUSH_DOCS = PART_DOCS = 16 * 1024
