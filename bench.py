@@ -75,16 +75,15 @@ def run_bench() -> dict:
         ctx.default_hash_shuffle_parallelism = width
         ctx.max_hash_shuffle_aggregators = int(
             os.environ.get("GRAFT_AGGREGATORS", max(4, width // 2)))
-        # Ray Data's per-operator resource reservation (ratio 0.5) holds
-        # back HALF the CPU slots from a map stage whenever an AllToAll
-        # (sort/groupby shuffle) is downstream in the plan — measured on
-        # the wave: the fused fetch+parse phase ran ~3.3 of 8 cores and a
-        # pure-synthetic map→groupby repro went 4.5 s → 1.6 s with the
-        # reservation off. Our hop pipelines are small-block (~17 MB) and
-        # far from object-store pressure, so the OOM guard the
-        # reservation provides buys nothing here and costs ~1.5x wall.
-        ctx.op_resource_reservation_enabled = (
-            os.environ.get("GRAFT_RESERVATION", "0") == "1")
+        # Per-operator resource reservation: the decision (off by
+        # default, FSRAY_RESERVATION=1 restores Ray's OOM-guard default)
+        # lives in the engine now — fs_crawler_ray.engine — so every
+        # production entry point inherits it, not just the bench.
+        # GRAFT_RESERVATION stays honored for old run scripts.
+        from fs_crawler_ray.engine import configure_data_context
+
+        configure_data_context(
+            reservation=True if os.environ.get("GRAFT_RESERVATION") == "1" else None)
         # untimed worker warmup: touch every worker once so package
         # imports don't land inside the measured region
         def _warm(b):

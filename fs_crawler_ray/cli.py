@@ -32,6 +32,9 @@ def _init_ray(num_cpus: int | None) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from fs_crawler_ray.engine import configure_data_context
+
+    configure_data_context()
 
 
 def cmd_gen_corpus(args) -> int:

@@ -543,6 +543,13 @@ class Crawler:
         self.corpus = corpus
         self.out_dir = out_dir
         self.config = config or CrawlConfig()
+        # engine-level executor settings (op resource reservation off —
+        # see fs_crawler_ray.engine for the measurement and the caveat);
+        # applied here so EVERY crawl entry point (library, CLI, bench,
+        # driver) runs untrottled, not just the benchmark.
+        from fs_crawler_ray.engine import configure_data_context
+
+        configure_data_context()
         st.makedirs(out_dir, exist_ok=True)
         # sampled range boundaries for the frontier's range-clustered
         # distinct: footer-only read, aligned to corpus row groups (the

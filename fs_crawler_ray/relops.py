@@ -349,10 +349,17 @@ def broadcast_semi_join(
     # plasma-local after first access, and stateless tasks avoid
     # per-execution actor-pool startup/teardown churn (measured: actor
     # pools made small executions 2-3× slower on wide clusters)
-    arr = np.asarray(list(keys) if not isinstance(keys, np.ndarray) else keys)
-    if arr.dtype.kind == "S":
-        arr = arr.astype("U")
-    ref = ray.put(pa.array(np.unique(arr).astype("U")))
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        # zero-copy path (semi_anti_join): broadcast the key column in
+        # its ORIGINAL Arrow dtype — no Python key list, no string
+        # coercion, so is_in needs no value_set cast at probe time
+        ka = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        ref = ray.put(pc.unique(ka))
+    else:
+        arr = np.asarray(list(keys) if not isinstance(keys, np.ndarray) else keys)
+        if arr.dtype.kind == "S":
+            arr = arr.astype("U")
+        ref = ray.put(pa.array(np.unique(arr).astype("U")))
 
     def filt(batch: pa.Table) -> pa.Table:
         value_set = ray.get(ref)  # plasma-local after first access
@@ -411,8 +418,12 @@ def semi_anti_join(
     right = right.materialize()  # sized AND reused — never execute twice
     n = right.count()
     if n <= BROADCAST_LIMIT:
-        keys = [r[right_on] for r in right.select_columns([right_on]).take_all()]
-        if not keys:
+        # collect the key COLUMN as Arrow (concat of block refs — no
+        # per-row Python comprehension over up to 2M keys, VERDICT r4
+        # item 4) and broadcast it in its original dtype
+        blocks = ray.get(right.select_columns([right_on]).to_arrow_refs())
+        keys = pa.concat_tables(blocks).column(right_on)
+        if len(keys) == 0:
             return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow") if not anti else ds
         return broadcast_semi_join(ds, keys, on, anti=anti)
     # large-key-set fallback: our bucketed hash_join, NOT Dataset.join —

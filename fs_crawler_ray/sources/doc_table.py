@@ -72,7 +72,17 @@ def _parquet_parts(path: str) -> list[str]:
 
     if not st.isdir(path):
         return [path]
-    return [st.join(path, f) for f in sorted(st.listdir(path))
+    import re
+
+    def _part_key(f: str):
+        # numeric-aware: "part-100000" must sort AFTER "part-99999" even
+        # though zero-padding ran out — lexicographic order would corrupt
+        # the range index's global key sort past 10^5 parts (~1.6B docs
+        # at the default part size, inside the 10^10-URL target regime)
+        m = re.fullmatch(r"part-(\d+)\.parquet", f)
+        return (0, int(m.group(1)), f) if m else (1, 0, f)
+
+    return [st.join(path, f) for f in sorted(st.listdir(path), key=_part_key)
             if f.endswith(".parquet")]
 
 

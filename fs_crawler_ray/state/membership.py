@@ -543,10 +543,17 @@ class ShardedMembership:
     def _route(self, keys: np.ndarray, names=()):
         from fs_crawler_ray.ids import range_bucket_of, shard_of
 
-        if (self.boundaries is not None and names
-                and all(n in self.range_names for n in names)):
+        in_range = [n in self.range_names for n in names]
+        if self.boundaries is not None and names and all(in_range):
             shards = range_bucket_of(keys, self.num_shards, boundaries=self.boundaries)
         else:
+            if self.boundaries is not None and any(in_range) and not all(in_range):
+                # a mixed call would silently hash-route the range-added
+                # names onto the WRONG shards → false negatives. No such
+                # call exists; fail loudly if one appears (ADVICE r4).
+                raise ValueError(
+                    f"membership call mixes range-routed and hash-routed "
+                    f"filter names {tuple(names)}; split the call per name")
             shards = shard_of(keys, self.num_shards)
         order = np.argsort(shards, kind="stable")
         bounds = np.searchsorted(shards[order], np.arange(self.num_shards + 1))

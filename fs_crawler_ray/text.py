@@ -862,6 +862,23 @@ def token_doc_frequency(ds: ray.data.Dataset, top_n: int | None = 100,
     return out.sort(["df", "tok"], descending=[True, False]).limit(top_n)
 
 
+def _id_dtype(ds: ray.data.Dataset, id_col: str) -> "pa.DataType":
+    """Arrow dtype of the id column from the dataset schema (ADVICE r4:
+    never hardcode int64 — the at-scale corpora the >BROADCAST_LIMIT
+    paths exist for key documents by string URLs/UUIDs)."""
+    sch = ds.schema(fetch_if_missing=True)
+    t = sch.types[sch.names.index(id_col)]
+    if isinstance(t, pa.DataType):
+        return t
+    # pandas-backed datasets report numpy/python types, not Arrow ones
+    if t is object or t is str:
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
+
+
 def _tf_explode(t: pa.Table, id_col: str) -> pa.Table:
     """Per-batch ``(doc_id, tok, tf)`` explode — one ``np.unique`` over
     packed (doc, token-code) int64s. The shuffle-side input of the
@@ -870,7 +887,7 @@ def _tf_explode(t: pa.Table, id_col: str) -> pa.Table:
 
     flat, parent, _ = _tokenize_batch(t["text"])
     if len(flat) == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
+        return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                          "tok": pa.array([], pa.string()),
                          "tf": pa.array([], pa.int64())})
     enc = pc.dictionary_encode(flat)
@@ -973,11 +990,12 @@ def tfidf_top_terms(
     limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     df_ds = token_doc_frequency(ds, top_n=None).materialize()
     if df_ds.count() > limit:
+        id_t = _id_dtype(ds, id_col)
         tf_ds = ds.select_columns([id_col, "text"]).map_batches(
             lambda t: _tf_explode(t, id_col), batch_format="pyarrow")
         joined = hash_join(
             tf_ds, df_ds, on=["tok"], right_on=["tok"], how="inner",
-            left_schema=pa.schema([(id_col, pa.int64()), ("tok", pa.string()),
+            left_schema=pa.schema([(id_col, id_t), ("tok", pa.string()),
                                    ("tf", pa.int64())]),
             right_schema=pa.schema([("tok", pa.string()), ("df", pa.int64())]))
         scored = joined.map_batches(
@@ -995,7 +1013,7 @@ def tfidf_top_terms(
     df_ref = ray.put((pa.array(df_tbl["tok"], type=pa.string()),
                       df_tbl["df"].to_numpy().astype(np.int64)))
 
-    empty = pa.table({id_col: pa.array([], pa.int64()),
+    empty = pa.table({id_col: pa.array([], _id_dtype(ds, id_col)),
                       "tok": pa.array([], pa.string()),
                       "tf": pa.array([], pa.int64()),
                       "df": pa.array([], pa.int64()),
@@ -1336,7 +1354,7 @@ def vocab_encode(
             ids_a = t[id_col].combine_chunks() if isinstance(
                 t[id_col], pa.ChunkedArray) else t[id_col]
             if len(flat) == 0:
-                return pa.table({id_col: pa.array([], pa.int64()),
+                return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                                  "pos": pa.array([], pa.int64()),
                                  "tok": pa.array([], pa.string())})
             n = len(parent)
@@ -1352,8 +1370,8 @@ def vocab_encode(
             explode, batch_format="pyarrow")
         joined = hash_join(
             exploded, ranked_ds, on=["tok"], right_on=["tok"], how="inner",
-            left_schema=pa.schema([(id_col, pa.int64()), ("pos", pa.int64()),
-                                   ("tok", pa.string())]),
+            left_schema=pa.schema([(id_col, _id_dtype(ds, id_col)),
+                                   ("pos", pa.int64()), ("tok", pa.string())]),
             right_schema=pa.schema([("tok", pa.string()), ("token_id", pa.int64())]))
         return joined.select_columns([id_col, "pos", "token_id"])
 
@@ -1368,9 +1386,10 @@ def vocab_encode(
     def encode(t: pa.Table) -> pa.Table:
         vocab = ray.get(vref)
         flat, parent, _ = _tokenize_batch(t["text"])
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]  # keep id dtype (no int64 coercion)
         if len(flat) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                              "pos": pa.array([], pa.int64()),
                              "token_id": pa.array([], pa.int64())})
         # 1-based position among the doc's tokens: parent is
@@ -1385,9 +1404,10 @@ def vocab_encode(
         valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
         token_id = pc.fill_null(idx, -2).to_numpy(
             zero_copy_only=False).astype(np.int64) + 1
-        return pa.table({id_col: pa.array(ids[parent][valid]),
-                         "pos": pa.array(pos[valid]),
-                         "token_id": pa.array(token_id[valid])})
+        keep = np.flatnonzero(valid)
+        return pa.table({id_col: ids.take(pa.array(parent[keep])),
+                         "pos": pa.array(pos[keep]),
+                         "token_id": pa.array(token_id[keep])})
 
     return ds.select_columns([id_col, "text"]).map_batches(
         encode, batch_format="pyarrow")
@@ -1449,8 +1469,8 @@ def token_rarity(
             lambda t: _tf_explode(t, id_col), batch_format="pyarrow")
         joined = hash_join(
             tf_ds, ranked_ds, on=["tok"], right_on=["tok"], how="inner",
-            left_schema=pa.schema([(id_col, pa.int64()), ("tok", pa.string()),
-                                   ("tf", pa.int64())]),
+            left_schema=pa.schema([(id_col, _id_dtype(ds, id_col)),
+                                   ("tok", pa.string()), ("tf", pa.int64())]),
             right_schema=pa.schema([("tok", pa.string()), ("rank", pa.int64())]))
         weighted = joined.map_batches(
             lambda t: pa.table({id_col: t[id_col],
@@ -1473,17 +1493,18 @@ def token_rarity(
     def score(t: pa.Table) -> pa.Table:
         vocab = ray.get(vref)
         flat, parent, n_tokens = _tokenize_batch(t["text"])
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]  # keep id dtype (no int64 coercion)
         if len(flat) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                              "rarity_sum": pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64())})
         rank = pc.index_in(flat, value_set=vocab).to_numpy(
             zero_copy_only=False).astype(np.int64) + 1  # 1-based rank
         rarity = np.zeros(len(t), dtype=np.int64)
         np.add.at(rarity, parent, rank)
-        keep = n_tokens > 0
-        return pa.table({id_col: pa.array(ids[keep]),
+        keep = np.flatnonzero(n_tokens > 0)
+        return pa.table({id_col: ids.take(pa.array(keep)),
                          "rarity_sum": pa.array(rarity[keep]),
                          "n_tokens": pa.array(n_tokens[keep])})
 

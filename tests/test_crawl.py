@@ -210,3 +210,34 @@ def test_branch_checkpoint_retry_idempotent(tmp_path):
     )
     ckpt(batch2)
     assert pads.dataset(d).to_table().num_rows == 4
+
+
+def test_crawl_configures_data_context(crawled):
+    """Engine-level executor config (VERDICT r4 item 2): constructing a
+    Crawler — any production entry point, not just bench.py — must turn
+    Ray Data's per-operator resource reservation OFF (it halves map
+    concurrency upstream of shuffles; see fs_crawler_ray.engine)."""
+    from ray.data import DataContext
+
+    # the `crawled` fixture ran a full crawl in this process
+    assert DataContext.get_current().op_resource_reservation_enabled is False
+
+
+def test_configure_data_context_env_override(monkeypatch):
+    from ray.data import DataContext
+
+    from fs_crawler_ray.engine import configure_data_context
+
+    ctx = DataContext.get_current()
+    before = ctx.op_resource_reservation_enabled
+    try:
+        monkeypatch.setenv("FSRAY_RESERVATION", "1")
+        configure_data_context()
+        assert ctx.op_resource_reservation_enabled is True
+        monkeypatch.delenv("FSRAY_RESERVATION")
+        configure_data_context()
+        assert ctx.op_resource_reservation_enabled is False
+        configure_data_context(reservation=True)  # explicit beats env
+        assert ctx.op_resource_reservation_enabled is True
+    finally:
+        ctx.op_resource_reservation_enabled = before

@@ -104,3 +104,26 @@ def test_sharded_membership_actors(ray_session):
     assert sum(st["visited"]["exact_size"] for st in stats) == 2000
     sm.clear("visited")
     assert not sm.contains("visited", keys[:10]).any()
+
+
+def test_mixed_range_hash_names_raises():
+    """_route must refuse a call mixing range-routed and hash-routed
+    filter names instead of silently hash-routing range-added keys onto
+    the wrong shards (ADVICE r4)."""
+    import numpy as np
+    import pytest
+
+    from fs_crawler_ray.state.membership import ShardedMembership
+
+    sm = ShardedMembership.create(
+        num_shards=2, capacity_per_shard=1024, mode="exact",
+        boundaries=np.array([b"M"]), range_names=("visited",))
+    sm.add("visited", np.array(["A", "Z"]))
+    sm.add("edges", np.array(["A"]))
+    # single-name calls route fine
+    assert sm.contains("visited", np.array(["A"])).tolist() == [True]
+    with pytest.raises(ValueError, match="mixes range-routed"):
+        sm.contains_any(["visited", "edges"], np.array(["A"]))
+    for a in sm.actors:
+        import ray
+        ray.kill(a)

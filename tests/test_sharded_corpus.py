@@ -79,3 +79,23 @@ def test_range_boundaries_cover_all_parts(sharded_corpus):
     # global max is legitimately empty; every other bucket owns ids
     assert (counts[:-1] > 0).all()
     assert counts.sum() == len(all_ids)
+
+
+def test_parquet_parts_numeric_order(tmp_path):
+    """part-100000 must sort after part-99999 (ADVICE r4): lexicographic
+    listdir order breaks the range index's global key sort once the
+    5-digit padding overflows (~1.6B docs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fs_crawler_ray.sources.doc_table import _parquet_parts
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    names = ["part-99998.parquet", "part-100000.parquet",
+             "part-99999.parquet", "part-00001.parquet"]
+    for n in names:
+        pq.write_table(pa.table({"x": [1]}), str(d / n))
+    got = [p.rsplit("/", 1)[-1] for p in _parquet_parts(str(d))]
+    assert got == ["part-00001.parquet", "part-99998.parquet",
+                   "part-99999.parquet", "part-100000.parquet"]

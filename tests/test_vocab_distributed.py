@@ -95,3 +95,22 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_string_doc_ids_distributed(tmp_path):
+    """ADVICE r4 (medium): the >BROADCAST_LIMIT paths must accept STRING
+    doc ids (URLs/UUIDs — the at-scale corpus shape) — the id dtype is
+    derived from the input schema, never hardcoded int64."""
+    from fs_crawler_ray.text import tfidf_top_terms, token_rarity, vocab_encode
+
+    df = pd.DataFrame({
+        "doc_id": ["url://a", "url://b", "url://c"],
+        "text": ["b a b c", "c b a", "a a d"],
+    })
+    ds = ray.data.from_pandas(df)
+    for fn, kw in ((tfidf_top_terms, {"top_n": 2}), (vocab_encode, {}),
+                   (token_rarity, {})):
+        b = fn(ray.data.from_pandas(df), **kw).to_pandas()
+        d = fn(ds, broadcast_limit=0, **kw).to_pandas()
+        assert b["doc_id"].dtype == object and d["doc_id"].dtype == object, fn
+        assert _canon(b) == _canon(d), fn

@@ -115,6 +115,8 @@ def main() -> int:
     args = sys.argv[1:]
     if "--json" in args:  # drop the flag's value from positional names
         ji = args.index("--json")
+        if ji + 1 >= len(args) or args[ji + 1].startswith("-"):
+            sys.exit("--json requires an output path argument")
         args = args[:ji] + args[ji + 2:]
     names = [a for a in args if not a.startswith("-")]
     if "--late" in sys.argv:
