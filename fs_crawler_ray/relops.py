@@ -421,8 +421,18 @@ def semi_anti_join(
         # collect the key COLUMN as Arrow (concat of block refs — no
         # per-row Python comprehension over up to 2M keys, VERDICT r4
         # item 4) and broadcast it in its original dtype
-        blocks = ray.get(right.select_columns([right_on]).to_arrow_refs())
-        keys = pa.concat_tables(blocks).column(right_on)
+        # to_arrow_refs can hand back the UN-projected materialized
+        # blocks (the lazy select_columns is not reliably applied):
+        # materialize the projection so only the key column crosses to
+        # the driver, and select per block as belt-and-braces
+        blocks = ray.get(
+            right.select_columns([right_on]).materialize().to_arrow_refs())
+        # empty shuffle partitions yield schema-LESS empty blocks —
+        # skip them (select would KeyError); n > 0 so at least one block
+        # carries the column
+        keys = pa.concat_tables(
+            b.select([right_on]) for b in blocks
+            if right_on in b.schema.names).column(right_on)
         if len(keys) == 0:
             return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow") if not anti else ds
         return broadcast_semi_join(ds, keys, on, anti=anti)

@@ -128,17 +128,40 @@ def _left_join_type_override(
     if n == 0:
         return edges
     if n <= BROADCAST_LIMIT:
-        rdf = right.to_pandas()
-        ref = _ray.put(rdf)
+        # Arrow broadcast lookup (VERDICT r4 item 3): both call sites
+        # guarantee UNIQUE right keys (classification is one row per
+        # rel id; updates are deduped keep-max-rel on the endpoint pair
+        # first), so index_in+take — first match, left row order kept —
+        # is exactly the left-join-coalesce semantics with no pandas
+        # round-trip. Multi-column keys probe as one concatenated string
+        # (keys are strings already; \x1f never occurs in ids).
+        rtbl = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
 
-        def merge_fn(df: pd.DataFrame) -> pa.Table:
-            small = _ray.get(ref)
-            m = df.merge(small, how="left", left_on=list(on), right_on=list(right_on))
-            m["type"] = m[value_col].where(m[value_col].notna(), m["type"])
-            m = m.drop(columns=[c for c in set(right_on) | {value_col} if c in m.columns and c not in df.columns])
-            return pa.Table.from_pandas(m, preserve_index=False)
+        def _probe_key(t: pa.Table, cols) -> pa.Array:
+            if len(cols) == 1:
+                a = t[cols[0]]
+                return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            parts = []
+            for c in cols:
+                a = pc.cast(t[c], pa.string())
+                parts.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+            return pc.binary_join_element_wise(*parts, "\x1f")
 
-        return edges.map_batches(merge_fn, batch_format="pandas")
+        rkeys_arr = _probe_key(rtbl, list(right_on))
+        if pc.count_distinct(rkeys_arr).as_py() != len(rkeys_arr):
+            raise ValueError(
+                f"_left_join_type_override: right side not unique on "
+                f"{right_on} — dedup before the lookup (index_in keeps "
+                f"first match; pandas-merge row expansion is not wanted here)")
+        ref = _ray.put((rkeys_arr, rtbl[value_col].combine_chunks()))
+
+        def merge_fn(t: pa.Table) -> pa.Table:
+            rkeys, rvals = _ray.get(ref)
+            idx = pc.index_in(_probe_key(t, list(on)), value_set=rkeys)
+            new_type = pc.coalesce(rvals.take(idx), t["type"])
+            return t.set_column(t.column_names.index("type"), "type", new_type)
+
+        return edges.map_batches(merge_fn, batch_format="pyarrow")
 
     # relops.hash_join, not Dataset.join: rel-id keys are sparse relative
     # to the partition count, exactly the regime where the built-in's

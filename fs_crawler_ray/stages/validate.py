@@ -126,28 +126,35 @@ def _per_child_table(
     )
 
 
-def classify_children(per_child: pd.DataFrame) -> pd.DataFrame:
+def classify_children(per_child: pa.Table) -> pa.Table:
     """Vectorized invalid/resolution classification (graph_validator.py:125-164).
     Only children with ≥1 VALIDATION-counted parent enter validation
-    (the reference's defaultdict is only created on access)."""
-    df = per_child
-    v_tot = df["vm"] + df["vf"] + df["vu"]
-    has_v = df["v_any"] > 0
+    (the reference's defaultdict is only created on access). Arrow
+    in/out — numpy kernels over zero-copy column views."""
+    t = per_child
+
+    def col(name: str) -> np.ndarray:
+        return t[name].to_numpy(zero_copy_only=False)
+
+    vm, vf, vu = col("vm"), col("vf"), col("vu")
+    v_tot = vm + vf + vu
+    has_v = col("v_any") > 0
     invalid = has_v & ((v_tot > 2) | (v_tot == 0))
     over = has_v & (v_tot > 2)
-    m, f, u = df["vm"] > 1, df["vf"] > 1, df["vu"] > 1
+    m, f, u = vm > 1, vf > 1, vu > 1
     cat = np.select(
         [over & m & f & u, over & f & u, over & m & u, over & m & f, over & m, over & f, over & u],
         ["male_female_unknown", "female_unknown", "male_unknown", "male_female", "father", "mother", "unknown"],
         default="",
     )
     cat = np.where(over & (cat == ""), "unknown", cat)  # reference's else-fallback
-    out = df.copy()
-    out["invalid"] = invalid
-    out["no_rel"] = has_v & (v_tot == 0)
-    out["category"] = cat
-    out["resolution"] = (df["r_any"] > 0) & ((df["rm"] > 1) | (df["rf"] > 1) | (df["ru"] > 1))
-    return out
+    resolution = (col("r_any") > 0) & ((col("rm") > 1) | (col("rf") > 1) | (col("ru") > 1))
+    return (
+        t.append_column("invalid", pa.array(invalid))
+        .append_column("no_rel", pa.array(has_v & (v_tot == 0)))
+        .append_column("category", pa.array(cat.astype(str), pa.string()))
+        .append_column("resolution", pa.array(resolution))
+    )
 
 
 def validate(
@@ -165,7 +172,7 @@ def validate(
 
     per_child = _per_child_table(edges, vertices, num_partitions).materialize()
     classified_ds = per_child.map_batches(
-        lambda df: classify_children(df), batch_format="pandas"
+        classify_children, batch_format="pyarrow"
     ).materialize()
 
     # distributed stats reduction: ONE map_batches pass emits a 1-row

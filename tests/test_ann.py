@@ -215,3 +215,58 @@ def test_quantize_embeddings_integer_minmax_scaling():
     assert got[(1, 1)] == 0 and got[(3, 1)] == 255
     assert got[(2, 1)] == (500000 * 255) // 1000000  # = 127
     assert got[(1, 2)] == got[(2, 2)] == got[(3, 2)] == 0
+
+
+def test_overflow_envelope_exact_results_small_values():
+    """VERDICT r4 item 6: the sum-identity kernels compute their
+    numerators EXACTLY and only raise when the actual result exceeds
+    int64 — the old worst-case n²·scale² pre-guard fired at ~10^6
+    rows/label even when the data's variance made the true value tiny.
+    Here: many rows, all sitting exactly on two points — values small,
+    no raise, exact integers out."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fs_crawler_ray.ann import dim_covariance, label_deviation, label_scatter
+
+    n = 4000
+    emb = np.tile(np.array([[0.5, -0.5], [0.5, -0.5]]), (n // 2, 1))
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "label": np.zeros(n, dtype=np.int64),
+        "embedding": list(emb),
+    })
+    ds = ray.data.from_pandas(df)
+    sc = label_scatter(ds).to_pandas()
+    # all identical vectors → zero scatter, exactly
+    assert sc["scatter_fp"].tolist() == [0]
+    assert sc["n_vecs"].tolist() == [n]
+    dev = label_deviation(ds).to_pandas()
+    assert (dev["nsq_dist_fp"] == 0).all()
+    cov = dim_covariance(ds).to_pandas()
+    assert cov["cov_fp"].tolist() == [0]  # constant dims → zero covariance
+
+
+def test_overflow_envelope_raises_on_actual_overflow():
+    """The deviation kernel must raise (not wrap) when the actual
+    n²-scaled distance exceeds int64: one far outlier in a label big
+    enough that n²·dist²·scale² > 2^63."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from fs_crawler_ray.ann import label_deviation
+
+    n = 400_000
+    emb = np.zeros((n, 2))
+    emb[0] = [1.0, 1.0]  # outlier: nsq ≈ (n·scale)²·2 ≈ 3.2e19 > 2^63
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "label": np.zeros(n, dtype=np.int64),
+        "embedding": list(emb),
+    })
+    with pytest.raises((OverflowError, Exception)) as ei:
+        label_deviation(ray.data.from_pandas(df)).to_pandas()
+    assert "int64" in str(ei.value) or "OverflowError" in str(ei.value)
