@@ -34,12 +34,25 @@ from fs_crawler_ray.stages.fetch import PolitenessBudget, TokenBuckets
 from fs_crawler_ray.state.robots import RobotsPolicy
 
 
+#: reference request-size unit (MAX_PERSONS, ``fsapi.py:23``)
+_IDS_PER_REQUEST = 200
+#: in-flight request overlap inside ONE actor — S2 parity with the
+#: reference's async session, which overlaps up to 40 requests in one
+#: event loop (``fsapi.py:43-69``)
+_MAX_IN_FLIGHT = 40
+
+
 @ray.remote(num_cpus=0)
 class FetchActor:
     def __init__(self, documents_path: str, politeness: PolitenessBudget | None,
-                 robots: RobotsPolicy | None, auth=None):
+                 robots: RobotsPolicy | None, auth=None,
+                 max_in_flight: int = _MAX_IN_FLIGHT):
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         from fs_crawler_ray.state.session import AuthSession
 
+        self.documents_path = documents_path
         self.store = DocStore(documents_path)
         self.politeness = politeness or PolitenessBudget()
         self.robots = robots
@@ -49,11 +62,31 @@ class FetchActor:
         self.session = AuthSession(auth) if auth is not None else None
         self.counters = {"requests": 0, "ids_attempted": 0, "robots_blocked": 0,
                          "fetched": 0, "missing": 0, "politeness_wait_s": 0.0}
+        # S2 parity (VERDICT r4 item 7): ≤max_in_flight request-sized
+        # lookups overlap INSIDE the actor, behind the same politeness
+        # budget — the slot a real async HTTP client drops into without
+        # restructuring (swap _lookup's body for an HTTP call). Threads,
+        # not asyncio, because the local backend (parquet row-group
+        # reads) is blocking I/O; each worker thread owns its own store
+        # (parquet file handles are not thread-safe).
+        self.max_in_flight = max(1, int(max_in_flight))
+        self._tls = threading.local()
+        self._pool = (ThreadPoolExecutor(
+            max_workers=self.max_in_flight, thread_name_prefix="fetch")
+            if self.max_in_flight > 1 else None)
+
+    def _lookup(self, ids: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+        """One 'request': resolve ≤_IDS_PER_REQUEST ids. The HTTP seam —
+        a real backend replaces this body with a GET."""
+        store = getattr(self._tls, "store", None)
+        if store is None:
+            store = self._tls.store = DocStore(self.documents_path)
+        return store.fetch(ids)
 
     def fetch(self, ids: np.ndarray, hop: int) -> pa.Table:
         c = self.counters
         n_in = len(ids)
-        n_req = max(1, int(np.ceil(n_in / 200)))
+        n_req = max(1, int(np.ceil(n_in / _IDS_PER_REQUEST)))
         if self.session is not None:
             self.session.authorize(n_req)
         c["requests"] += n_req
@@ -63,13 +96,27 @@ class FetchActor:
             c["robots_blocked"] += int((~allowed).sum())
             ids = ids[allowed]
         if self.politeness.rate_per_host > 0 and len(ids):
+            # token accounting unchanged: one token per unique host per
+            # actor batch, acquired on the actor thread (buckets are not
+            # thread-safe) BEFORE any request dispatches
             hosts = np.unique((stable_hash64(ids, seed=self.politeness.seed)
                                % np.uint64(self.politeness.n_hosts)).astype(np.int64))
             for h in hosts:
                 c["politeness_wait_s"] += self.buckets.acquire(int(h), 1)
-        docs, found = self.store.fetch(ids)
+        chunks = [ids[i:i + _IDS_PER_REQUEST]
+                  for i in range(0, len(ids), _IDS_PER_REQUEST)]
+        if self._pool is not None and len(chunks) > 1:
+            # overlapped requests, deterministic chunk-order concat
+            results = list(self._pool.map(self._lookup, chunks))
+        else:
+            results = [self.store.fetch(ck) for ck in chunks]
+        if results:
+            docs = pa.concat_tables([r[0] for r in results])
+            n_found = sum(int(r[1].sum()) for r in results)
+        else:
+            docs, n_found = self.store.fetch(ids)[0], 0
         c["fetched"] += len(docs)
-        c["missing"] += int((~found).sum())
+        c["missing"] += len(ids) - n_found
         return docs.append_column("hop", pa.array(np.full(len(docs), hop, dtype=np.int32)))
 
     def stats(self) -> dict:

@@ -45,3 +45,10 @@ def small_corpus(tmp_path_factory):
 def missing_doc_corpus(tmp_path_factory):
     out = tmp_path_factory.mktemp("corpus_missing")
     return generate_corpus(CorpusSpec(n_persons=250, seed=7, missing_doc_frac=0.1), str(out))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "scale_smoke: driver-RSS-bounded ~10x-bench-volume smoke test "
+        "(enable with FSRAY_SCALE_SMOKE=1)")
