@@ -360,6 +360,12 @@ _SINK_COUNT_SCHEMA = pa.schema(
         ("bucket", pa.int64()),
         ("rows_in", pa.int64()),
         ("rows_out", pa.int64()),
+        # fused edge-classification partials (0 unless the last hop
+        # runs with log_edge_classification="final"): J1 counts folded
+        # into the SAME streaming execution as the hop itself
+        ("within", pa.int64()),
+        ("spanning", pa.int64()),
+        ("frontier_e", pa.int64()),
     ]
 )
 
@@ -438,6 +444,31 @@ def _make_record_tagger(hop: int, n_cand_buckets: int, n_edge_buckets: int,
     return tag
 
 
+def _make_classify_tagger(n_cand_buckets: int, n_edge_buckets: int):
+    """Tag PREVIOUS hops' (source, destination) edge rows as
+    classify-only rows routed to buckets
+    ``[n_cand+n_edge, n_cand+2·n_edge)`` — they ride the last hop's
+    existing shuffle so the sink classifies them AFTER every VISITED
+    registration of the hop (the groupby barrier is the ordering), and
+    the final edge-classification pass stops being its own streaming
+    execution (VERDICT r4 item 1: one fewer per-hop floor)."""
+    from fs_crawler_ray.ids import stable_hash64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _TAGGED_SCHEMA.empty_table()
+        h = np.zeros(len(batch), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, c in enumerate(["source", "destination"]):
+                h = h * np.uint64(0x9E3779B97F4A7C15) + stable_hash64(batch[c], seed=31 + i)
+        b = (h % np.uint64(n_edge_buckets)).astype(np.int64) \
+            + n_cand_buckets + n_edge_buckets
+        return _tagged(len(batch), b, source=batch["source"],
+                       destination=batch["destination"])
+
+    return tag
+
+
 def _make_carryover_tagger(n_cand_buckets: int, boundaries: np.ndarray | None):
     """Tag a budget-remainder frontier batch (id, priority) as candidate
     rows carrying their ORIGINAL priority."""
@@ -473,14 +504,34 @@ class _HopSink:
     old 3-execution shape."""
 
     def __init__(self, sm: ShardedMembership, n_cand_buckets: int,
-                 frontier_path: str, edges_path: str):
+                 frontier_path: str, edges_path: str,
+                 n_edge_buckets: int | None = None,
+                 classify_edges: bool = False):
         self.sm = sm
         self.n_cand_buckets = n_cand_buckets
+        self.n_edge_buckets = (n_cand_buckets if n_edge_buckets is None
+                               else n_edge_buckets)
+        self.classify_edges = classify_edges
         self.frontier_path = frontier_path
         self.edges_path = edges_path
 
     def _write(self, rows: pa.Table, path: str, schema: pa.Schema, bucket: int) -> None:
         _write_part(rows, path, schema, key_col=0, tag_prefix=f"{bucket}|")
+
+    def _classify(self, src, dst) -> tuple[int, int, int]:
+        """J1 within/spanning/frontier partial for one edge group — ONE
+        concatenated VISITED scatter for both endpoints (same RPC-halving
+        as _classify_edges). Safe here: the groupby barrier guarantees
+        every VISITED registration of this hop completed first."""
+        n = len(src)
+        if n == 0:
+            return 0, 0, 0
+        both = self.sm.contains(VISITED, np.concatenate(
+            [as_key_array(src), as_key_array(dst)]))
+        src_in, dst_in = both[:n], both[n:]
+        within = int((src_in & dst_in).sum())
+        frontier = int((~src_in & ~dst_in).sum())
+        return within, n - within - frontier, frontier
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from fs_crawler_ray.relops import _keep_first_arrow
@@ -489,6 +540,23 @@ class _HopSink:
             return _SINK_COUNT_SCHEMA.empty_table()
         bucket = t["__bucket"][0].as_py()
         n_in = len(t)
+        wsf = (0, 0, 0)
+        if bucket >= self.n_cand_buckets + self.n_edge_buckets:
+            # classify-only rows (previous hops' edges, fused final
+            # classification): count, write nothing
+            wsf = self._classify(t["source"], t["destination"])
+            return pa.table(
+                {
+                    "kind": pa.array(["classify"], pa.string()),
+                    "bucket": pa.array([bucket], pa.int64()),
+                    "rows_in": pa.array([n_in], pa.int64()),
+                    "rows_out": pa.array([0], pa.int64()),
+                    "within": pa.array([wsf[0]], pa.int64()),
+                    "spanning": pa.array([wsf[1]], pa.int64()),
+                    "frontier_e": pa.array([wsf[2]], pa.int64()),
+                },
+                schema=_SINK_COUNT_SCHEMA,
+            )
         if bucket < self.n_cand_buckets:
             c = t.select(["cand_id", "priority"])
             c = _keep_first_arrow(c, ["cand_id"], ["cand_id", "priority"])
@@ -523,6 +591,9 @@ class _HopSink:
             )
             if len(out):
                 self._write(out, self.edges_path, EDGE_SCHEMA, bucket)
+            if self.classify_edges:
+                # fused final classification of THIS hop's written edges
+                wsf = self._classify(out["source"], out["destination"])
             kind = "edges"
         return pa.table(
             {
@@ -530,6 +601,9 @@ class _HopSink:
                 "bucket": pa.array([bucket], pa.int64()),
                 "rows_in": pa.array([n_in], pa.int64()),
                 "rows_out": pa.array([len(out)], pa.int64()),
+                "within": pa.array([wsf[0]], pa.int64()),
+                "spanning": pa.array([wsf[1]], pa.int64()),
+                "frontier_e": pa.array([wsf[2]], pa.int64()),
             },
             schema=_SINK_COUNT_SCHEMA,
         )
@@ -875,8 +949,40 @@ class Crawler:
             # group's output parquet part. One execution per hop where
             # round 2 paid three: the groupby barrier provides the same
             # ordering guarantees the old materialize() did.
+            # Fused final edge classification (VERDICT r4 item 1): on
+            # the LAST hop in "final" mode, previous hops' edges ride
+            # THIS hop's shuffle as classify-only rows and this hop's
+            # own edges are classified at the sink — the J1
+            # classification stops being its own streaming execution
+            # (one fewer ~0.5-1 s per-crawl floor). The groupby barrier
+            # provides the ordering (all VISITED registrations complete
+            # before any sink group). Volume-gated: past
+            # FSRAY_CLASSIFY_FUSE_MAX edge rows the separate map-only
+            # pass (membership RPCs, no shuffle of the edge set) is the
+            # scale path and _classify_edges runs as before.
+            fuse_classify = (cfg.log_edge_classification == "final"
+                             and hop == cfg.hops - 1)
+            prev_edge_paths: list[str] = []
+            if fuse_classify:
+                prev_edge_paths = _expand_parquet([
+                    p for p in (st.join(self._hop_dir(h), "edges.parquet")
+                                for h in result.hops_run)
+                    if st.exists(p)])
+                n_prev = sum(st.file_rows(p) for p in prev_edge_paths)
+                if n_prev > int(os.environ.get("FSRAY_CLASSIFY_FUSE_MAX",
+                                               20_000_000)):
+                    fuse_classify = False
+
             tagger = _make_record_tagger(hop, eff_buckets, eff_buckets, self.range_boundaries)
             tagged = records.map_batches(tagger, batch_format="pyarrow")
+            if fuse_classify and prev_edge_paths:
+                n_prev_blocks = int(min(64, max(1, n_prev // 65_536 + 1)))
+                prev_edges = st.read_parquet(
+                    prev_edge_paths, columns=["source", "destination"],
+                    override_num_blocks=n_prev_blocks)
+                tagged = tagged.union(prev_edges.map_batches(
+                    _make_classify_tagger(eff_buckets, eff_buckets),
+                    batch_format="pyarrow"))
             if carryover is not None:
                 # unprocessed budget remainder carries over with its
                 # ORIGINAL priority; the sink's keep-first by
@@ -887,7 +993,9 @@ class Crawler:
                         batch_format="pyarrow",
                     )
                 )
-            sink = _HopSink(self.sm, eff_buckets, frontier_out, edges_out)
+            sink = _HopSink(self.sm, eff_buckets, frontier_out, edges_out,
+                            n_edge_buckets=eff_buckets,
+                            classify_edges=fuse_classify)
 
             def hop_sink(t: pa.Table) -> pa.Table:  # map_groups wants a function
                 return sink(t)
@@ -916,11 +1024,18 @@ class Crawler:
             _ensure_nonempty(frontier_out, FRONTIER_SCHEMA)
             _ensure_nonempty(edges_out, EDGE_SCHEMA)
             self.sm.commit(EDGES)  # merge this hop's edge keys (actor RPCs only)
-            n_records = sum(r["rows_in"] for r in sink_counts)  # post-pre-combine shuffle rows
+            n_records = sum(r["rows_in"] for r in sink_counts
+                            if r["kind"] != "classify")  # post-pre-combine shuffle rows
             _mark("hop_post", tick)
 
             # 4. metrics + LOG (membership already mutated in-pass above)
-            if cfg.log_edge_classification == "full" or (
+            if fuse_classify:
+                counts = {
+                    "within": int(sum(r["within"] for r in sink_counts)),
+                    "spanning": int(sum(r["spanning"] for r in sink_counts)),
+                    "frontier": int(sum(r["frontier_e"] for r in sink_counts)),
+                }
+            elif cfg.log_edge_classification == "full" or (
                 cfg.log_edge_classification == "final" and hop == cfg.hops - 1
             ):
                 counts = self._classify_edges(result.hops_run + [hop])

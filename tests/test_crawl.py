@@ -241,3 +241,23 @@ def test_configure_data_context_env_override(monkeypatch):
         assert ctx.op_resource_reservation_enabled is True
     finally:
         ctx.op_resource_reservation_enabled = before
+
+
+def test_final_mode_fused_classification_matches_full(small_corpus, tmp_path_factory):
+    """The fused final classification (classify-only rows riding the
+    last hop's shuffle + sink-side classification of the hop's own
+    edges) must produce the SAME last-hop within/spanning/frontier
+    counts as the reference-faithful 'full' mode."""
+    cfg_full = CrawlConfig(hops=3, num_shards=2, num_buckets=8,
+                           log_edge_classification="full")
+    cfg_final = CrawlConfig(hops=3, num_shards=2, num_buckets=8,
+                            log_edge_classification="final")
+    out_full = str(tmp_path_factory.mktemp("cl_full"))
+    out_final = str(tmp_path_factory.mktemp("cl_final"))
+    r_full = crawl(small_corpus, small_corpus.seeds, out_full, cfg_full)
+    r_final = crawl(small_corpus, small_corpus.seeds, out_final, cfg_final)
+    last_full, last_final = r_full.log[-1], r_final.log[-1]
+    for k in ("edges", "spanning_edges", "frontier_edges", "vertices", "frontier"):
+        assert last_final[k] == last_full[k], (k, last_final[k], last_full[k])
+    # earlier hops skip classification in final mode
+    assert all(row["edges"] is None for row in r_final.log[:-1])
