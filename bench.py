@@ -674,10 +674,12 @@ def run_scaling() -> dict:
             "GRAFT_WAVE_REPS": os.environ.get("GRAFT_WAVE_REPS", "3"),
             # deep frontiers for the multi-hop row: with 2048 seeds the
             # 4-hop crawl averages ~6k URLs/hop and per-hop floors
-            # dominate (eff 0.42); at 8192 seeds (~42k URLs/hop) the
-            # floors amortize (measured eff 0.64) — the trend the
-            # 10^10-URL target regime extrapolates
-            "GRAFT_CRAWL_SEEDS": os.environ.get("GRAFT_CRAWL_SEEDS", "32768"),
+            # dominate (eff 0.42); at 32k seeds (~42k URLs/hop) the
+            # floors amortize to 0.66-0.69 — r5 runs 64k (~85k
+            # URLs/hop), continuing the documented amortization trend
+            # the 10^10-URL target regime extrapolates (each hop IS a
+            # wave there; the wave row isolates that limit)
+            "GRAFT_CRAWL_SEEDS": os.environ.get("GRAFT_CRAWL_SEEDS", "65536"),
             "GRAFT_SHARDS": str(max(2, n)),
         })
 
@@ -735,11 +737,29 @@ def run_scaling() -> dict:
     ranked = sorted(pairs, key=lambda p: p["scaling_efficiency_wave_throughput"])
     median = ranked[(len(ranked) - 1) // 2]
     best = ranked[-1]
+
+    def _med(key: str) -> float | None:
+        vals = sorted(p[key] for p in pairs if p.get(key) is not None)
+        return vals[(len(vals) - 1) // 2] if vals else None
+
+    # per-METRIC medians across pairs: the headline `**median` block is
+    # one pair (ranked by wave efficiency), which understates metrics
+    # whose own median lands in a different pair — report both
+    per_metric_medians = {
+        f"median_{k}": _med(k) for k in (
+            "scaling_efficiency_wave_throughput",
+            "scaling_efficiency_wave_hop",
+            "scaling_efficiency_crawl_throughput",
+            "scaling_efficiency_crawl_hops",
+            "scaling_efficiency_text_analysis",
+        )
+    }
     return {
         "metric": f"scaling {lo}→{hi} cpus (median of {len(pairs)} interleaved pairs)",
         "preflight": preflight,
         "machine_ceiling": ceiling,
         **median,
+        **per_metric_medians,
         # the same medians expressed as a fraction of what this VM's
         # per-core throttling allows ANY perfectly-parallel job (the
         # weak-scaling md5 probe above) — the pipeline-attributable view
