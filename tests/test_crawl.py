@@ -261,3 +261,34 @@ def test_final_mode_fused_classification_matches_full(small_corpus, tmp_path_fac
         assert last_final[k] == last_full[k], (k, last_final[k], last_full[k])
     # earlier hops skip classification in final mode
     assert all(row["edges"] is None for row in r_final.log[:-1])
+
+
+def test_final_mode_fused_classification_exhausted_last_hop(small_corpus, tmp_path_factory):
+    """Fused final classification when the last hop fetches NOTHING
+    (crawl past exhaustion): the classify-only rows of earlier hops
+    still ride the (otherwise empty) last execution, so the final log
+    row's counts must equal full mode's."""
+    out_a = str(tmp_path_factory.mktemp("cl_exh_final"))
+    out_b = str(tmp_path_factory.mktemp("cl_exh_full"))
+    r_final = crawl(small_corpus, small_corpus.seeds, out_a,
+                    CrawlConfig(hops=25, num_shards=2, num_buckets=4,
+                                log_edge_classification="final"))
+    r_full = crawl(small_corpus, small_corpus.seeds, out_b,
+                   CrawlConfig(hops=25, num_shards=2, num_buckets=4,
+                               log_edge_classification="full"))
+    for k in ("edges", "spanning_edges", "frontier_edges"):
+        assert r_final.log[-1][k] == r_full.log[-1][k], k
+
+
+def test_final_mode_fused_with_frontier_budget(small_corpus, tmp_path_factory):
+    """Budget-mode carryover rows and classify-only rows share the last
+    hop's shuffle — counts must still match full mode."""
+    cfg = dict(hops=6, num_shards=2, num_buckets=4, frontier_budget=40)
+    out_a = str(tmp_path_factory.mktemp("cl_bud_final"))
+    out_b = str(tmp_path_factory.mktemp("cl_bud_full"))
+    r_final = crawl(small_corpus, small_corpus.seeds, out_a,
+                    CrawlConfig(log_edge_classification="final", **cfg))
+    r_full = crawl(small_corpus, small_corpus.seeds, out_b,
+                   CrawlConfig(log_edge_classification="full", **cfg))
+    for k in ("edges", "spanning_edges", "frontier_edges"):
+        assert r_final.log[-1][k] == r_full.log[-1][k], k
