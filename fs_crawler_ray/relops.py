@@ -26,6 +26,21 @@ import ray.data
 
 from fs_crawler_ray.ids import stable_hash64
 
+
+def arrow_dtype(typ) -> pa.DataType:
+    """Normalize a ``Dataset.schema()`` type entry to an Arrow dtype:
+    pandas-backed datasets report PYTHON classes (``object``/``int``/…)
+    instead of ``pa.DataType`` — feeding those to ``pa.schema`` /
+    ``pa.nulls`` explodes mid-shuffle."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    if typ is object or typ is str:
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(np.dtype(typ))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
+
 _BUCKET_COL = "__bucket"
 
 
@@ -191,11 +206,15 @@ def hash_join(
     if overlap:
         raise ValueError(f"non-key columns must be disjoint, got overlap: {sorted(overlap)}")
 
-    # tag + align to the union schema (typed nulls for the other side)
+    # tag + align to the union schema (typed nulls for the other side).
+    # Dataset.schema() reports PYTHON classes (object/int/...) for
+    # pandas-backed datasets — normalize to Arrow dtypes or the
+    # pa.schema/pa.nulls calls below explode mid-shuffle.
     fields: dict[str, pa.DataType] = {}
     for n, typ in zip(l_sch.names, l_sch.types):
-        fields[n] = typ
+        fields[n] = arrow_dtype(typ)
     for n, typ in zip(r_sch.names, r_sch.types):
+        typ = arrow_dtype(typ)
         if n in fields and fields[n] != typ:
             raise TypeError(f"column {n!r} has conflicting types {fields[n]} / {typ}")
         fields.setdefault(n, typ)

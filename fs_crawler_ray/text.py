@@ -866,17 +866,10 @@ def _id_dtype(ds: ray.data.Dataset, id_col: str) -> "pa.DataType":
     """Arrow dtype of the id column from the dataset schema (ADVICE r4:
     never hardcode int64 — the at-scale corpora the >BROADCAST_LIMIT
     paths exist for key documents by string URLs/UUIDs)."""
+    from fs_crawler_ray.relops import arrow_dtype
+
     sch = ds.schema(fetch_if_missing=True)
-    t = sch.types[sch.names.index(id_col)]
-    if isinstance(t, pa.DataType):
-        return t
-    # pandas-backed datasets report numpy/python types, not Arrow ones
-    if t is object or t is str:
-        return pa.string()
-    try:
-        return pa.from_numpy_dtype(np.dtype(t))
-    except (TypeError, pa.ArrowNotImplementedError):
-        return pa.string()
+    return arrow_dtype(sch.types[sch.names.index(id_col)])
 
 
 def _tf_explode(t: pa.Table, id_col: str) -> pa.Table:

@@ -129,10 +129,13 @@ def _as_f64(col) -> np.ndarray:
 
 
 def _union_schema(l_sel: ray.data.Dataset, r_sel: ray.data.Dataset) -> dict[str, pa.DataType]:
+    from fs_crawler_ray.relops import arrow_dtype
+
     fields: dict[str, pa.DataType] = {}
     for ds_ in (l_sel, r_sel):
         sch = ds_.schema()
         for n, typ in zip(sch.names, sch.types):
+            typ = arrow_dtype(typ)  # pandas-backed sides report Python classes
             if n in fields and fields[n] != typ:
                 raise TypeError(f"column {n!r} has conflicting types {fields[n]} / {typ}")
             fields.setdefault(n, typ)

@@ -224,3 +224,27 @@ def test_hash_join_rejects_wrong_schema_hint():
     with pytest.raises(Exception, match="not in the declared schema"):
         hash_join(left, right, on=["k"], right_on=["rk"], how="inner",
                   right_schema=bad).to_pandas()
+
+
+def test_semi_anti_join_distributed_fallback_matches_broadcast(monkeypatch):
+    """BROADCAST_LIMIT=0 forces semi_anti_join's bucketed hash_join
+    fallback (the >2M-key scale path) — it must agree exactly with the
+    broadcast path, for semi AND anti, including a one-sided bucket
+    (keys the left never has)."""
+    import fs_crawler_ray.relops as relops
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"a": [f"k{i}" for i in range(40)], "v": list(range(40))}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"b": [f"k{i}" for i in range(0, 60, 3)]}))  # some keys not in left
+    want_semi = sorted(
+        relops.semi_anti_join(left, right, "a", "b").to_pandas()["a"])
+    want_anti = sorted(
+        relops.semi_anti_join(left, right, "a", "b", anti=True).to_pandas()["a"])
+    monkeypatch.setattr(relops, "BROADCAST_LIMIT", 0)
+    got_semi = sorted(
+        relops.semi_anti_join(left, right, "a", "b").to_pandas()["a"])
+    got_anti = sorted(
+        relops.semi_anti_join(left, right, "a", "b", anti=True).to_pandas()["a"])
+    assert got_semi == want_semi and len(want_semi) == 14
+    assert got_anti == want_anti and len(want_anti) == 26
