@@ -271,16 +271,41 @@ def hash_join(
 
     out_schema = pa.schema([(c, fields[c]) for c in keep_l + keep_r])
 
+    # an ALL-empty side without a schema hint reports Arrow `null` for
+    # its columns (empty pandas/arrow blocks carry no type) — acero
+    # rejects null-typed non-key join fields, so those columns sit the
+    # join out and come back as nulls (they have no values by
+    # construction). Keys can't hit this: a null-typed key implies that
+    # side is empty, which short-circuits to an empty/left-only result.
+    null_payload = [c for c in keep_l + keep_r
+                    if c not in on and c not in right_on
+                    and pa.types.is_null(fields[c])]
+
     def per_bucket(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             # empty shuffle partitions arrive as zero-column bundles
             return out_schema.empty_table()
         t = t.drop_columns([_BUCKET_COL])
+        # re-align dtypes: the sort shuffle can round-trip blocks
+        # through pandas, which rewrites an ALL-null typed column (one
+        # side contributed no rows in this bucket) to Arrow `null` —
+        # acero then rejects it as a join field. Restore the declared
+        # dtype (the column is all-null by construction, so this is a
+        # pure type fix, no data change).
+        for i, c in enumerate(t.column_names):
+            want = fields.get(c)
+            if (want is not None and pa.types.is_null(t.column(i).type)
+                    and not pa.types.is_null(want)):
+                t = t.set_column(i, c, pa.nulls(len(t), want))
         side = t["__side"]
-        lt = t.filter(pc.equal(side, 0)).select(keep_l)
-        rt = t.filter(pc.equal(side, 1)).select(list(right_on) + keep_r)
+        lt = t.filter(pc.equal(side, 0)).select(
+            [c for c in keep_l if c not in null_payload])
+        rt = t.filter(pc.equal(side, 1)).select(
+            [c for c in list(right_on) + keep_r if c not in null_payload])
         joined = lt.join(rt, keys=list(on), right_keys=list(right_on),
                          join_type=arrow_how, coalesce_keys=True)
+        for c in null_payload:
+            joined = joined.append_column(c, pa.nulls(len(joined)))
         # a right-outer coalesced key keeps the RIGHT name; map it back
         renames = {rc: lc for lc, rc in zip(on, right_on)
                    if rc != lc and rc in joined.column_names
