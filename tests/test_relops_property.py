@@ -79,6 +79,72 @@ def test_hash_join_semi_anti_matches_pandas(lk, rk, anti):
     assert _canon(got, ["k", "x"]) == _canon(want, ["k", "x"]), (lk, rk, anti)
 
 
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(0, 5), st.integers(0, 99)),
+        min_size=1, max_size=30),
+    buckets=st.sampled_from([1, 4, 16]),
+)
+def test_dedup_keep_first_matches_pandas(rows, buckets):
+    """dedup_keep_first == pandas sort_values + drop_duplicates(keep=first)
+    for any key skew and bucket count (the crawl's D1/D3 semantics)."""
+    from fs_crawler_ray.relops import dedup_keep_first
+
+    df = pd.DataFrame(rows, columns=["k", "o", "v"])
+    want = df.sort_values(["o", "v"], kind="stable").drop_duplicates(
+        subset=["k"], keep="first")
+    got = dedup_keep_first(
+        ray.data.from_pandas(df), ["k"], ["o", "v"], num_buckets=buckets
+    ).to_pandas()
+    assert _canon(got, ["k", "o", "v"]) == _canon(want, ["k", "o", "v"]), rows
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-50, 50)),
+        min_size=1, max_size=30),
+    buckets=st.sampled_from([1, 4, 16]),
+)
+def test_bucketed_agg_matches_pandas_groupby(rows, buckets):
+    from fs_crawler_ray.relops import bucketed_agg
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    want = df.groupby("k", as_index=False).agg(
+        s=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "count"))
+    got = bucketed_agg(
+        ray.data.from_pandas(df), ["k"],
+        [("v", "sum", "s"), ("v", "min", "mn"), ("v", "max", "mx"),
+         ("v", "count", "n")],
+        num_buckets=buckets,
+    ).to_pandas()
+    assert _canon(got, ["k", "s", "mn", "mx", "n"]) == _canon(
+        want, ["k", "s", "mn", "mx", "n"]), rows
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(st.tuples(st.sampled_from(KEYS), st.integers(0, 3)),
+                  min_size=0, max_size=25),
+)
+def test_distinct_matches_pandas(rows):
+    from fs_crawler_ray.relops import distinct
+
+    df = pd.DataFrame(rows, columns=["k", "g"])
+    if df.empty:
+        df = pd.DataFrame({"k": pd.Series(dtype=object),
+                           "g": pd.Series(dtype="int64")})
+    want = df.drop_duplicates()
+    got = distinct(ray.data.from_pandas(df), ["k", "g"], 8).to_pandas()
+    if len(got) == 0 and len(want) == 0:
+        return
+    assert _canon(got, ["k", "g"]) == _canon(want, ["k", "g"]), rows
+
 if __name__ == "__main__":
     import sys
 
