@@ -292,3 +292,23 @@ def test_final_mode_fused_with_frontier_budget(small_corpus, tmp_path_factory):
                    CrawlConfig(log_edge_classification="full", **cfg))
     for k in ("edges", "spanning_edges", "frontier_edges"):
         assert r_final.log[-1][k] == r_full.log[-1][k], k
+
+
+def test_final_mode_resume_preserves_fused_counts(small_corpus, tmp_path_factory):
+    """Crash before the last hop, resume in 'final' mode: the fused
+    classification re-reads the completed hops' edges and must produce
+    the same last-hop counts as an uninterrupted final-mode crawl."""
+    out_full = str(tmp_path_factory.mktemp("fin_res_a"))
+    cfg4 = CrawlConfig(hops=4, num_shards=2, num_buckets=8,
+                       log_edge_classification="final")
+    base = crawl(small_corpus, small_corpus.seeds, out_full, cfg4)
+    # run only 2 hops, then resume to 4 with final mode
+    out_res = str(tmp_path_factory.mktemp("fin_res_b"))
+    crawl(small_corpus, small_corpus.seeds, out_res,
+          CrawlConfig(hops=2, num_shards=2, num_buckets=8,
+                      log_edge_classification="final"))
+    resumed = Crawler(small_corpus, out_res, cfg4).crawl(
+        small_corpus.seeds, resume=True)
+    for k in ("edges", "spanning_edges", "frontier_edges", "vertices", "frontier"):
+        assert resumed.log[-1][k] == base.log[-1][k], (
+            k, resumed.log[-1][k], base.log[-1][k])
