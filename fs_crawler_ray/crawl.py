@@ -659,6 +659,9 @@ class Crawler:
         # one, fetch resolves partition-locally in-task against the
         # row-group range store (no nested RPC, no corpus broadcast —
         # scales with task parallelism AND corpus size).
+        #: False until this Crawler's first hop runs — lets a fresh
+        #: crawl skip the no-op hop-0 PROCESSING clear (see hop loop)
+        self._shards_touched = False
         self.direct = self.config.politeness is None or self.config.politeness.rate_per_host <= 0
         if self.direct:
             from fs_crawler_ray.metrics import MetricsActor
@@ -817,7 +820,17 @@ class Crawler:
             if st.exists(hop_dir):
                 st.rmtree(hop_dir)  # incomplete hop from a killed run
             st.makedirs(hop_dir)
-            self.sm.clear(PROCESSING)
+            # Skip the PROCESSING clear on the very first hop of a fresh
+            # Crawler: the shards are brand-new (empty), and this
+            # blocking driver RPC would otherwise pay the full shard
+            # actor-process cold start (~0.5-0.9 s measured) serially.
+            # Deferring first contact into the fused execution lets the
+            # cold start overlap executor spin-up and the frontier read.
+            # Resume paths already touched the shards (state rebuild),
+            # and any later hop / repeat crawl() must clear for real.
+            if hop > start_hop or resume or self._shards_touched:
+                self.sm.clear(PROCESSING)
+            self._shards_touched = True
 
             stage_t: dict[str, float] = {}
 

@@ -534,11 +534,21 @@ class ShardedMembership:
             MembershipShard.options(num_cpus=0, max_concurrency=1).remote(capacity_per_shard, mode)
             for _ in range(num_shards)
         ]
+        # fire-and-forget warmup ping: actor PROCESS startup costs
+        # ~0.5-0.8 s for a shard set on a cold worker pool, and the
+        # first real RPC (the hop-0 clear) would pay it serially on the
+        # driver. Kicking a ping now lets startup overlap the caller's
+        # remaining prep (seed validation, settings write, Ray Data
+        # executor spin-up); the refs are held so the tasks aren't
+        # cancelled, never awaited.
+        warmup = [a.stats.remote() for a in actors]
         if boundaries is not None and len(boundaries) == 0:
             boundaries = None
-        return ShardedMembership(actors=actors, num_shards=num_shards, mode=mode,
-                                 boundaries=boundaries,
-                                 range_names=frozenset(range_names))
+        sm = ShardedMembership(actors=actors, num_shards=num_shards, mode=mode,
+                               boundaries=boundaries,
+                               range_names=frozenset(range_names))
+        sm._warmup_refs = warmup
+        return sm
 
     def _route(self, keys: np.ndarray, names=()):
         from fs_crawler_ray.ids import range_bucket_of, shard_of
