@@ -1101,6 +1101,20 @@ def _docs_bpe_pairs(sf_dir: str):
     return out.astype({"cnt": np.int64}).reset_index(drop=True)
 
 
+def _events_hll_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via the SQL-replayable
+    HyperLogLog (sketch.hll_distinct): fixed 2^p-byte state regardless
+    of row count, register-for-register identical to the DuckDB
+    md5_number_lower oracle."""
+    import ray.data
+
+    from fs_crawler_ray.sketch import hll_distinct
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return hll_distinct(ds, "user_id").to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fs_crawler_ray.pipelines import crawl_queries as cq
     from fs_crawler_ray.pipelines import relational as rel
@@ -1310,6 +1324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_covariance": _emb_dim_covariance,
         "graph_family_sizes": cq.graph_family_sizes,
         "q_events_hour_profile": rel.q_events_hour_profile,
+        # --- r5: cardinality sketch (SQL-replayable HyperLogLog) --------
+        "events_hll_users": _events_hll_users,
     }
 
 
@@ -2873,5 +2889,48 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events GROUP BY hour, event_type
             ORDER BY hour, event_type
+        """,
+        # exact SQL replay of sketch.hll_distinct (p=12, m=4096):
+        # md5_number_lower == text.md5_lower64 bit-for-bit; register
+        # value rho = 53 - bit_length(low 52 bits) (length(bin(x)) is
+        # the exact integer bit length); Z kept as a HUGEINT so no
+        # float accumulation order exists; est floored at 4 decimals on
+        # both sides. alpha = 0.7213/(1 + 1.079/m).
+        "events_hll_users": """
+            WITH v AS (
+                SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ),
+            b AS (
+                SELECT CAST(hv >> 52 AS BIGINT) AS bucket,
+                       CAST(hv & 4503599627370495 AS BIGINT) AS rest
+                FROM v
+            ),
+            r AS (
+                SELECT bucket,
+                       MAX(CASE WHEN rest = 0 THEN 53
+                                ELSE 53 - length(bin(rest)) END) AS rho
+                FROM b GROUP BY bucket
+            ),
+            agg AS (
+                SELECT 4096 AS m,
+                       4096 - COUNT(*) AS n_zero,
+                       SUM(CAST(1 AS HUGEINT) << (53 - rho))
+                       + (4096 - COUNT(*)) * (CAST(1 AS HUGEINT) << 53) AS z
+                FROM r
+            ),
+            est0 AS (
+                SELECT m, n_zero, z,
+                       (0.7213 / (1.0 + 1.079 / m)) * m * m
+                           * 9007199254740992.0 / CAST(z AS DOUBLE) AS raw
+                FROM agg
+            )
+            SELECT CAST(m AS BIGINT) AS m,
+                   CAST(n_zero AS BIGINT) AS n_zero,
+                   CAST(z AS VARCHAR) AS z_scaled,
+                   FLOOR((CASE WHEN raw <= 2.5 * m AND n_zero > 0
+                               THEN m * ln(CAST(m AS DOUBLE) / n_zero)
+                               ELSE raw END) * 10000.0) / 10000.0 AS est
+            FROM est0
         """,
     }

@@ -1,0 +1,59 @@
+"""HyperLogLog sketch: accuracy, merge algebra, and determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from fs_crawler_ray.sketch import (
+    hll_distinct, hll_estimate, hll_merge, hll_sketch)
+
+
+def _ds(vals):
+    return ray.data.from_pandas(pd.DataFrame({"k": vals}))
+
+
+def test_hll_accuracy_within_standard_error():
+    """m=4096 → stderr ≈ 1.6%; require 5% (3σ) on a 20k-distinct set."""
+    n = 20_000
+    vals = [f"user-{i}" for i in range(n)] * 2  # duplicates must not matter
+    est = hll_distinct(_ds(vals), "k").to_pandas()["est"][0]
+    assert abs(est - n) / n < 0.05, est
+
+
+def test_hll_small_range_linear_counting_is_exactish():
+    est = hll_distinct(_ds([f"u{i}" for i in range(50)]), "k").to_pandas()["est"][0]
+    assert abs(est - 50) / 50 < 0.1, est
+
+
+def test_hll_merge_equals_whole():
+    """Sketch union (elementwise max) must equal sketching the union —
+    the property that makes HLL a distributed aggregate."""
+    a = [f"x{i}" for i in range(5000)]
+    b = [f"x{i}" for i in range(2500, 7500)]  # overlapping
+    ra = hll_sketch(_ds(a), "k")
+    rb = hll_sketch(_ds(b), "k")
+    whole = hll_sketch(_ds(a + b), "k")
+    assert np.array_equal(hll_merge(ra, rb), whole)
+    assert hll_estimate(hll_merge(ra, rb)) == hll_estimate(whole)
+
+
+def test_hll_int_column_matches_string_cast():
+    ints = list(range(1000))
+    ri = hll_sketch(_ds(ints), "k")
+    rs = hll_sketch(_ds([str(i) for i in ints]), "k")
+    assert np.array_equal(ri, rs)  # int→string cast aligns with VARCHAR
+
+
+def test_hll_deterministic_across_block_splits():
+    vals = [f"d{i}" for i in range(3000)]
+    one = hll_sketch(ray.data.from_pandas(pd.DataFrame({"k": vals})), "k")
+    many = hll_sketch(
+        ray.data.from_pandas(pd.DataFrame({"k": vals})).repartition(16), "k")
+    assert np.array_equal(one, many)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
