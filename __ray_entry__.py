@@ -1101,6 +1101,20 @@ def _docs_bpe_pairs(sf_dir: str):
     return out.astype({"cnt": np.int64}).reset_index(drop=True)
 
 
+def _events_hll_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users (sketch.hll_distinct_by):
+    fixed 2^p-byte state per group, one bucketed shuffle of
+    O(groups × blocks) register rows."""
+    import ray.data
+
+    from fs_crawler_ray.sketch import hll_distinct_by
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    out = hll_distinct_by(ds, "user_id", "event_type").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) via the SQL-replayable
     HyperLogLog (sketch.hll_distinct): fixed 2^p-byte state regardless
@@ -1326,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hour_profile": rel.q_events_hour_profile,
         # --- r5: cardinality sketch (SQL-replayable HyperLogLog) --------
         "events_hll_users": _events_hll_users,
+        "events_hll_users_by_type": _events_hll_users_by_type,
     }
 
 
@@ -2932,5 +2947,47 @@ def oracle_sql() -> dict[str, str]:
                                THEN m * ln(CAST(m AS DOUBLE) / n_zero)
                                ELSE raw END) * 10000.0) / 10000.0 AS est
             FROM est0
+        """,
+        # grouped variant of events_hll_users: same register layout per
+        # event_type
+        "events_hll_users_by_type": """
+            WITH v AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ),
+            b AS (
+                SELECT event_type,
+                       CAST(hv >> 52 AS BIGINT) AS bucket,
+                       CAST(hv & 4503599627370495 AS BIGINT) AS rest
+                FROM v
+            ),
+            r AS (
+                SELECT event_type, bucket,
+                       MAX(CASE WHEN rest = 0 THEN 53
+                                ELSE 53 - length(bin(rest)) END) AS rho
+                FROM b GROUP BY event_type, bucket
+            ),
+            agg AS (
+                SELECT event_type, 4096 AS m,
+                       4096 - COUNT(*) AS n_zero,
+                       SUM(CAST(1 AS HUGEINT) << (53 - rho))
+                       + (4096 - COUNT(*)) * (CAST(1 AS HUGEINT) << 53) AS z
+                FROM r GROUP BY event_type
+            ),
+            est0 AS (
+                SELECT event_type, m, n_zero, z,
+                       (0.7213 / (1.0 + 1.079 / m)) * m * m
+                           * 9007199254740992.0 / CAST(z AS DOUBLE) AS raw
+                FROM agg
+            )
+            SELECT event_type,
+                   CAST(m AS BIGINT) AS m,
+                   CAST(n_zero AS BIGINT) AS n_zero,
+                   CAST(z AS VARCHAR) AS z_scaled,
+                   FLOOR((CASE WHEN raw <= 2.5 * m AND n_zero > 0
+                               THEN m * ln(CAST(m AS DOUBLE) / n_zero)
+                               ELSE raw END) * 10000.0) / 10000.0 AS est
+            FROM est0 ORDER BY event_type
         """,
     }

@@ -126,3 +126,70 @@ def hll_distinct(ds: ray.data.Dataset, col: str, p: int = DEFAULT_P) -> pa.Table
         "z_scaled": pa.array([d["z_scaled"]], pa.string()),
         "est": pa.array([d["est"]], pa.float64()),
     })
+
+
+def hll_distinct_by(ds: ray.data.Dataset, col: str, by: str,
+                    p: int = DEFAULT_P, num_partitions: int = 8) -> ray.data.Dataset:
+    """Per-group approximate COUNT(DISTINCT ``col``) GROUP BY ``by`` —
+    the engagement-pipeline staple (distinct users per day/source) at a
+    fixed 2^p bytes of state PER GROUP. Per-batch partials emit one
+    ``(by, regs)`` row per group per block (O(groups × blocks), never
+    O(rows)); one bucketed shuffle on ``by`` merges registers by
+    elementwise max and emits each group's summary row. Same
+    bit-exactly SQL-replayable layout as :func:`hll_distinct`."""
+    import pyarrow.compute as pc
+
+    from fs_crawler_ray.relops import _BUCKET_COL, _add_bucket
+    from fs_crawler_ray.text import md5_lower64
+
+    def partial(t: pa.Table) -> pa.Table:
+        col_a = t[col]
+        if not (pa.types.is_string(col_a.type) or pa.types.is_large_string(col_a.type)):
+            col_a = pc.cast(col_a, pa.string())
+        by_a = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) else t[by]
+        enc = pc.dictionary_encode(by_a)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = md5_lower64(np.asarray(col_a.to_pylist(), dtype=object))
+        out_by, out_regs = [], []
+        for g in range(len(enc.dictionary)):
+            regs = _registers_of(hashes[codes == g], p)
+            out_regs.append(regs.tobytes())
+        return pa.table({
+            by: enc.dictionary,
+            "regs": pa.array(out_regs, pa.binary()),
+        })
+
+    parts = ds.select_columns([by, col]).map_batches(partial, batch_format="pyarrow")
+
+    def per_group(t: pa.Table) -> pa.Table:
+        # one shuffle bucket may hold SEVERAL `by` keys — merge and
+        # estimate per key within the group
+        t = t.drop_columns([_BUCKET_COL])
+        by_a = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) else t[by]
+        enc = pc.dictionary_encode(by_a)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = t["regs"].to_pylist()
+        out = {by: [], "m": [], "n_zero": [], "z_scaled": [], "est": []}
+        for g, key in enumerate(enc.dictionary.to_pylist()):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for i in np.flatnonzero(codes == g):
+                regs = np.maximum(regs, np.frombuffer(bufs[i], dtype=np.uint8))
+            d = hll_estimate(regs, p)
+            out[by].append(key)
+            for k in ("m", "n_zero", "z_scaled", "est"):
+                out[k].append(d[k])
+        return pa.table({
+            by: pa.array(out[by], enc.dictionary.type),
+            "m": pa.array(out["m"], pa.int64()),
+            "n_zero": pa.array(out["n_zero"], pa.int64()),
+            "z_scaled": pa.array(out["z_scaled"], pa.string()),
+            "est": pa.array(out["est"], pa.float64()),
+        })
+
+    return _add_bucket(parts, [by], num_partitions).groupby(
+        _BUCKET_COL, num_partitions=num_partitions
+    ).map_groups(per_group, batch_format="pyarrow")

@@ -57,3 +57,25 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_hll_distinct_by_matches_per_group_global():
+    """Grouped sketch == running the global sketch on each group's rows
+    (multiple keys per shuffle bucket exercised via num_partitions=2)."""
+    from fs_crawler_ray.sketch import hll_distinct_by
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d", "e"], size=8000),
+        "u": rng.integers(0, 1500, size=8000),
+    })
+    out = hll_distinct_by(ray.data.from_pandas(df), "u", "g",
+                          num_partitions=2).to_pandas().sort_values("g")
+    assert list(out["g"]) == ["a", "b", "c", "d", "e"]
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]["u"]
+        want = hll_estimate(hll_sketch(_ds(list(sub)), "k"))
+        assert row["z_scaled"] == want["z_scaled"], row["g"]
+        assert row["est"] == want["est"], row["g"]
+        exact = sub.nunique()
+        assert abs(row["est"] - exact) / exact < 0.06, (row["g"], row["est"], exact)
