@@ -1101,6 +1101,24 @@ def _docs_bpe_pairs(sf_dir: str):
     return out.astype({"cnt": np.int64}).reset_index(drop=True)
 
 
+def _events_kmv_overlap(sf_dir: str):
+    """Cross-source user overlap WITHOUT a join (sketch.kmv_overlap):
+    bottom-k md5 sketches of purchasers vs viewers, Jaccard from the
+    union's bottom-k reference sample."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from fs_crawler_ray.sketch import kmv_overlap
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    a = ds.map_batches(lambda t: t.filter(_pc.equal(t["event_type"], "purchase")),
+                       batch_format="pyarrow")
+    b = ds.map_batches(lambda t: t.filter(_pc.equal(t["event_type"], "view")),
+                       batch_format="pyarrow")
+    return kmv_overlap(a, b, "user_id").to_pandas()
+
+
 def _events_hll_users_by_type(sf_dir: str):
     """Per-event-type approximate distinct users (sketch.hll_distinct_by):
     fixed 2^p-byte state per group, one bucketed shuffle of
@@ -1341,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r5: cardinality sketch (SQL-replayable HyperLogLog) --------
         "events_hll_users": _events_hll_users,
         "events_hll_users_by_type": _events_hll_users_by_type,
+        "events_kmv_overlap": _events_kmv_overlap,
     }
 
 
@@ -2989,5 +3008,55 @@ def oracle_sql() -> dict[str, str]:
                                THEN m * ln(CAST(m AS DOUBLE) / n_zero)
                                ELSE raw END) * 10000.0) / 10000.0 AS est
             FROM est0 ORDER BY event_type
+        """,
+        # exact SQL replay of sketch.kmv_overlap (k=1024): bottom-k
+        # distinct md5 hashes per side, union bottom-k as the reference
+        # sample, integer intersection counts; distinct estimate
+        # (k-1)*2^64/(hk+1) with the double cast BEFORE the +1 (matches
+        # the engine's float op order), floor-truncated at 4 decimals.
+        "events_kmv_overlap": """
+            WITH a AS (
+                SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+                FROM events WHERE event_type = 'purchase'
+            ),
+            b AS (
+                SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+                FROM events WHERE event_type = 'view'
+            ),
+            ka AS (SELECT h FROM a ORDER BY h LIMIT 1024),
+            kb AS (SELECT h FROM b ORDER BY h LIMIT 1024),
+            u AS (
+                SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+                ORDER BY h LIMIT 1024
+            ),
+            flags AS (
+                SELECT u.h,
+                       u.h IN (SELECT h FROM ka) AS ina,
+                       u.h IN (SELECT h FROM kb) AS inb
+                FROM u
+            ),
+            sa AS (SELECT COUNT(*) AS kn, MAX(h) AS hk FROM ka),
+            sb AS (SELECT COUNT(*) AS kn, MAX(h) AS hk FROM kb),
+            ov AS (
+                SELECT COUNT(*) AS n_ref,
+                       SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS n_both
+                FROM flags
+            )
+            SELECT CAST(1024 AS BIGINT) AS k,
+                   CAST(ov.n_ref AS BIGINT) AS n_ref,
+                   CAST(ov.n_both AS BIGINT) AS n_both,
+                   CASE WHEN ov.n_ref > 0
+                        THEN FLOOR(CAST(ov.n_both AS DOUBLE) / ov.n_ref
+                                   * 10000.0) / 10000.0
+                        ELSE 0.0 END AS jaccard,
+                   CASE WHEN sa.kn < 1024 THEN CAST(sa.kn AS DOUBLE)
+                        ELSE FLOOR((1024 - 1) * 18446744073709551616.0
+                                   / (CAST(sa.hk AS DOUBLE) + 1.0)
+                                   * 10000.0) / 10000.0 END AS est_distinct_a,
+                   CASE WHEN sb.kn < 1024 THEN CAST(sb.kn AS DOUBLE)
+                        ELSE FLOOR((1024 - 1) * 18446744073709551616.0
+                                   / (CAST(sb.hk AS DOUBLE) + 1.0)
+                                   * 10000.0) / 10000.0 END AS est_distinct_b
+            FROM ov, sa, sb
         """,
     }

@@ -193,3 +193,73 @@ def hll_distinct_by(ds: ray.data.Dataset, col: str, by: str,
     return _add_bucket(parts, [by], num_partitions).groupby(
         _BUCKET_COL, num_partitions=num_partitions
     ).map_groups(per_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: distinct-count AND set
+# overlap between sources without a join — same SQL-replayable design
+# as the HLL above (md5_lower64 hashes, integer state, floor-truncated
+# float outputs).
+# ---------------------------------------------------------------------
+
+DEFAULT_K = 1024
+
+
+def kmv_sketch(ds: ray.data.Dataset, col: str, k: int = DEFAULT_K) -> np.ndarray:
+    """The ``k`` smallest md5-lower64 hashes of the column's DISTINCT
+    values, ascending uint64. Per-block bottom-k partials (one ≤k-row
+    chunk per block — O(k × blocks) crosses to the driver, never
+    O(rows)), merged by a sorted-unique bottom-k fold."""
+    from fs_crawler_ray.text import md5_lower64
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col_a = t[col]
+        if not (pa.types.is_string(col_a.type) or pa.types.is_large_string(col_a.type)):
+            col_a = pc.cast(col_a, pa.string())
+        h = np.unique(md5_lower64(np.asarray(col_a.to_pylist(), dtype=object)))
+        return pa.table({"h": pa.array(h[:k].astype(np.uint64), pa.uint64())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    allh = np.unique(np.asarray([r["h"] for r in parts], dtype=np.uint64))
+    return allh[:k]
+
+
+def kmv_estimate_distinct(bottom: np.ndarray, k: int = DEFAULT_K) -> float:
+    """(k-1)·2^64 / h_k when the sketch saturated; exact count below."""
+    if len(bottom) < k:
+        return float(len(bottom))
+    # float op order mirrors the SQL oracle exactly: round h_k to
+    # double FIRST, then + 1.0 (CAST(hk AS DOUBLE) + 1.0) — adding in
+    # integer space before the cast can land one ulp away
+    est = (k - 1) * 18446744073709551616.0 / (float(int(bottom[k - 1])) + 1.0)
+    return math.floor(est * 10000.0) / 10000.0
+
+
+def kmv_overlap(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, col: str,
+                k: int = DEFAULT_K) -> pa.Table:
+    """Set-overlap summary between two sources over ``col`` WITHOUT a
+    join: sketch each side (bottom-k of distinct hashes), take the
+    union's bottom-k, and count how many of those reference points lie
+    in both sides — ``jaccard ≈ n_both / |bottom_k(A ∪ B)|`` (the
+    standard KMV/MinHash overlap estimator). All counts are exact
+    integers over deterministic md5 hashes, so a DuckDB oracle
+    reproduces every column bit-for-bit."""
+    a = kmv_sketch(ds_a, col, k)
+    b = kmv_sketch(ds_b, col, k)
+    union = np.unique(np.concatenate([a, b]))[:k]
+    in_a = np.isin(union, a)
+    in_b = np.isin(union, b)
+    n_ref = len(union)
+    n_both = int((in_a & in_b).sum())
+    jac = (math.floor(n_both / n_ref * 10000.0) / 10000.0) if n_ref else 0.0
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_ref": pa.array([n_ref], pa.int64()),
+        "n_both": pa.array([n_both], pa.int64()),
+        "jaccard": pa.array([jac], pa.float64()),
+        "est_distinct_a": pa.array([kmv_estimate_distinct(a, k)], pa.float64()),
+        "est_distinct_b": pa.array([kmv_estimate_distinct(b, k)], pa.float64()),
+    })

@@ -79,3 +79,38 @@ def test_hll_distinct_by_matches_per_group_global():
         assert row["est"] == want["est"], row["g"]
         exact = sub.nunique()
         assert abs(row["est"] - exact) / exact < 0.06, (row["g"], row["est"], exact)
+
+
+def test_kmv_distinct_estimate_accuracy():
+    """Saturated bottom-k estimator: rel err ~1/sqrt(k) ≈ 3% at k=1024;
+    require 10%. Unsaturated: exact."""
+    from fs_crawler_ray.sketch import kmv_estimate_distinct, kmv_sketch
+
+    n = 30_000
+    sk = kmv_sketch(_ds([f"v{i}" for i in range(n)]), "k")
+    est = kmv_estimate_distinct(sk)
+    assert abs(est - n) / n < 0.10, est
+    small = kmv_sketch(_ds([f"v{i}" for i in range(200)]), "k")
+    assert kmv_estimate_distinct(small) == 200.0
+
+
+def test_kmv_overlap_jaccard_accuracy():
+    """Known 1/3 Jaccard (A=0..2k, B=k..3k): estimate within 0.08."""
+    from fs_crawler_ray.sketch import kmv_overlap
+
+    a = [f"u{i}" for i in range(0, 20_000)]
+    b = [f"u{i}" for i in range(10_000, 30_000)]
+    out = kmv_overlap(_ds(a), _ds(b), "k").to_pandas().iloc[0]
+    assert abs(out["jaccard"] - 1 / 3) < 0.08, out["jaccard"]
+    assert abs(out["est_distinct_a"] - 20_000) / 20_000 < 0.10
+    assert out["n_ref"] == 1024
+
+
+def test_kmv_sketch_block_split_invariant():
+    from fs_crawler_ray.sketch import kmv_sketch
+
+    vals = [f"z{i}" for i in range(5000)]
+    one = kmv_sketch(ray.data.from_pandas(pd.DataFrame({"k": vals})), "k")
+    many = kmv_sketch(
+        ray.data.from_pandas(pd.DataFrame({"k": vals})).repartition(16), "k")
+    assert np.array_equal(one, many)
