@@ -67,6 +67,12 @@ frontier = ray.data.range(1_000_000, override_num_blocks=32).map_batches(
 n_front = distinct(frontier, ["id"], 32).count()
 assert n_front == 1_000_000, n_front
 
+# cardinality sketch over the 1M-id wave: fixed 2^p-byte state
+from fs_crawler_ray.sketch import hll_distinct
+
+hll = hll_distinct(frontier, "id")
+assert abs(hll["est"][0].as_py() - 1_000_000) / 1_000_000 < 0.05
+
 # exact dedup family
 from fs_crawler_ray.text import exact_dedup, tfidf_top_terms, token_rarity
 
